@@ -1,0 +1,231 @@
+package graft.pipeline
+
+import org.apache.spark.TaskContext
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.extract.Extractor
+import graft.core.seg.{Demarcator, Rule}
+import graft.core.xml.SubDocXml
+import graft.schema._
+
+/** The end-to-end extraction + segmentation pipeline (SURVEY §3.1 "Spark
+  * lifecycle we build"):
+  *
+  *   scan → [stage A] repartition by hash(conv_id, turn_idx)   — explicit
+  *   salting: hot conversations spread across all tasks (order-free per-turn
+  *   work) → mapPartitions extraction kernels →
+  *   [stage B] repartition by conv_id + sortWithinPartitions(conv_id,
+  *   turn_idx) — the secondary sort that guarantees stable turn ordering →
+  *   streaming per-conversation fold (constant memory beyond one
+  *   conversation, mirroring the reference's pages-in-memory bound,
+  *   `ocr_processor.py:247`) → segments + lineage.
+  *
+  * Exactly two shuffles; stage A's shuffle doubles as the salting step, so
+  * at 1000 executors a 10^6-turn conversation costs ~10^3 turns per task in
+  * extraction and only serializes in the (cheap, string-scan) fold.
+  */
+object Pipeline {
+
+  /** Stage A: per-turn payload extraction. Salted repartition — partition key
+    * includes turn_idx so a hot conversation cannot straggle extraction. */
+  def extract(turns: Dataset[Turn], partitions: Int = 0): Dataset[ExtractedTurn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    turns
+      .repartition(p, hash($"conv_id", $"turn_idx"))
+      .as[Turn]
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        it.map { t =>
+          val (ex, err) = Extractor.safeExtract(t.tool, t.text)
+          ExtractedTurn(
+            conv_id = t.conv_id,
+            turn_idx = t.turn_idx,
+            role = t.role,
+            tool = t.tool,
+            text = ex.text,
+            span_starts = ex.spans.iterator.map(_.start).toArray,
+            span_ends = ex.spans.iterator.map(_.end).toArray,
+            error = err,
+            part_id = pid
+          )
+        }
+      }
+  }
+
+  def toCoreRule(r: ConvRule): Rule = Rule(
+    documentTypeId = r.DocumentTypeID,
+    documentTypeName = r.DocumentTypeName,
+    startingIdentifier = r.StartingIdentifier,
+    startingIdentifierPlus1 = r.StartingIdentifierPlus1,
+    endingIdentifier = r.EndingIdentifier,
+    endingIdentifierMinus1 = r.EndingIdentifierMinus1,
+    noOfPages = r.NoOfPages,
+    occurence = r.Occurence,
+    startingMinusN = r.StartingMinusN,
+    endingMinusN = r.EndingMinusN,
+    sequence = Some(r.Sequence),
+    docReceivedId = Some(r.DocReceivedId),
+    firmFile = Some(r.FirmFile),
+    uploadDatasheetId = Some(r.UploadDatasheetid),
+    sessionId = Some(r.SessionId)
+  )
+
+  /** Streaming grouping iterator: consumes a (conv_id, turn_idx)-sorted
+    * partition, buffers exactly one conversation at a time, runs the
+    * demarcation fold, emits its segment rows. Asserts sortedness — the
+    * north rule's "stable turn ordering" is a guaranteed invariant, not a
+    * hope. */
+  private final class GroupFold(
+      it: Iterator[(String, Int, String)],
+      rulesFor: String => Seq[Rule]
+  ) extends Iterator[ConvSegment] {
+    private var pending: Iterator[ConvSegment] = Iterator.empty
+    private var lookahead: (String, Int, String) = _
+    private var hasLookahead = false
+
+    private def foldOne(): Unit = {
+      // collect one conversation (consecutive rows, sorted by turn_idx)
+      val first = if (hasLookahead) lookahead else it.next()
+      hasLookahead = false
+      val cid = first._1
+      val pages = Vector.newBuilder[String]
+      var lastIdx = Int.MinValue
+      var cur = first
+      var done = false
+      while (!done) {
+        require(cur._2 > lastIdx, s"turn ordering violated in $cid: ${cur._2} after $lastIdx")
+        lastIdx = cur._2
+        pages += cur._3
+        if (it.hasNext) {
+          val nxt = it.next()
+          if (nxt._1 == cid) cur = nxt
+          else { lookahead = nxt; hasLookahead = true; done = true }
+        } else done = true
+      }
+      val rows = Demarcator.demarcate(pages.result(), rulesFor(cid))
+      pending = rows.iterator.map { r =>
+        ConvSegment(
+          conv_id = cid,
+          DocReceivedId = r.DocReceivedId.getOrElse(0L),
+          FromPageNumber = r.FromPageNumber,
+          ToPageNumber = r.ToPageNumber,
+          FileNumber = r.FileNumber.getOrElse(""),
+          DocumentTypeId = r.DocumentTypeId.getOrElse(""),
+          UploadDataSheetId = r.UploadDataSheetId.getOrElse(0L),
+          TotalNumberOfpages = r.TotalNumberOfpages,
+          NoOfPages = r.NoOfPages,
+          Sequence = r.Sequence.getOrElse(""),
+          SessionId = r.SessionId.getOrElse("")
+        )
+      }
+    }
+
+    def hasNext: Boolean = {
+      while (!pending.hasNext && (hasLookahead || it.hasNext)) foldOne()
+      pending.hasNext
+    }
+    def next(): ConvSegment = { if (!hasNext) throw new NoSuchElementException; pending.next() }
+  }
+
+  /** Stage B: per-conversation demarcation. Rules arrive as a broadcast
+    * lookup (the reference's envelope→rule enrichment, `main.py:232-236`, is
+    * a broadcast join: rule corpora are tiny relative to turns). For rule
+    * tables too large to broadcast, use [[segmentCogroup]]. */
+  def segment(
+      extracted: Dataset[ExtractedTurn],
+      rules: Broadcast[Map[String, Seq[Rule]]],
+      buckets: Int = 0
+  ): Dataset[ConvSegment] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    val b = if (buckets > 0) buckets else spark.sessionState.conf.numShufflePartitions
+    extracted
+      .select($"conv_id", $"turn_idx", $"text")
+      .repartition(b, $"conv_id")
+      .sortWithinPartitions($"conv_id", $"turn_idx")
+      .as[(String, Int, String)]
+      .mapPartitions(it => new GroupFold(it, cid => rules.value.getOrElse(cid, Nil)))
+  }
+
+  /** Rules-as-dataset variant: shuffle-cogroup on conv_id — the scale path
+    * when the rule table itself is too big for one broadcast. */
+  def segmentCogroup(
+      extracted: Dataset[ExtractedTurn],
+      rules: Dataset[ConvRule]
+  ): Dataset[ConvSegment] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    extracted
+      .select($"conv_id", $"turn_idx", $"text")
+      .as[(String, Int, String)]
+      .groupByKey(_._1)
+      .cogroup(rules.groupByKey(_.conv_id)) { (cid, ts, rs) =>
+        val pages = ts.toVector.sortBy(_._2).map(_._3)
+        val coreRules = rs.map(toCoreRule).toSeq
+        Demarcator.demarcate(pages, coreRules).iterator.map { r =>
+          ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber,
+            r.ToPageNumber, r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
+            r.UploadDataSheetId.getOrElse(0L), r.TotalNumberOfpages, r.NoOfPages,
+            r.Sequence.getOrElse(""), r.SessionId.getOrElse(""))
+        }
+      }
+  }
+
+  /** Per-partition lineage rows for the extraction stage (north rule:
+    * partition id, input snapshot, rows in/out, extraction error counts). */
+  def extractionLineage(extracted: Dataset[ExtractedTurn], snapshotId: Long): Dataset[PartitionLineage] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    extracted
+      .groupBy($"part_id")
+      .agg(count(lit(1)).as("rows"), sum(when($"error", 1L).otherwise(0L)).as("errs"))
+      .select(
+        lit("extract").as("stage"),
+        $"part_id",
+        lit(snapshotId).as("snapshot_id"),
+        $"rows".as("rows_in"),
+        $"rows".as("rows_out"),
+        $"errs".as("errors"))
+      .as[PartitionLineage]
+  }
+
+  /** XML rendering of one conversation's segment set — the reference's
+    * `create_subdocument_xml` (`data_models.py:7-32`) as a per-group column. */
+  def renderXml(segments: Dataset[ConvSegment]): Dataset[(String, String)] = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments
+      .groupByKey(_.conv_id)
+      .mapGroups { (cid, rows) =>
+        val ordered = rows.toVector.sortBy(r => r.Sequence.toIntOption.getOrElse(999))
+        val coreRows = ordered.map(r => graft.core.seg.SegmentRow(
+          DocReceivedId = Some(r.DocReceivedId),
+          FromPageNumber = r.FromPageNumber,
+          ToPageNumber = r.ToPageNumber,
+          FileNumber = Some(r.FileNumber),
+          DocumentTypeId = Some(r.DocumentTypeId),
+          UploadDataSheetId = Some(r.UploadDataSheetId),
+          TotalNumberOfpages = r.TotalNumberOfpages,
+          NoOfPages = r.NoOfPages,
+          Sequence = Some(r.Sequence),
+          SessionId = Some(r.SessionId)))
+        (cid, SubDocXml.render(coreRows))
+      }
+  }
+
+  /** Full pipeline for a synthetic corpus of `nConvs` conversations. */
+  def run(spark: SparkSession, nConvs: Long, corpusSeed: Long = 42L): Dataset[ConvSegment] = {
+    val turns = graft.gen.SyntheticTranscripts.turns(spark, nConvs, corpusSeed)
+    val ruleMap = graft.gen.SyntheticTranscripts
+      .rules(spark, nConvs, corpusSeed)
+      .collect()
+      .groupBy(_.conv_id)
+      .map { case (k, v) => k -> v.toSeq.map(toCoreRule) }
+    val bc = spark.sparkContext.broadcast(ruleMap)
+    segment(extract(turns), bc)
+  }
+}

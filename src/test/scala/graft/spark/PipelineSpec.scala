@@ -1,0 +1,129 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.extract.Extractor
+import graft.core.seg.Demarcator
+import graft.core.xml.SubDocXml
+import graft.gen.SyntheticTranscripts
+import graft.pipeline.Pipeline
+import graft.schema._
+
+/** End-to-end parity: the distributed pipeline must equal the sequential
+  * single-threaded oracle (core kernels applied conv-by-conv in turn order)
+  * — per-turn text equality under stable turn ordering (the north rule),
+  * and field-for-field segment equality, even when the input arrives
+  * shuffled. */
+class PipelineSpec extends AnyFunSuite with SparkFixture {
+
+  private val Seed = 42L
+  private val NConvs = 30L
+
+  private def oracleSegments(convIdx: Long): Vector[ConvSegment] = {
+    val turns = SyntheticTranscripts.turnsFor(Seed, convIdx)
+    val pages = turns.sortBy(_.turn_idx).map(t => Extractor.extract(t.tool, t.text).text)
+    val rules = SyntheticTranscripts.rulesFor(Seed, convIdx).map(Pipeline.toCoreRule)
+    val cid = SyntheticTranscripts.convId(convIdx)
+    Demarcator.demarcate(pages.toVector, rules).map { r =>
+      ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber, r.ToPageNumber,
+        r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
+        r.UploadDataSheetId.getOrElse(0L), r.TotalNumberOfpages, r.NoOfPages,
+        r.Sequence.getOrElse(""), r.SessionId.getOrElse(""))
+    }
+  }
+
+  test("generator is deterministic and partition-independent") {
+    import spark.implicits._
+    val a = SyntheticTranscripts.turns(spark, 10, Seed, parallelism = 1).collect().sortBy(t => (t.conv_id, t.turn_idx))
+    val b = SyntheticTranscripts.turns(spark, 10, Seed, parallelism = 7).collect().sortBy(t => (t.conv_id, t.turn_idx))
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+    // hot conversation skew exists (conv 0 is hot: idx % 97 == 0)
+    val sizes = a.groupBy(_.conv_id).map(_._2.length)
+    assert(sizes.max > 3 * (sizes.sum / sizes.size))
+  }
+
+  test("per-turn extracted text equality vs sequential oracle, shuffled input") {
+    import spark.implicits._
+    // shuffle the input rows: ordering must be restored by the pipeline alone
+    val turns = SyntheticTranscripts.turns(spark, NConvs, Seed)
+      .orderBy(hash($"text"))
+      .as[Turn]
+    val got = Pipeline.extract(turns).collect()
+      .map(e => (e.conv_id, e.turn_idx) -> (e.text, e.span_starts.toSeq, e.span_ends.toSeq)).toMap
+
+    var checked = 0
+    (0L until NConvs).foreach { ci =>
+      SyntheticTranscripts.turnsFor(Seed, ci).foreach { t =>
+        val ex = Extractor.extract(t.tool, t.text)
+        val g = got((t.conv_id, t.turn_idx))
+        assert(g._1 == ex.text, s"text mismatch at ${t.conv_id}/${t.turn_idx}")
+        assert(g._2 == ex.spans.map(_.start) && g._3 == ex.spans.map(_.end),
+          s"span mismatch at ${t.conv_id}/${t.turn_idx}")
+        checked += 1
+      }
+    }
+    assert(checked == got.size && checked > 300)
+  }
+
+  test("segments equal sequential oracle, field for field (broadcast path)") {
+    import spark.implicits._
+    val turns = SyntheticTranscripts.turns(spark, NConvs, Seed).orderBy(hash($"text")).as[Turn]
+    val ruleMap = (0L until NConvs).map { ci =>
+      SyntheticTranscripts.convId(ci) -> SyntheticTranscripts.rulesFor(Seed, ci).map(Pipeline.toCoreRule)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(ruleMap)
+    val got = Pipeline.segment(Pipeline.extract(turns), bc).collect()
+      .groupBy(_.conv_id).map { case (k, v) => k -> v.sortBy(_.Sequence.toInt).toVector }
+
+    (0L until NConvs).foreach { ci =>
+      val cid = SyntheticTranscripts.convId(ci)
+      val want = oracleSegments(ci).sortBy(_.Sequence.toInt)
+      assert(got(cid) == want, s"segment mismatch for $cid")
+    }
+    // sanity: the corpus exercises both found and zeroed rows
+    val all = got.values.flatten
+    assert(all.exists(_.FromPageNumber > 0) && all.exists(_.FromPageNumber == 0))
+  }
+
+  test("cogroup path produces identical segments") {
+    import spark.implicits._
+    val turns = SyntheticTranscripts.turns(spark, NConvs, Seed).as[Turn]
+    val rules = SyntheticTranscripts.rules(spark, NConvs, Seed)
+    val viaCogroup = Pipeline.segmentCogroup(Pipeline.extract(turns), rules)
+      .collect().sortBy(s => (s.conv_id, s.Sequence.toInt)).toSeq
+    val want = (0L until NConvs).flatMap(oracleSegments).sortBy(s => (s.conv_id, s.Sequence.toInt))
+    assert(viaCogroup == want)
+  }
+
+  test("extraction lineage counts rows and isolates failures") {
+    import spark.implicits._
+    val good = SyntheticTranscripts.turns(spark, 5, Seed).as[Turn]
+    val extracted = Pipeline.extract(good)
+    val lin = Pipeline.extractionLineage(extracted, snapshotId = 7L).collect()
+    assert(lin.map(_.rows_in).sum == good.count())
+    assert(lin.forall(_.snapshot_id == 7L))
+    assert(lin.map(_.errors).sum == 0L)
+  }
+
+  test("xml rendering matches core renderer per conversation") {
+    import spark.implicits._
+    val turns = SyntheticTranscripts.turns(spark, 6, Seed).as[Turn]
+    val ruleMap = (0L until 6L).map { ci =>
+      SyntheticTranscripts.convId(ci) -> SyntheticTranscripts.rulesFor(Seed, ci).map(Pipeline.toCoreRule)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(ruleMap)
+    val segs = Pipeline.segment(Pipeline.extract(turns), bc)
+    val got = Pipeline.renderXml(segs).collect().toMap
+    (0L until 6L).foreach { ci =>
+      val cid = SyntheticTranscripts.convId(ci)
+      val want = SubDocXml.render(
+        oracleSegments(ci).sortBy(_.Sequence.toInt).map(s => graft.core.seg.SegmentRow(
+          Some(s.DocReceivedId), s.FromPageNumber, s.ToPageNumber, Some(s.FileNumber),
+          Some(s.DocumentTypeId), Some(s.UploadDataSheetId), s.TotalNumberOfpages,
+          s.NoOfPages, Some(s.Sequence), Some(s.SessionId))))
+      assert(got(cid) == want)
+    }
+  }
+}
