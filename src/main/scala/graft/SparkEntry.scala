@@ -1,13 +1,376 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{Dedup, DocTextOps, EventOps, Multimodal, Similarity}
+import graft.queries.Relational
+import graft.pipeline.Pipeline
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query families:
+  *  - `q*`  relational operator checklist over the TPC-H-ish tables
+  *  - `ev*` event analytics (windows / sessionization / JSON props)
+  *  - `d*`  documents: dedup + text analysis (training-data ops)
+  *  - `e*`  embeddings: similarity search
+  *  - `m*`  multimodal binary-column plumbing (stubbed decode)
+  *  - `t*`  the transcript extraction/segmentation pipeline itself
+  *    (not SQL-expressible — DuckDB cannot run the HTML/PDF extractors or
+  *    the stateful demarcation fold; their oracle is the sequential core
+  *    implementation, enforced in `sbt -batch test` → rows-only here)
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full extract+segment pipeline on a small synthetic corpus;
+    * driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.run(spark, nConvs = 8).toDF()
+
+  private def docs(s: SparkSession, dir: String) = Relational.tbl(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Relational.tbl(s, dir, "embeddings")
+  private def events(s: SparkSession, dir: String) = Relational.tbl(s, dir, "events")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational checklist
+    "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
+    "q2_join_agg" -> ((s, d) => Relational.q2JoinAgg(s, d)),
+    "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),
+    "q4_window" -> ((s, d) => Relational.q4Window(s, d)),
+    "q5_setops" -> ((s, d) => Relational.q5SetOps(s, d)),
+    "q6_semi_anti" -> ((s, d) => Relational.q6SemiAnti(s, d)),
+    "q7_rollup" -> ((s, d) => Relational.q7Rollup(s, d)),
+    "q8_pushdown" -> ((s, d) => Relational.q8Pushdown(s, d)),
+    "q9_multijoin" -> ((s, d) => Relational.q9MultiJoin(s, d)),
+    "q10_above_avg" -> ((s, d) => Relational.q10AboveAvg(s, d)),
+    // event analytics
+    "ev_tumbling" -> ((s, d) => EventOps.tumblingCounts(events(s, d))),
+    "ev_sessionize" -> ((s, d) => EventOps.sessionize(events(s, d))),
+    "ev_session_stats" -> ((s, d) => EventOps.sessionStats(events(s, d))),
+    "ev_prop_extract" -> ((s, d) => EventOps.propExtract(events(s, d))),
+    // documents: dedup + text analysis
+    "d_exact_dedup" -> ((s, d) => Dedup.exact(docs(s, d)).drop("doc_ids")),
+    "d_token_stats" -> ((s, d) => DocTextOps.tokenStats(docs(s, d))),
+    "d_quality" -> ((s, d) => DocTextOps.qualityScore(docs(s, d))),
+    "d_langid_stopword" -> ((s, d) => DocTextOps.langIdStopword(docs(s, d))),
+    "d_fingerprint" -> ((s, d) => DocTextOps.fingerprint(docs(s, d))),
+    "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
+    "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
+    "d_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    "d_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
+    // embeddings: similarity
+    "e_knn" -> ((s, d) => Similarity.knnBruteForce(embs(s, d))),
+    "e_neardup" -> ((s, d) => Similarity.nearDupPairs(embs(s, d))),
+    "e_ann_lsh" -> ((s, d) => Similarity.annLsh(embs(s, d))),
+    // multimodal plumbing
+    "m_features" -> ((s, d) => Multimodal.features(docs(s, d)).drop("mean_byte")),
+    "m_feature_summary" -> ((s, d) => Multimodal.featureSummary(docs(s, d))),
+    // transcript pipeline (core-oracle checked in sbt test; rows-only here)
+    "t_extract" -> ((s, d) => {
+      val n = graft.gen.SyntheticTranscripts.convsForSfDir(d)
+      Pipeline.extract(graft.gen.SyntheticTranscripts.turns(s, n)).toDF()
+        .selectExpr("conv_id", "turn_idx", "role", "tool", "text",
+          "size(span_starts) AS n_spans", "error")
+    }),
+    "t_segment" -> ((s, d) =>
+      Pipeline.run(s, graft.gen.SyntheticTranscripts.convsForSfDir(d)).toDF()),
+    "t_xml" -> ((s, d) =>
+      Pipeline.renderXml(Pipeline.run(s, math.min(50L, graft.gen.SyntheticTranscripts.convsForSfDir(d))))
+        .toDF("conv_id", "xml")),
+    "t_lineage" -> ((s, d) => {
+      val n = graft.gen.SyntheticTranscripts.convsForSfDir(d)
+      Pipeline.extractionLineage(
+        Pipeline.extract(graft.gen.SyntheticTranscripts.turns(s, n)), snapshotId = 1L).toDF()
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL. Hash constants are generated from the SAME Scala
+  // functions the Spark side uses (Dedup.permA/permB), so the two cannot
+  // drift. DuckDB lists are 1-based; Spark arrays 0-based — mirrored below.
+  // ------------------------------------------------------------------
+
+  private val P = "2147483647"
+
+  /** DuckDB: 32-bit int from the first 8 hex chars of md5. */
+  private def dh32(col: String) = s"(('0x' || substr(md5($col), 1, 8))::BIGINT)"
+
+  private val dShingleDocs =
+    s"""docs AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents
+       |         WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT doc_id,
+       |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                        for i in range(1, len(ws) - 1)]) AS shs
+       |       FROM docs)""".stripMargin
+
+  private val dJaccard =
+    s"""shx AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+       |sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |          FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |jac AS (SELECT da, db, (i * 1000000) // (sa.n + sb.n - i) AS jaccard_ppm
+       |        FROM inter JOIN sizes sa ON da = sa.doc_id
+       |                   JOIN sizes sb ON db = sb.doc_id)""".stripMargin
+
+  /** DuckDB exact-fold cosine between DOUBLE[] columns a and b. */
+  private def dCos(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [$x[i] * $y[i] for i in range(1, len($x) + 1)]), (acc, v) -> acc + v)"
+    s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  private def dMoneySum(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  private def minhashOracle: String = {
+    val sigs = (0 until Dedup.NumPerms).map { k =>
+      s"list_min([(${Dedup.permA(k)} * h + ${Dedup.permB(k)}) % $P for h in hh]) AS sig$k"
+    }
+    val bands = (0 until Dedup.Bands).map { b =>
+      val ks = b * Dedup.RowsPerBand until (b + 1) * Dedup.RowsPerBand
+      val combined = ks.foldLeft("CAST(0 AS BIGINT)")((acc, k) => s"(($acc) * 31 + sig$k) % $P")
+      s"SELECT doc_id, $b AS band, $combined AS key FROM sigt"
+    }
+    s"""WITH $dShingleDocs,
+       |hs AS (SELECT doc_id, [${dh32("s")} % $P for s in shs] AS hh FROM sh),
+       |sigt AS (SELECT doc_id, ${sigs.mkString(", ")} FROM hs),
+       |banded AS (${bands.mkString(" UNION ALL ")}),
+       |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared_bands
+       |         FROM banded x JOIN banded y
+       |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |         GROUP BY 1, 2),
+       |$dJaccard
+       |SELECT doc_a, doc_b, n_shared_bands, jaccard_ppm
+       |FROM cand JOIN jac ON doc_a = da AND doc_b = db
+       |WHERE jaccard_ppm >= 500000
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def simhashCte: String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |th AS (SELECT doc_id, ${dh32("w")} AS h FROM tok),
+       |votes AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |          FROM th, range(0, 32) t(b) GROUP BY 1, 2),
+       |simt AS (SELECT doc_id,
+       |           CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |         FROM votes GROUP BY 1)""".stripMargin
+
+  private def annOracle: String = {
+    def planeComp(p: Int) =
+      s"(('0x' || substr(md5('plane-' || $p || '-' || (i - 1)), 1, 8))::BIGINT / 2147483648.0 - 1.0)"
+    def dot(p: Int) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [v[i] * ${planeComp(p)} for i in range(1, len(v) + 1)]), (acc, y) -> acc + y)"
+    val bucket = (0 until Similarity.AnnPlanes)
+      .map(p => s"(CASE WHEN ${dot(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bkt AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM base),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bkt WHERE vec_id < 20),
+       |scored AS (SELECT query_id, b.bucket, b.vec_id AS neighbor_id, ${dCos("qv", "v")} AS sim
+       |           FROM bkt b JOIN q USING (bucket) WHERE b.vec_id != query_id)
+       |SELECT query_id, rank, neighbor_id, bucket, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored) WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dMoneySum("l_quantity")} AS sum_qty,
+         |  ${dMoneySum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_join_agg" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders, ${dMoneySum("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q3_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q4_window" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  row_number() OVER w AS order_seq,
+        |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS orders_so_far
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+    "q5_setops" ->
+      """(SELECT DISTINCT o_custkey AS custkey FROM orders
+        | EXCEPT
+        | SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY custkey""".stripMargin,
+    "q6_semi_anti" ->
+      """WITH active AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_active FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY 1),
+        |inactive AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_inactive FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY 1)
+        |SELECT n_nationkey, n_name,
+        |  COALESCE(n_active, 0) AS n_active, COALESCE(n_inactive, 0) AS n_inactive
+        |FROM nation
+        |LEFT JOIN active ON n_nationkey = active.c_nationkey
+        |LEFT JOIN inactive ON n_nationkey = inactive.c_nationkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "q7_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+         |  COALESCE(l_linestatus, '<all>') AS linestatus,
+         |  COUNT(*) AS n, ${dMoneySum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q8_pushdown" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q9_multijoin" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n_lineitems, ${dMoneySum("l_quantity")} AS total_qty,
+         |  COUNT(DISTINCT p_partkey) AS n_parts
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |              JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_above_avg" ->
+      """WITH avgp AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |  FROM orders GROUP BY 1 HAVING COUNT(*) >= 2)
+        |SELECT o.o_custkey, COUNT(*) AS n_above
+        |FROM orders o JOIN avgp ON o.o_custkey = avgp.o_custkey
+        |WHERE o.o_totalprice > avg_price * 1.5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS epoch FROM events),
+        |b AS (SELECT *, CASE WHEN prev_epoch IS NULL OR epoch - prev_epoch > 1800 THEN 1 ELSE 0 END AS is_break
+        |      FROM (SELECT *, lag(epoch) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_epoch FROM e)),
+        |s AS (SELECT *, SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM b)
+        |SELECT user_id, session_seq::BIGINT AS session_seq, COUNT(*) AS n_events,
+        |  MIN(epoch) AS session_start_epoch, MAX(epoch) AS session_end_epoch,
+        |  MAX(epoch) - MIN(epoch) AS duration_sec
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS epoch FROM events),
+        |b AS (SELECT *, CASE WHEN prev_epoch IS NULL OR epoch - prev_epoch > 1800 THEN 1 ELSE 0 END AS is_break
+        |      FROM (SELECT *, lag(epoch) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_epoch FROM e)),
+        |s AS (SELECT *, SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM b),
+        |sess AS (SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |           MAX(epoch) - MIN(epoch) AS duration_sec FROM s GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events)::BIGINT AS n_events,
+        |  MAX(duration_sec) AS max_duration_sec
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_prop_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+        |  SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 THEN 1 ELSE 0 END)::BIGINT AS n_high
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        |  length(text) AS n_chars_actual,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(1 + length(w) // 6 AS BIGINT) for w in string_split(text, ' ')]),
+        |    (acc, x) -> acc + x) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_quality" ->
+      """WITH d AS (SELECT doc_id, text, concat(' ', text, ' ') AS pt FROM documents)
+        |SELECT doc_id, length(text) AS n_chars_actual,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5 AS BIGINT)
+        |    + CAST((length(pt) - length(replace(pt, ' a ', ''))) / 3 AS BIGINT)
+        |    + CAST((length(pt) - length(replace(pt, ' of ', ''))) / 4 AS BIGINT) AS stopword_hits,
+        |  (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS diversity_ppm,
+        |  (CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS mean_word_len_ppm
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "d_langid_stopword" -> {
+      val stops = Map(
+        "en" -> Seq(" the ", " of ", " and "), "de" -> Seq(" der ", " und ", " die "),
+        "es" -> Seq(" el ", " de ", " la "), "fr" -> Seq(" le ", " de ", " et "))
+      def c(w: String) = s"CAST((length(pt) - length(replace(pt, '$w', ''))) / ${w.length} AS BIGINT)"
+      val scoreCols = Seq("en", "de", "es", "fr")
+        .map(l => stops(l).map(c).mkString(" + ") + s" AS score_$l").mkString(",\n  ")
+      s"""WITH d AS (SELECT doc_id, lang, concat(' ', text, ' ') AS pt FROM documents),
+         |s AS (SELECT doc_id, lang AS lang_declared, $scoreCols FROM d),
+         |m AS (SELECT *, greatest(greatest(score_en, score_de), greatest(score_es, score_fr)) AS best FROM s)
+         |SELECT doc_id, lang_declared, score_en, score_de, score_es, score_fr,
+         |  CASE WHEN score_en = best THEN 'en' WHEN score_de = best THEN 'de'
+         |       WHEN score_es = best THEN 'es' WHEN score_fr = best THEN 'fr'
+         |       ELSE 'und' END AS lang_pred
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "d_fingerprint" ->
+      s"""WITH $dShingleDocs
+         |SELECT d.doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [CAST(unicode(c) AS BIGINT) for c in string_split(d.text, '')]),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_text,
+         |  list_min([${dh32("s")} for s in shs]) AS fp_shingle_min,
+         |  list_max([${dh32("s")} for s in shs]) AS fp_shingle_max
+         |FROM docs d JOIN sh ON d.doc_id = sh.doc_id ORDER BY d.doc_id""".stripMargin,
+    "d_ngram_jaccard" ->
+      s"""WITH $dShingleDocs,
+         |$dJaccard
+         |SELECT da AS doc_a, db AS doc_b, jaccard_ppm FROM jac
+         |WHERE jaccard_ppm >= 800000 ORDER BY doc_a, doc_b""".stripMargin,
+    "d_minhash_lsh" -> minhashOracle,
+    "d_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM simt ORDER BY doc_id""".stripMargin,
+    "d_simhash_pairs" -> {
+      val joins = (0 until 4).map { i =>
+        s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           |FROM blk a JOIN blk b ON a.blk$i = b.blk$i AND a.doc_id < b.doc_id""".stripMargin
+      }
+      val blkCols = (0 until 4).map(i => s"(simhash // ${1L << (8 * i)}) % 256 AS blk$i").mkString(", ")
+      s"""WITH $simhashCte,
+         |blk AS (SELECT doc_id, simhash, $blkCols FROM simt)
+         |SELECT DISTINCT doc_a, doc_b, hamming FROM (${joins.mkString(" UNION ALL ")})
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "e_knn" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 20),
+         |scored AS (SELECT query_id, b.vec_id AS neighbor_id, ${dCos("qv", "v")} AS sim
+         |           FROM base b, q WHERE b.vec_id != query_id)
+         |SELECT query_id, rank, neighbor_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "e_neardup" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${dCos("a.v", "b.v")} AS sim
+         |FROM base a JOIN base b ON a.vec_id < b.vec_id
+         |WHERE ${dCos("a.v", "b.v")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "e_ann_lsh" -> annOracle,
+    "m_features" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(16 + strlen(text) AS INT) AS n_bytes,
+        |  CAST(n_chars % 640 + 1 AS INT) AS width,
+        |  CAST(n_chars % 480 + 1 AS INT) AS height,
+        |  TRUE AS header_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m_feature_summary" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  COUNT(*) AS n, SUM(16 + strlen(text))::BIGINT AS total_bytes,
+        |  MAX(CAST(n_chars % 640 + 1 AS INT)) AS max_width,
+        |  MIN(1) AS all_headers_ok
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }

@@ -1,0 +1,140 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal snapshot-versioned parquet table — the in-sandbox stand-in for an
+  * Iceberg table (no Iceberg runtime jar ships with this image; see SURVEY
+  * §7). Gives the two properties the north rule actually needs:
+  *
+  *  - **atomic append**: data files land first, then a manifest JSON is
+  *    published via temp-file + atomic rename; a snapshot is visible iff its
+  *    manifest exists, so readers never see partial writes;
+  *  - **snapshot identity / ranges**: monotonically increasing ids enable
+  *    incremental (from, to] reads — the batch analog of the reference's
+  *    queue offsets.
+  *
+  * On a real cluster the binding swaps to Iceberg (`writeTo(...).append()`,
+  * `VERSION AS OF`) with no pipeline-API change.
+  */
+final class SnapshotStore(val root: String) {
+
+  private def dataDir(id: Long): Path = Paths.get(root, "data", s"snap=$id")
+  private def manifestDir: Path = Paths.get(root, "_manifests")
+
+  def snapshots: Seq[Long] = {
+    val d = manifestDir
+    if (!Files.exists(d)) Nil
+    else {
+      val it = Files.list(d).iterator()
+      val out = Vector.newBuilder[Long]
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.endsWith(".json")) out += name.stripSuffix(".json").toLong
+      }
+      out.result().sorted
+    }
+  }
+
+  def latest: Option[Long] = snapshots.lastOption
+
+  /** Append `df` as the next snapshot; returns its id. Visible only after
+    * the manifest rename commits. */
+  def append(df: DataFrame, meta: Map[String, String] = Map.empty): Long = {
+    val id = latest.getOrElse(0L) + 1L
+    df.write.mode("overwrite").parquet(dataDir(id).toString)
+    Files.createDirectories(manifestDir)
+    val json = {
+      val kv = (meta + ("snapshot_id" -> id.toString, "rows" -> "")).map {
+        case (k, v) => s""""$k": "${v.replace("\"", "\\\"")}""""
+      }
+      kv.mkString("{", ", ", "}")
+    }
+    val tmp = manifestDir.resolve(s".$id.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestDir.resolve(s"$id.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    id
+  }
+
+  /** Read one snapshot. */
+  def read(spark: SparkSession, id: Long): DataFrame = {
+    require(snapshots.contains(id), s"snapshot $id not committed")
+    spark.read.parquet(dataDir(id).toString)
+  }
+
+  /** Incremental read of snapshots in (fromExclusive, toInclusive]. */
+  def readRange(spark: SparkSession, fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val ids = snapshots.filter(id => id > fromExclusive && id <= toInclusive)
+    require(ids.nonEmpty, s"no snapshots in ($fromExclusive, $toInclusive]")
+    ids.map(id => spark.read.parquet(dataDir(id).toString)).reduce(_ unionAll _)
+  }
+}
+
+/** Checkpoint-resumable run of the extraction+segmentation pipeline:
+  * conversations are processed in `buckets` id-range chunks; each completed
+  * chunk commits its output and a done-marker atomically-enough (marker
+  * rename after data write), so a crashed run re-executes only unfinished
+  * chunks and never duplicates output — reproducing the reference's
+  * redelivery semantics (undeleted queue messages reappear,
+  * `main.py:396-397`) in batch form.
+  */
+object ResumableJob {
+
+  private def markerPath(workRoot: String, bucket: Int): Path =
+    Paths.get(workRoot, "_done", s"bucket-$bucket.done")
+
+  def completedBuckets(workRoot: String, buckets: Int): Set[Int] =
+    (0 until buckets).filter(b => Files.exists(markerPath(workRoot, b))).toSet
+
+  /** Runs the pipeline over `nConvs` synthetic conversations in `buckets`
+    * chunks; `failAfter` aborts after that many newly-completed chunks (test
+    * hook simulating a mid-job crash). Returns ids of chunks this run
+    * completed. */
+  def run(
+      spark: SparkSession,
+      nConvs: Long,
+      workRoot: String,
+      buckets: Int,
+      corpusSeed: Long = 42L,
+      failAfter: Option[Int] = None
+  ): Seq[Int] = {
+    import graft.gen.SyntheticTranscripts
+    import graft.pipeline.Pipeline
+    val done = completedBuckets(workRoot, buckets)
+    val completedNow = Vector.newBuilder[Int]
+    var newlyDone = 0
+    val per = math.max(1L, (nConvs + buckets - 1) / buckets)
+    for (b <- 0 until buckets if !done.contains(b)) {
+      if (failAfter.exists(newlyDone >= _))
+        throw new RuntimeException(s"injected failure before bucket $b")
+      val lo = b * per
+      val hi = math.min(nConvs, lo + per)
+      if (lo < hi) {
+        import spark.implicits._
+        val turns = spark.range(lo, hi, 1, spark.sparkContext.defaultParallelism)
+          .flatMap(i => SyntheticTranscripts.turnsFor(corpusSeed, i))
+        val ruleMap = (lo until hi).map { i =>
+          SyntheticTranscripts.convId(i) ->
+            SyntheticTranscripts.rulesFor(corpusSeed, i).map(Pipeline.toCoreRule)
+        }.toMap
+        val bc = spark.sparkContext.broadcast(ruleMap)
+        val segs = Pipeline.segment(Pipeline.extract(turns), bc)
+        segs.write.mode("overwrite").parquet(s"$workRoot/segments/bucket=$b")
+      }
+      val mp = markerPath(workRoot, b)
+      Files.createDirectories(mp.getParent)
+      val tmp = mp.getParent.resolve(s".bucket-$b.tmp")
+      Files.write(tmp, s"""{"bucket": $b, "convs": [$lo, $hi)}""".getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, mp, StandardCopyOption.ATOMIC_MOVE)
+      completedNow += b
+      newlyDone += 1
+    }
+    completedNow.result()
+  }
+
+  def readSegments(spark: SparkSession, workRoot: String): DataFrame =
+    spark.read.parquet(s"$workRoot/segments")
+}

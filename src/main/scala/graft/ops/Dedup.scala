@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — exact, MinHash+LSH, SimHash,
+  * and n-gram Jaccard. All pure DataFrame algebra, designed to the same
+  * plan shape they'd need at 100 TB:
+  *
+  *  - exact: one hash-aggregate (map-side partial) on md5(text).
+  *  - n-gram Jaccard: explode distinct shingles → self-equi-join on shingle
+  *    (shuffle on shingle — never an all-pairs cross join) → count → filter.
+  *  - MinHash/LSH: shingles → per-doc signature (one aggregate) → band keys
+  *    → self-equi-join on (band, band hash) → exact-Jaccard verify of the
+  *    candidates only.
+  *  - SimHash: token hash → 32 bit-position votes → per-doc 32-bit sketch;
+  *    pair scan joins on sketch bucket.
+  *
+  * Hash arithmetic is md5-derived 32-bit integers with explicit modular
+  * math — reproducible bit-for-bit by the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: md5 of raw text. `dup_count > 1` marks a
+    * duplicate cluster; `keep` is the canonical (min doc_id) survivor —
+    * standard exact-dedup shape: one shuffle on the 16-byte digest. */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .selectExpr("doc_id", "md5(text) AS content_hash")
+      .groupBy("content_hash")
+      .agg(
+        count(lit(1)).as("dup_count"),
+        min("doc_id").as("keep_doc_id"),
+        sort_array(collect_list("doc_id")).as("doc_ids"))
+      .orderBy("content_hash")
+
+  private val P = 2147483647L // 2^31 - 1
+  val NumPerms = 32
+  val Bands = 8
+  val RowsPerBand: Int = NumPerms / Bands
+
+  /** a_k, b_k permutation constants — small enough that a_k * h (< 2^31 each)
+    * never overflows a signed 64-bit int in any engine. */
+  def permA(k: Int): Long = ((2L * k + 1L) * 2654435761L) % P
+  def permB(k: Int): Long = ((k + 1L) * 40503L * 65537L) % P
+
+  /** Per-document MinHash signature (NumPerms values). One explode + one
+    * aggregate; the signature column is an array so downstream banding is a
+    * projection, not another shuffle over shingles. */
+  def minhashSignatures(documents: DataFrame): DataFrame = {
+    val sigExprs = (0 until NumPerms).map { k =>
+      s"array_min(transform(sh, h -> (${permA(k)} * h + ${permB(k)}) % $P)) AS sig$k"
+    }
+    documents
+      .where("size(split(text, ' ')) >= 3")
+      .selectExpr("doc_id", s"transform(${Shingles.shingles}, s -> ${Shingles.h32("s")} % $P) AS sh")
+      .selectExpr(Seq("doc_id") ++ sigExprs: _*)
+  }
+
+  /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard over
+    * distinct 3-shingles. Emits (doc_a, doc_b, n_shared_bands, jaccard_ppm)
+    * for candidate pairs with Jaccard ≥ `thresholdPpm`. Jaccard is reported
+    * in exact integer parts-per-million: inter * 1e6 / union. */
+  def minhashLsh(documents: DataFrame, thresholdPpm: Long = 500000L): DataFrame = {
+    val sigs = minhashSignatures(documents)
+    // band key = rolling-31 combine of the band's signature values
+    val bandExprs = (0 until Bands).map { b =>
+      val ks = (b * RowsPerBand until (b + 1) * RowsPerBand)
+      val combined = ks.foldLeft("CAST(0 AS BIGINT)")((acc, k) => s"(($acc) * 31 + sig$k) % $P")
+      s"named_struct('band', $b, 'key', $combined) AS band$b"
+    }
+    val banded = sigs
+      .selectExpr(Seq("doc_id") ++ bandExprs: _*)
+      .selectExpr("doc_id", s"explode(array(${(0 until Bands).map(b => s"band$b").mkString(",")})) AS bk")
+      .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+    val candidates = banded.as("x")
+      .join(banded.as("y"), expr("x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val verified = jaccardJoin(documents)
+    candidates
+      .join(verified, Seq("doc_a", "doc_b"))
+      .where(s"jaccard_ppm >= $thresholdPpm")
+      .select("doc_a", "doc_b", "n_shared_bands", "jaccard_ppm")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact Jaccard over distinct 3-shingles for every pair sharing ≥1
+    * shingle: explode → equi-join on shingle → intersection counts. The
+    * scale-correct shape: shuffle keyed by shingle, never |D|² pairs. */
+  private def jaccardJoin(documents: DataFrame): DataFrame = {
+    val sh = documents
+      .where("size(split(text, ' ')) >= 3")
+      .selectExpr("doc_id", s"explode(${Shingles.shingles}) AS s")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"), expr("a.s = b.s AND a.doc_id < b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .selectExpr("doc_a", "doc_b", "(inter * 1000000) DIV (na + nb - inter) AS jaccard_ppm")
+  }
+
+  /** All near-duplicate pairs by exact n-gram Jaccard ≥ threshold. */
+  def ngramJaccard(documents: DataFrame, thresholdPpm: Long = 800000L): DataFrame =
+    jaccardJoin(documents)
+      .where(s"jaccard_ppm >= $thresholdPpm")
+      .orderBy("doc_a", "doc_b")
+
+  /** Per-document 32-bit SimHash over token md5 hashes (frequency-weighted
+    * bit votes; ties at vote 0 count as a set bit). */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tokens = documents.selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+      .selectExpr("doc_id", s"${Shingles.h32("w")} AS h")
+    tokens
+      .selectExpr("doc_id", "h", "explode(sequence(0, 31)) AS b")
+      .selectExpr("doc_id", "b", "IF((shiftright(h, b) & 1) = 1, 1, -1) AS vote")
+      .groupBy("doc_id", "b")
+      .agg(sum("vote").as("votes"))
+      .selectExpr("doc_id", "IF(votes >= 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)) AS bit")
+      .groupBy("doc_id")
+      .agg(sum("bit").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-duplicate pairs at Hamming distance ≤ 3 via the
+    * multi-index (pigeonhole) trick: split the 32-bit sketch into 4 byte
+    * blocks; any pair within distance 3 agrees exactly on ≥1 block, so four
+    * equi-joins on the blocks (shuffle on one byte each, never all-pairs)
+    * find every qualifying pair; union + distinct + exact Hamming filter. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block multi-index is complete only for distance <= 3")
+    val blockCols = (0 until 4).map(i => s"(simhash DIV ${1L << (8 * i)}) % 256 AS blk$i")
+    val s = simhash(documents).selectExpr(Seq("doc_id", "simhash") ++ blockCols: _*)
+    val joined = (0 until 4).map { i =>
+      s.as("a").join(s.as("b"), expr(s"a.blk$i = b.blk$i AND a.doc_id < b.doc_id"))
+        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+          "CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming")
+    }.reduce(_ union _)
+    joined
+      .where(s"hamming <= $maxHamming")
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+}

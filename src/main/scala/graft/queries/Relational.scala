@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface over the TPC-H-ish star schema — the
+  * checklist operators (SURVEY §2.5): scan+filter+project with pushdown,
+  * broadcast joins, semi/anti joins, aggregation, rollup, window functions,
+  * sort/limit, set ops. Money sums run through DECIMAL (order-independent,
+  * engine-exact) and surface as DOUBLE.
+  *
+  * Plan-shape rules: dims are broadcast (no shuffle of the fact side beyond
+  * the aggregate), projections are narrow before joins so the parquet scan
+  * prunes columns, every filter is a `Column` expression (pushdown-eligible).
+  */
+object Relational {
+
+  def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  private def decSum(c: String): org.apache.spark.sql.Column =
+    expr(s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)")
+
+  /** Pricing-summary aggregate (TPC-H Q1 shape): one hash aggregate with
+    * map-side partials; scan reads only 7 of 11 lineitem columns. */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    tbl(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decSum("l_quantity").as("sum_qty"),
+        decSum("l_extendedprice").as("sum_base_price"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Broadcast-join fact-to-dim + aggregate: revenue by market segment. */
+  def q2JoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = tbl(spark, sfDir, "orders").select("o_custkey", "o_totalprice")
+    val customer = tbl(spark, sfDir, "customer").select("c_custkey", "c_mktsegment")
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), decSum("o_totalprice").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Sort + limit (top-k): driver-safe, per-partition top-k then merge. */
+  def q3TopK(spark: SparkSession, sfDir: String): DataFrame =
+    tbl(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Window functions: per-customer order sequence + running order count +
+    * rank of price within customer. */
+  def q4Window(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    tbl(spark, sfDir, "orders")
+      .where(col("o_custkey") < 100)
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .withColumn("order_seq", row_number().over(w).cast("long"))
+      .withColumn("orders_so_far", count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("order_seq"), col("orders_so_far"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  /** Set operations: customers with orders but no high-priority order
+    * (EXCEPT), plus an INTERSECT branch. */
+  def q5SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = tbl(spark, sfDir, "orders")
+    val withOrders = orders.select(col("o_custkey").as("custkey")).distinct()
+    val urgent = orders.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey")).distinct()
+    val bigSpenders = orders.where(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("custkey")).distinct()
+    withOrders.except(urgent).intersect(bigSpenders).orderBy("custkey")
+  }
+
+  /** Semi + anti joins: per-nation count of customers with ≥1 order and
+    * with none. Dims broadcast. */
+  def q6SemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = tbl(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
+    val nation = tbl(spark, sfDir, "nation")
+    val orderKeys = tbl(spark, sfDir, "orders").select("o_custkey")
+    val active = customer.join(orderKeys, customer("c_custkey") === orderKeys("o_custkey"), "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_active"))
+    val inactive = customer.join(orderKeys, customer("c_custkey") === orderKeys("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_inactive"))
+    nation.select(col("n_nationkey"), col("n_name"))
+      .join(broadcast(active), col("n_nationkey") === active("c_nationkey"), "left")
+      .drop("c_nationkey")
+      .join(broadcast(inactive), col("n_nationkey") === inactive("c_nationkey"), "left")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+      .orderBy("n_nationkey")
+  }
+
+  /** Grouping sets via ROLLUP with engine-neutral null markers. */
+  def q7Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    tbl(spark, sfDir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), decSum("l_quantity").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Selective filter + narrow projection — the pushdown/pruning probe
+    * (`.explain` must show PushedFilters + a 4-column ReadSchema). */
+  def q8Pushdown(spark: SparkSession, sfDir: String): DataFrame =
+    tbl(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= lit("1994-01-01") && col("l_shipdate") < lit("1995-01-01")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** Three-way join with two broadcast dims: top parts by shipped quantity. */
+  def q9MultiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = tbl(spark, sfDir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    val part = tbl(spark, sfDir, "part").select("p_partkey", "p_name")
+    val supp = tbl(spark, sfDir, "supplier").select("s_suppkey", "s_nationkey")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_lineitems"), decSum("l_quantity").as("total_qty"),
+        countDistinct("p_partkey").as("n_parts"))
+      .orderBy("s_nationkey")
+  }
+
+  /** Correlated-style aggregate: orders above their customer's average
+    * (expressed as join against a pre-aggregate — the decorrelated plan). */
+  def q10AboveAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = tbl(spark, sfDir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val avgPrice = orders.groupBy("o_custkey")
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1)").as("avg_price"),
+        count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2)
+    orders.join(avgPrice.drop("cnt"), "o_custkey")
+      .where(col("o_totalprice") > col("avg_price") * 1.5)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_above"))
+      .orderBy("o_custkey")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.extract.Extractor
+import graft.core.seg.{Demarcator, Rule}
+import graft.schema.{ConvSegment, Turn}
+
+/** Structured Streaming twin of the batch pipeline: `readStream` → per-turn
+  * extraction (stateless map — identical kernels to the batch path) →
+  * stateful per-conversation assembly with `flatMapGroupsWithState` →
+  * segments on conversation completion.
+  *
+  * A conversation is emitted when its event-time watermark passes
+  * `last turn ts + idleGapMs` (the streaming analog of the reference's
+  * visibility-timeout/redelivery loop, `main.py:363-410`: a conversation is
+  * "done" when no new turns can arrive). State holds one conversation's
+  * extracted turns — the same memory bound as the batch fold.
+  */
+object StreamingSegmenter {
+
+  final case class ConvState(turns: List[(Int, String)], lastTs: Long)
+  final case class ExtractedStreamTurn(conv_id: String, turn_idx: Int, text: String, ts: Timestamp)
+
+  /** Windowed turn-rate aggregation with watermarking — the standard
+    * streaming agg surface (tumbling event-time window + late-data bound). */
+  def turnRates(turns: Dataset[Turn], watermark: String = "10 minutes"): Dataset[org.apache.spark.sql.Row] = {
+    turns
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("tool"))
+      .agg(count(lit(1)).as("n_turns"))
+      .select(col("window.start").as("window_start"), col("tool"), col("n_turns"))
+  }
+
+  /** Stateful segmentation: buffers extracted turns per conversation, emits
+    * the demarcation fold's segments once the conversation has been idle
+    * past the watermark. `rulesFor` must be a deterministic serializable
+    * lookup (broadcast map or generator-backed). */
+  def segments(
+      turns: Dataset[Turn],
+      rulesFor: String => Seq[Rule],
+      watermark: String = "10 minutes",
+      idleGapMs: Long = 30 * 60 * 1000L
+  ): Dataset[ConvSegment] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+
+    // watermark is declared AFTER the extraction map: an object map emits a
+    // fresh ts column, which would drop the event-time tag if set earlier
+    val extracted = turns
+      .map { t =>
+        val (ex, _) = Extractor.safeExtract(t.tool, t.text)
+        ExtractedStreamTurn(t.conv_id, t.turn_idx, ex.text, t.ts)
+      }
+      .withWatermark("ts", watermark)
+
+    extracted
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvState, ConvSegment](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (cid: String, rows: Iterator[ExtractedStreamTurn], state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            val pages = st.turns.sortBy(_._1).map(_._2).toVector
+            Demarcator.demarcate(pages, rulesFor(cid)).iterator.map { r =>
+              ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber,
+                r.ToPageNumber, r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
+                r.UploadDataSheetId.getOrElse(0L), r.TotalNumberOfpages, r.NoOfPages,
+                r.Sequence.getOrElse(""), r.SessionId.getOrElse(""))
+            }
+          } else {
+            val prev = state.getOption.getOrElse(ConvState(Nil, 0L))
+            val add = rows.map(r => (r.turn_idx, r.text, r.ts.getTime)).toList
+            val st = ConvState(
+              prev.turns ++ add.map(a => (a._1, a._2)),
+              math.max(prev.lastTs, if (add.isEmpty) 0L else add.map(_._3).max))
+            state.update(st)
+            // complete once the watermark passes last-turn-ts + idle gap
+            state.setTimeoutTimestamp(st.lastTs + idleGapMs)
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{ResumableJob, SnapshotStore}
+
+/** Snapshot-store atomicity + checkpoint-resume: a crashed run must leave
+  * only committed chunks visible; the re-run completes exactly the missing
+  * work with no duplicates or gaps. */
+class ResumeSpec extends AnyFunSuite with SparkFixture {
+
+  test("snapshot store: atomic append, snapshot identity, range reads") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapstore").toString
+    val store = new SnapshotStore(root)
+    assert(store.snapshots.isEmpty)
+    val id1 = store.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val id2 = store.append(Seq((3, "c")).toDF("k", "v"))
+    assert(store.snapshots == Seq(id1, id2) && id2 == id1 + 1)
+    assert(store.read(spark, id1).count() == 2)
+    assert(store.readRange(spark, 0, id2).count() == 3)
+    assert(store.readRange(spark, id1, id2).count() == 1) // incremental slice
+    intercept[IllegalArgumentException](store.read(spark, 99))
+  }
+
+  test("resumable job: crash mid-run, resume completes without dupes") {
+    val nConvs = 20L
+    val buckets = 5
+    val crashRoot = Files.createTempDirectory("resume_crash").toString
+    val cleanRoot = Files.createTempDirectory("resume_clean").toString
+
+    // reference run, no failures
+    ResumableJob.run(spark, nConvs, cleanRoot, buckets)
+    val want = ResumableJob.readSegments(spark, cleanRoot)
+      .collect().map(_.toString).sorted
+
+    // crash after 2 chunks
+    intercept[RuntimeException] {
+      ResumableJob.run(spark, nConvs, crashRoot, buckets, failAfter = Some(2))
+    }
+    val afterCrash = ResumableJob.completedBuckets(crashRoot, buckets)
+    assert(afterCrash.size == 2, s"expected 2 committed chunks, got $afterCrash")
+
+    // resume: only the remaining chunks run
+    val resumed = ResumableJob.run(spark, nConvs, crashRoot, buckets)
+    assert(resumed.size == buckets - 2)
+    assert(ResumableJob.completedBuckets(crashRoot, buckets).size == buckets)
+
+    val got = ResumableJob.readSegments(spark, crashRoot)
+      .collect().map(_.toString).sorted
+    assert(got.toSeq == want.toSeq, "resumed output differs from clean run")
+  }
+}

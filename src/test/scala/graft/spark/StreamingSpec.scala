@@ -1,0 +1,92 @@
+package graft.spark
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.extract.Extractor
+import graft.core.seg.Demarcator
+import graft.gen.SyntheticTranscripts
+import graft.pipeline.Pipeline
+import graft.schema.Turn
+import graft.streaming.StreamingSegmenter
+
+/** Structured Streaming path: turns arrive incrementally; a conversation's
+  * segments are emitted once the event-time watermark passes its idle gap,
+  * and must equal the batch/sequential oracle exactly. */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private val Seed = 42L
+
+  test("streaming segments equal sequential oracle after watermark close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Turn]
+    val nConvs = 4L
+    val seed = Seed // local copy: the lambda must not capture the suite
+    val rulesFor = (cid: String) => {
+      val idx = cid.stripPrefix("conv-").toLong
+      SyntheticTranscripts.rulesFor(seed, idx).map(Pipeline.toCoreRule)
+    }
+    val out = StreamingSegmenter.segments(
+      input.toDS(), rulesFor, watermark = "1 minute", idleGapMs = 60000L)
+
+    val query = out.writeStream
+      .format("memory")
+      .queryName("stream_segments")
+      .outputMode("append")
+      .start()
+
+    // feed turns split across two batches, interleaved across conversations
+    val allTurns = (0L until nConvs).flatMap(i => SyntheticTranscripts.turnsFor(Seed, i))
+    val (b1, b2) = allTurns.sortBy(_.ts.getTime).splitAt(allTurns.size / 2)
+    input.addData(b1)
+    query.processAllAvailable()
+    input.addData(b2)
+    query.processAllAvailable()
+    // sentinel far-future turn pushes the watermark past every idle gap
+    input.addData(Turn("conv-sentinel", 1, "user", "x", "", new Timestamp(
+      allTurns.map(_.ts.getTime).max + 24 * 3600 * 1000L)))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("stream_segments").as[graft.schema.ConvSegment].collect()
+      .filter(_.conv_id != "conv-sentinel")
+      .groupBy(_.conv_id).map { case (k, v) => k -> v.sortBy(_.Sequence.toInt).toVector }
+
+    (0L until nConvs).foreach { ci =>
+      val cid = SyntheticTranscripts.convId(ci)
+      val turns = SyntheticTranscripts.turnsFor(Seed, ci)
+      val pages = turns.sortBy(_.turn_idx).map(t => Extractor.extract(t.tool, t.text).text)
+      val want = Demarcator.demarcate(pages.toVector, rulesFor(cid))
+        .sortBy(_.Sequence.map(_.toInt).getOrElse(999))
+      val gotRows = got.getOrElse(cid, Vector.empty)
+      assert(gotRows.size == want.size, s"row count for $cid")
+      gotRows.zip(want).foreach { case (g, w) =>
+        assert(g.FromPageNumber == w.FromPageNumber && g.ToPageNumber == w.ToPageNumber
+          && g.NoOfPages == w.NoOfPages && g.DocumentTypeId == w.DocumentTypeId.getOrElse(""),
+          s"mismatch for $cid seq ${g.Sequence}")
+      }
+    }
+  }
+
+  test("windowed turn-rate aggregation with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val out = StreamingSegmenter.turnRates(input.toDS(), watermark = "1 minute")
+    val query = out.writeStream.format("memory").queryName("turn_rates")
+      .outputMode("append").start()
+    input.addData(SyntheticTranscripts.turnsFor(Seed, 1L))
+    query.processAllAvailable()
+    input.addData(Seq(Turn("late", 1, "user", "x", "",
+      new Timestamp(SyntheticTranscripts.BaseEpochMs + 48 * 3600 * 1000L))))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("turn_rates").collect()
+    assert(rows.map(_.getAs[Long]("n_turns")).sum > 0)
+  }
+}
