@@ -1,24 +1,45 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR at
+  * local[32] (two passes — JIT/codegen-warm timings reported, cold total
+  * recorded alongside), then the north-rule scaling pair (same transcript
+  * job, same input, local[8] vs local[32]) — one JSON line on stdout.
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+  * SPARK_GRAFT_SCALE_CONVS (default 6000; 0 disables the scaling pair).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "100000").toLong
+
+    val spark = graft.bench.Scaling.session(cpus)
+    def pass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); () }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val cold = pass()
+    val warm = pass()
     spark.stop()
+
+    val scaling =
+      if (scaleConvs > 0)
+        try Some(graft.bench.Scaling.run(scaleConvs, Seq(4, 16)))
+        catch { case e: Throwable => System.err.println(s"[bench] scaling: ${e.getMessage}"); None }
+      else None
+
+    val qs = warm.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = warm.values.sum
+    val coldTotal = cold.values.sum
+    val scalingJson = scaling.map(r => s""","scaling":${r.json}""").getOrElse("")
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":${f"$coldTotal%.3f"},"cpus":$cpus$scalingJson}""")
   }
 }

@@ -53,6 +53,7 @@ object Dedup {
     }
     documents
       .where("size(split(text, ' ')) >= 3")
+      .selectExpr("doc_id", s"${Shingles.ws} AS ws")
       .selectExpr("doc_id", s"transform(${Shingles.shingles}, s -> ${Shingles.h32("s")} % $P) AS sh")
       .selectExpr(Seq("doc_id") ++ sigExprs: _*)
   }
@@ -91,6 +92,7 @@ object Dedup {
   private def jaccardJoin(documents: DataFrame): DataFrame = {
     val sh = documents
       .where("size(split(text, ' ')) >= 3")
+      .selectExpr("doc_id", s"${Shingles.ws} AS ws")
       .selectExpr("doc_id", s"explode(${Shingles.shingles}) AS s")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("a")

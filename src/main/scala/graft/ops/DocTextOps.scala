@@ -82,20 +82,32 @@ object DocTextOps {
   def fingerprint(documents: DataFrame): DataFrame =
     documents
       .where("size(split(text, ' ')) >= 3")
+      .selectExpr("doc_id", "text", s"${Shingles.ws} AS ws")
+      .selectExpr("doc_id", "text",
+        s"transform(${Shingles.shingles}, s -> ${Shingles.h32("s")}) AS hh")
       .selectExpr(
         "doc_id",
         "aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 1000000007) AS fp_text",
-        s"${Shingles.minShingleHash} AS fp_shingle_min",
-        s"${Shingles.maxShingleHash} AS fp_shingle_max"
+        "array_min(hh) AS fp_shingle_min",
+        "array_max(hh) AS fp_shingle_max"
       ).orderBy("doc_id")
 }
 
 /** Shared shingle/hash expression fragments (Spark SQL dialect); the DuckDB
-  * oracle mirrors each with 1-based list comprehensions. */
+  * oracle mirrors each with 1-based list comprehensions.
+  *
+  * All shingle fragments read a pre-split `ws` array column (project
+  * [[Shingles.ws]] once per row first). Building shingles directly from
+  * `split(text,' ')[i]` would re-split the whole text for every element
+  * access inside the lambda — O(tokens²·len) per document; the optimizer
+  * keeps the `ws` alias because it is referenced more than once. */
 object Shingles {
-  /** Distinct 3-token shingles of `text` (requires ≥3 tokens). */
+  /** Token array — project exactly once, then feed the fragments below. */
+  val ws: String = "split(text, ' ')"
+
+  /** Distinct 3-token shingles over the pre-split `ws` column (≥3 tokens). */
   val shingles: String =
-    "array_distinct(transform(sequence(0, size(split(text,' ')) - 3), i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2])))"
+    "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"
 
   /** 32-bit integer hash of a shingle string via md5 hex — identical in any
     * engine with md5: first 8 hex chars as unsigned int. */

@@ -5,39 +5,49 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an `embeddings(vec_id, embedding float[], label)`
   * table. Cosine is computed as an explicit left-to-right fold over doubles
-  * (`aggregate(zip_with(...))`) with a zero seed — deterministic and
-  * reproducible bit-for-bit by any engine that folds the same order, which
-  * is what lets the DuckDB oracle hash-match double outputs.
+  * with a zero seed — deterministic and reproducible bit-for-bit by any
+  * engine that folds the same order, which is what lets the DuckDB oracle
+  * hash-match double outputs. Per-row norms are projected ONCE below the
+  * join (never recomputed per pair): `sim = dot(a,b) / (norm_a * norm_b)`
+  * is bit-identical to `dot / (sqrt(dot(a,a)) * sqrt(dot(b,b)))`.
   *
   * Scale shapes:
   *  - brute-force top-k: broadcast the (small) query set against the big
-  *    side — one pass, no shuffle of the corpus, per-partition top-k via
-  *    window rank on (query, sim).
-  *  - LSH-bucketed ANN: deterministic md5-derived random hyperplanes →
-  *    sign-bit bucket key → equi-join on bucket (shuffle on bucket id,
+  *    side — one pass, no shuffle of the corpus, top-k via window rank.
+  *  - exact all-pairs baseline: the corpus is broadcast as primitive double
+  *    arrays and the pair loop runs distributed over row-index ranges — a
+  *    block nested-loop join with tight JIT'd inner loops instead of
+  *    per-pair Catalyst array expressions. Valid while one side fits in a
+  *    broadcast (the honest baseline); beyond that, [[annLsh]] is the path.
+  *  - LSH-bucketed ANN: deterministic md5-derived random hyperplanes
+  *    (precomputed driver-side into literal arrays — zero per-row md5 work)
+  *    → sign-bit bucket key → equi-join on bucket (shuffle on bucket id,
   *    never all-pairs) → exact rerank inside buckets.
   */
 object Similarity {
 
-  /** `a · b / (|a| |b|)` as exact fold expressions over DOUBLE arrays. */
-  private def cosineExpr(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-  }
+  /** Left fold `Σ a_i * b_i` over DOUBLE arrays with zero seed. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 
   private def asDouble(col: String): String = s"transform($col, x -> CAST(x AS DOUBLE))"
+
+  /** vec_id, v (double array), nv (= sqrt(v·v), projected once per row). */
+  private def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings
+      .selectExpr("vec_id", s"${asDouble("embedding")} AS v")
+      .selectExpr("vec_id", "v", s"sqrt(${dotExpr("v", "v")}) AS nv")
 
   /** Brute-force cosine top-k: the first `nQueries` vectors (by vec_id) are
     * the query set, broadcast against the full corpus. Output:
     * (query_id, rank, neighbor_id, sim). */
   def knnBruteForce(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
-    val base = embeddings.selectExpr("vec_id", s"${asDouble("embedding")} AS v")
+    val base = withNorm(embeddings)
     val queries = base.where(s"vec_id < $nQueries")
-      .selectExpr("vec_id AS query_id", "v AS qv")
+      .selectExpr("vec_id AS query_id", "v AS qv", "nv AS nq")
     val scored = base
       .join(broadcast(queries), expr("vec_id != query_id"))
-      .selectExpr("query_id", "vec_id AS neighbor_id", s"${cosineExpr("qv", "v")} AS sim")
+      .selectExpr("query_id", "vec_id AS neighbor_id", s"${dotExpr("qv", "v")} / (nq * nv) AS sim")
     scored
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -48,29 +58,79 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** All pairs with cosine ≥ threshold (exact, symmetric dedup by id order).
-    * The honest baseline the ANN path is measured against. */
+  /** All pairs with cosine ≥ threshold (exact, symmetric dedup by id order)
+    * — the honest baseline the ANN path is measured against. The corpus is
+    * collected once into primitive arrays and broadcast; the O(n²) pair loop
+    * is distributed over interleaved row-index slices (i ≡ p mod P) so the
+    * triangular workload balances across tasks. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val base = embeddings.selectExpr("vec_id", s"${asDouble("embedding")} AS v")
-    base.as("a").join(base.as("b"), expr("a.vec_id < b.vec_id"))
-      .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b", s"${cosineExpr("a.v", "b.v")} AS sim")
-      .where(s"sim >= $threshold")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = embeddings
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", s"${asDouble("embedding")} AS v")
+      .as[(Long, Array[Double])]
+      .collect()
+      .sortBy(_._1)
+    val ids = corpus.map(_._1)
+    val vecs = corpus.map(_._2)
+    val norms = vecs.map { v =>
+      var acc = 0.0; var k = 0
+      while (k < v.length) { acc += v(k) * v(k); k += 1 }
+      math.sqrt(acc)
+    }
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    val n = ids.length
+    val par = math.max(1, math.min(spark.sparkContext.defaultParallelism, n))
+    spark.range(0, n.toLong)
+      .repartition(par, pmod(col("id"), lit(par)))
+      .as[Long]
+      .mapPartitions { it =>
+        val (ids, vecs, norms) = bc.value
+        it.flatMap { ii =>
+          val i = ii.toInt
+          val vi = vecs(i)
+          val ni = norms(i)
+          (i + 1 until ids.length).iterator.flatMap { j =>
+            val vj = vecs(j)
+            var acc = 0.0
+            var k = 0
+            while (k < vi.length) { acc += vi(k) * vj(k); k += 1 }
+            val sim = acc / (ni * norms(j))
+            if (sim >= threshold) Iterator.single((ids(i), ids(j), sim)) else Iterator.empty
+          }
+        }
+      }
+      .toDF("vec_a", "vec_b", "sim")
       .orderBy("vec_a", "vec_b")
   }
 
   val AnnPlanes = 8
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * md5-derived 32-bit uniform mapped into [-1, 1). Any engine reproduces
-    * it from the same string key. */
-  private def planeComponent(p: Int, d: String): String =
-    s"CAST(conv(substring(md5(concat('plane-', $p, '-', $d)), 1, 8), 16, 10) AS BIGINT) / 2147483648.0 - 1.0"
+  /** Max embedding dimensionality the literal hyperplane arrays cover. */
+  private val MaxDim = 256
 
-  /** Sign-bit LSH bucket key over AnnPlanes hyperplanes. */
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * md5-derived 32-bit uniform mapped into [-1, 1). Computed driver-side;
+    * `Double.toString` round-trips exactly, so the literal the executor
+    * parses is bit-identical to what any engine derives from the same
+    * md5 formula (the DuckDB oracle recomputes it per element). */
+  def planeComponent(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane-$p-$d".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0
+  }
+
+  private lazy val planeLit: IndexedSeq[String] = (0 until AnnPlanes).map { p =>
+    val comps = (0 until MaxDim).map(d => s"CAST('${planeComponent(p, d)}' AS DOUBLE)")
+    s"array(${comps.mkString(",")})"
+  }
+
+  /** Sign-bit LSH bucket key over AnnPlanes literal hyperplanes. */
   private def bucketExpr(v: String): String = {
     val bits = (0 until AnnPlanes).map { p =>
-      val dot =
-        s"aggregate(zip_with($v, sequence(0, size($v) - 1), (x, d) -> x * (${planeComponent(p, "d")})), CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)"
+      val dot = s"aggregate(zip_with($v, slice(${planeLit(p)}, 1, size($v)), " +
+        "(x, w) -> x * w), CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)"
       s"IF($dot >= 0, ${1 << p}, 0)"
     }
     bits.mkString(" + ")
@@ -81,15 +141,15 @@ object Similarity {
     * output schema as [[knnBruteForce]] (plus bucket id) so recall is
     * directly measurable. */
   def annLsh(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
-    val base = embeddings
-      .selectExpr("vec_id", s"${asDouble("embedding")} AS v")
-      .selectExpr("vec_id", "v", s"CAST(${bucketExpr("v")} AS BIGINT) AS bucket")
+    val base = withNorm(embeddings)
+      .selectExpr("vec_id", "v", "nv", s"CAST(${bucketExpr("v")} AS BIGINT) AS bucket")
     val queries = base.where(s"vec_id < $nQueries")
-      .selectExpr("vec_id AS query_id", "v AS qv", "bucket")
+      .selectExpr("vec_id AS query_id", "v AS qv", "nv AS nq", "bucket")
     base
       .join(queries, Seq("bucket"))
       .where("vec_id != query_id")
-      .selectExpr("query_id", "bucket", "vec_id AS neighbor_id", s"${cosineExpr("qv", "v")} AS sim")
+      .selectExpr("query_id", "bucket", "vec_id AS neighbor_id",
+        s"${dotExpr("qv", "v")} / (nq * nv) AS sim")
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("query_id")

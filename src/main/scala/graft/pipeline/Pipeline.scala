@@ -75,16 +75,18 @@ object Pipeline {
   )
 
   /** Streaming grouping iterator: consumes a (conv_id, turn_idx)-sorted
-    * partition, buffers exactly one conversation at a time, runs the
-    * demarcation fold, emits its segment rows. Asserts sortedness — the
-    * north rule's "stable turn ordering" is a guaranteed invariant, not a
-    * hope. */
+    * partition of (conv_id, turn_idx, tool, payload) rows, buffers exactly
+    * one conversation at a time (applying `extractPage` per turn as it
+    * buffers), runs the demarcation fold, emits its segment rows. Asserts
+    * sortedness — the north rule's "stable turn ordering" is a guaranteed
+    * invariant, not a hope. */
   private final class GroupFold(
-      it: Iterator[(String, Int, String)],
-      rulesFor: String => Seq[Rule]
+      it: Iterator[(String, Int, String, String)],
+      rulesFor: String => Seq[Rule],
+      extractPage: (String, String) => String
   ) extends Iterator[ConvSegment] {
     private var pending: Iterator[ConvSegment] = Iterator.empty
-    private var lookahead: (String, Int, String) = _
+    private var lookahead: (String, Int, String, String) = _
     private var hasLookahead = false
 
     private def foldOne(): Unit = {
@@ -99,7 +101,7 @@ object Pipeline {
       while (!done) {
         require(cur._2 > lastIdx, s"turn ordering violated in $cid: ${cur._2} after $lastIdx")
         lastIdx = cur._2
-        pages += cur._3
+        pages += extractPage(cur._3, cur._4)
         if (it.hasNext) {
           val nxt = it.next()
           if (nxt._1 == cid) cur = nxt
@@ -144,11 +146,38 @@ object Pipeline {
     import spark.implicits._
     val b = if (buckets > 0) buckets else spark.sessionState.conf.numShufflePartitions
     extracted
-      .select($"conv_id", $"turn_idx", $"text")
+      .select($"conv_id", $"turn_idx", $"tool", $"text")
       .repartition(b, $"conv_id")
       .sortWithinPartitions($"conv_id", $"turn_idx")
-      .as[(String, Int, String)]
-      .mapPartitions(it => new GroupFold(it, cid => rules.value.getOrElse(cid, Nil)))
+      .as[(String, Int, String, String)]
+      .mapPartitions(it =>
+        new GroupFold(it, cid => rules.value.getOrElse(cid, Nil), (_, text) => text))
+  }
+
+  /** Fused single-shuffle path: shuffle RAW turns once by `conv_id`,
+    * secondary-sort, and run extraction inside the same partition pass as
+    * the demarcation fold. Halves shuffle volume and row encode/decode
+    * versus [[extract]]→[[segment]] (payload text crosses the wire once) —
+    * the default when per-turn extracted output isn't separately needed.
+    * The two-stage salted path remains for the monster-conversation regime
+    * (a single conversation large enough to straggle one extraction task).
+    */
+  def segmentFused(
+      turns: Dataset[Turn],
+      rules: Broadcast[Map[String, Seq[Rule]]],
+      buckets: Int = 0
+  ): Dataset[ConvSegment] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val b = if (buckets > 0) buckets else spark.sessionState.conf.numShufflePartitions
+    turns
+      .select($"conv_id", $"turn_idx", $"tool", $"text")
+      .repartition(b, $"conv_id")
+      .sortWithinPartitions($"conv_id", $"turn_idx")
+      .as[(String, Int, String, String)]
+      .mapPartitions(it =>
+        new GroupFold(it, cid => rules.value.getOrElse(cid, Nil),
+          (tool, text) => Extractor.safeExtract(tool, text)._1.text))
   }
 
   /** Rules-as-dataset variant: shuffle-cogroup on conv_id — the scale path
@@ -226,6 +255,6 @@ object Pipeline {
       .groupBy(_.conv_id)
       .map { case (k, v) => k -> v.toSeq.map(toCoreRule) }
     val bc = spark.sparkContext.broadcast(ruleMap)
-    segment(extract(turns), bc)
+    segmentFused(turns, bc)
   }
 }

@@ -87,6 +87,19 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(all.exists(_.FromPageNumber > 0) && all.exists(_.FromPageNumber == 0))
   }
 
+  test("fused single-shuffle path equals sequential oracle, shuffled input") {
+    import spark.implicits._
+    val turns = SyntheticTranscripts.turns(spark, NConvs, Seed).orderBy(hash($"text")).as[Turn]
+    val ruleMap = (0L until NConvs).map { ci =>
+      SyntheticTranscripts.convId(ci) -> SyntheticTranscripts.rulesFor(Seed, ci).map(Pipeline.toCoreRule)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(ruleMap)
+    val got = Pipeline.segmentFused(turns, bc)
+      .collect().sortBy(s => (s.conv_id, s.Sequence.toInt)).toSeq
+    val want = (0L until NConvs).flatMap(oracleSegments).sortBy(s => (s.conv_id, s.Sequence.toInt))
+    assert(got == want)
+  }
+
   test("cogroup path produces identical segments") {
     import spark.implicits._
     val turns = SyntheticTranscripts.turns(spark, NConvs, Seed).as[Turn]
