@@ -5,10 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR at
   * local[32] (two passes — JIT/codegen-warm timings reported, cold total
   * recorded alongside), then the north-rule scaling pair (same transcript
-  * job, same input, local[8] vs local[32]) — one JSON line on stdout.
+  * job, same input, local[4] vs local[16] — see BENCH.md for why this is
+  * the honest N→4N pair on this box) — one JSON line on stdout.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-  * SPARK_GRAFT_SCALE_CONVS (default 6000; 0 disables the scaling pair).
+  * SPARK_GRAFT_SCALE_CONVS (default 100000; 0 disables the scaling pair).
   */
 object Bench {
   def main(args: Array[String]): Unit = {

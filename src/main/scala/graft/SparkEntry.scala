@@ -42,6 +42,7 @@ object SparkEntry {
     "q8_pushdown" -> ((s, d) => Relational.q8Pushdown(s, d)),
     "q9_multijoin" -> ((s, d) => Relational.q9MultiJoin(s, d)),
     "q10_above_avg" -> ((s, d) => Relational.q10AboveAvg(s, d)),
+    "q11_envelope_decode" -> ((s, d) => graft.ops.EnvelopeOps.decodeRoundTrip(docs(s, d))),
     // event analytics
     "ev_tumbling" -> ((s, d) => EventOps.tumblingCounts(events(s, d))),
     "ev_sessionize" -> ((s, d) => EventOps.sessionize(events(s, d))),
@@ -243,6 +244,17 @@ object SparkEntry {
         |FROM orders o JOIN avgp ON o.o_custkey = avgp.o_custkey
         |WHERE o.o_totalprice > avg_price * 1.5
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_envelope_decode" ->
+      """WITH env AS (
+        |  SELECT doc_id, base64(encode(to_json(struct_pack(
+        |    ClientFileName := source, BatchId := doc_id, Body := substring(text, 1, 40)
+        |  )))) AS env FROM documents),
+        |dec AS (SELECT doc_id, decode(from_base64(env)) AS j FROM env)
+        |SELECT doc_id,
+        |  json_extract_string(j, '$.ClientFileName') AS client_file,
+        |  CAST(json_extract_string(j, '$.BatchId') AS BIGINT) AS batch_id,
+        |  CAST(length(json_extract_string(j, '$.Body')) AS BIGINT) AS body_len
+        |FROM dec ORDER BY doc_id""".stripMargin,
     "ev_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,

@@ -1,0 +1,83 @@
+package graft.spark
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.SyntheticTranscripts
+import graft.pipeline.Pipeline
+import graft.queries.Relational
+
+/** Physical-plan shape assertions — the 100 TB contract, checked in CI:
+  * filters and projections must reach the parquet scan, small dims must
+  * broadcast (no fact-side shuffle), and the fused transcript pipeline must
+  * cost exactly ONE exchange. A regression here is a silent 10–100×
+  * slowdown at scale long before it shows up in a local benchmark.
+  */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** Number of shuffle-exchange NODES (a node renders several times in
+    * formatted output: tree line + detail section). */
+  private def shuffleCount(df: DataFrame): Int =
+    "\\(\\d+\\) Exchange".r.findAllIn(formatted(df)).size
+
+  test("q8: predicates push into the parquet scan; only needed columns read") {
+    val p = formatted(Relational.q8Pushdown(spark, Sf))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // projection pruning: the 4 needed columns and none of the others
+    assert(p.contains("l_extendedprice") && p.contains("l_discount"), p)
+    assert(!p.contains("l_orderkey") && !p.contains("l_comment"), p)
+  }
+
+  test("q2/q9: dimension joins broadcast (no shuffle of the fact side)") {
+    val p2 = formatted(Relational.q2JoinAgg(spark, Sf))
+    assert(p2.contains("BroadcastHashJoin"), p2)
+    val p9 = formatted(Relational.q9MultiJoin(spark, Sf))
+    assert(p9.contains("BroadcastHashJoin"), p9)
+    assert(!p9.contains("SortMergeJoin"), p9)
+  }
+
+  test("q1: aggregate is partial (map-side combine) before the exchange") {
+    val p = formatted(Relational.q1Agg(spark, Sf))
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0)
+    // formatted plans list operators leaves-last; a partial aggregate exists
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("fused pipeline: exactly one exchange (single shuffle by conv_id)") {
+    import spark.implicits._
+    val turns = SyntheticTranscripts.turns(spark, 10)
+    val ruleMap = (0L until 10L).map { ci =>
+      SyntheticTranscripts.convId(ci) -> SyntheticTranscripts.rulesFor(42L, ci).map(Pipeline.toCoreRule)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(ruleMap)
+    val df = Pipeline.segmentFused(turns, bc).toDF()
+    assert(shuffleCount(df) == 1, formatted(df))
+  }
+
+  test("two-stage pipeline: two exchanges (salted extraction + conv regroup)") {
+    import spark.implicits._
+    val turns = SyntheticTranscripts.turns(spark, 10)
+    val ruleMap = (0L until 10L).map { ci =>
+      SyntheticTranscripts.convId(ci) -> SyntheticTranscripts.rulesFor(42L, ci).map(Pipeline.toCoreRule)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(ruleMap)
+    val df = Pipeline.segment(Pipeline.extract(turns), bc).toDF()
+    assert(shuffleCount(df) == 2, formatted(df))
+  }
+
+  test("d_exact_dedup: single shuffle on the digest (partial count before it)") {
+    val docs = Relational.tbl(spark, Sf, "documents")
+    val df = graft.ops.Dedup.exact(docs)
+    // one exchange for the groupBy, one for the final orderBy range partitioning
+    assert(shuffleCount(df) <= 2, formatted(df))
+  }
+}
