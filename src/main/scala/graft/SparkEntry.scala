@@ -48,11 +48,13 @@ object SparkEntry {
     "ev_sessionize" -> ((s, d) => EventOps.sessionize(events(s, d))),
     "ev_session_stats" -> ((s, d) => EventOps.sessionStats(events(s, d))),
     "ev_prop_extract" -> ((s, d) => EventOps.propExtract(events(s, d))),
+    "ev_asof" -> ((s, d) => EventOps.asofViewBeforePurchase(events(s, d))),
     // documents: dedup + text analysis
     "d_exact_dedup" -> ((s, d) => Dedup.exact(docs(s, d)).drop("doc_ids")),
     "d_token_stats" -> ((s, d) => DocTextOps.tokenStats(docs(s, d))),
     "d_quality" -> ((s, d) => DocTextOps.qualityScore(docs(s, d))),
     "d_langid_stopword" -> ((s, d) => DocTextOps.langIdStopword(docs(s, d))),
+    "d_langid_trigram" -> ((s, d) => DocTextOps.langIdTrigram(docs(s, d))),
     "d_fingerprint" -> ((s, d) => DocTextOps.fingerprint(docs(s, d))),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
@@ -281,6 +283,19 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events)::BIGINT AS n_events,
         |  MAX(duration_sec) AS max_duration_sec
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_asof" ->
+      """WITH v AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS vepoch,
+        |         max(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS pepoch
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_event_id, p.user_id, p.pepoch,
+        |  v.view_event_id, v.vepoch, p.pepoch - v.vepoch AS lag_sec
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.vepoch <= p.pepoch
+        |ORDER BY purchase_event_id""".stripMargin,
     "ev_prop_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,

@@ -76,6 +76,22 @@ object DocTextOps {
       .orderBy("doc_id")
   }
 
+  /** Character-trigram language ID (Cavnar–Trenkle rank distance) as a
+    * per-row kernel over `mapPartitions` — the richer, non-SQL-expressible
+    * companion to [[langIdStopword]] (rows-only checked; its unit oracle is
+    * the sequential core implementation, see TrigramLangIdSpec). */
+  def langIdTrigram(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select("doc_id", "lang", "text").as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, lang, text) =>
+        val (pred, ds) = graft.core.text.TrigramLangId.classify(text)
+        (id, lang, pred, ds(0), ds(1), ds(2), ds(3))
+      })
+      .toDF("doc_id", "lang_declared", "lang_pred", "dist_de", "dist_en", "dist_es", "dist_fr")
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: full-text polynomial rolling hash plus min/max
     * 3-token shingle hashes (a 3-value sketch). Fold is left-to-right with
     * explicit zero seed → engine-independent. */

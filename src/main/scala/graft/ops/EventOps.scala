@@ -60,6 +60,41 @@ object EventOps {
         max("duration_sec").as("max_duration_sec"))
       .orderBy("user_id")
 
+  /** As-of join: every 'purchase' event paired with the latest
+    * prior-or-simultaneous 'view' event of the same user. Implemented as a
+    * SINGLE sorted window pass over the unioned streams (`last(_, ignoreNulls)`
+    * carry-forward) — the scale-correct shape: one shuffle on user_id, no
+    * range join, no per-pair work. Views are deduped per (user, second)
+    * keeping max event_id so the result is deterministic. The DuckDB oracle
+    * uses its native ASOF JOIN — an independent implementation of the same
+    * semantics. */
+  def asofViewBeforePurchase(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), col("event_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("epoch"))
+    val views = base.where(col("event_type") === "view")
+      .groupBy("user_id", "epoch")
+      .agg(max("event_id").as("view_event_id"))
+      .select(col("user_id"), col("epoch"), lit(0).as("k"),
+        col("view_event_id"), lit(null).cast("long").as("purchase_event_id"))
+    val purchases = base.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("epoch"), lit(1).as("k"),
+        lit(null).cast("long").as("view_event_id"), col("event_id").as("purchase_event_id"))
+    val w = Window.partitionBy("user_id").orderBy("epoch", "k")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    views.unionByName(purchases)
+      .withColumn("lv", last(when(col("k") === 0,
+        struct(col("epoch").as("vepoch"), col("view_event_id").as("vid"))), ignoreNulls = true).over(w))
+      .where(col("k") === 1 && col("lv").isNotNull)
+      .select(
+        col("purchase_event_id"),
+        col("user_id"),
+        col("epoch").as("pepoch"),
+        col("lv.vid").as("view_event_id"),
+        col("lv.vepoch").as("vepoch"),
+        (col("epoch") - col("lv.vepoch")).as("lag_sec"))
+      .orderBy("purchase_event_id")
+  }
+
   /** JSON prop extraction + conditional aggregation (`from_json` /
     * `get_json_object` surface). */
   def propExtract(events: DataFrame): DataFrame =
