@@ -79,6 +79,12 @@ object SparkEntry {
     "t_xml" -> ((s, d) =>
       Pipeline.renderXml(Pipeline.run(s, math.min(50L, graft.gen.SyntheticTranscripts.convsForSfDir(d))))
         .toDF("conv_id", "xml")),
+    "t_consolidate" -> ((s, d) => {
+      val n = math.min(100L, graft.gen.SyntheticTranscripts.convsForSfDir(d))
+      Pipeline.consolidate(Pipeline.extract(graft.gen.SyntheticTranscripts.turns(s, n)))
+        .selectExpr("conv_id", "n_turns", "length(consolidated) AS n_chars")
+        .orderBy("conv_id")
+    }),
     "t_lineage" -> ((s, d) => {
       val n = graft.gen.SyntheticTranscripts.convsForSfDir(d)
       Pipeline.extractionLineage(

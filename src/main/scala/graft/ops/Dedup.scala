@@ -111,8 +111,28 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
 
   /** Per-document 32-bit SimHash over token md5 hashes (frequency-weighted
-    * bit votes; ties at vote 0 count as a set bit). */
-  def simhash(documents: DataFrame): DataFrame = {
+    * bit votes; ties at vote 0 count as a set bit). Computed as a single
+    * per-row fold over the token-hash array — no shuffle, no 32×-token row
+    * explosion; the integer sketch is formulation-independent, so the
+    * DuckDB oracle's grouped-votes derivation matches exactly. */
+  def simhash(documents: DataFrame): DataFrame =
+    documents
+      .selectExpr("doc_id", s"${Shingles.ws} AS ws")
+      .selectExpr("doc_id", s"transform(ws, w -> ${Shingles.h32("w")}) AS hh")
+      .selectExpr("doc_id",
+        "aggregate(hh, array_repeat(CAST(0 AS BIGINT), 32), (acc, h) -> " +
+          "zip_with(acc, sequence(0, 31), (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1))) AS votes")
+      .selectExpr("doc_id",
+        "aggregate(zip_with(votes, sequence(0, 31), (v, b) -> " +
+          "IF(v >= 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS simhash")
+      .orderBy("doc_id")
+
+  /** Grouped-votes SimHash derivation (same integer sketch as [[simhash]],
+    * different plan shape): explode token hashes × bit positions into a
+    * two-level codegen'd hash aggregate. Cheaper than the per-row fold when
+    * a downstream self-join duplicates the subtree. */
+  private def simhashAgg(documents: DataFrame): DataFrame = {
     val tokens = documents.selectExpr("doc_id", "explode(split(text, ' ')) AS w")
       .selectExpr("doc_id", s"${Shingles.h32("w")} AS h")
     tokens
@@ -123,24 +143,23 @@ object Dedup {
       .selectExpr("doc_id", "IF(votes >= 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)) AS bit")
       .groupBy("doc_id")
       .agg(sum("bit").as("simhash"))
-      .orderBy("doc_id")
   }
 
   /** SimHash near-duplicate pairs at Hamming distance ≤ 3 via the
     * multi-index (pigeonhole) trick: split the 32-bit sketch into 4 byte
-    * blocks; any pair within distance 3 agrees exactly on ≥1 block, so four
-    * equi-joins on the blocks (shuffle on one byte each, never all-pairs)
-    * find every qualifying pair; union + distinct + exact Hamming filter. */
+    * blocks; any pair within distance 3 agrees exactly on ≥1 block, so one
+    * equi-join on the exploded (block index, block value) keys (shuffle on
+    * one byte each, never all-pairs) finds every qualifying pair;
+    * distinct + exact Hamming filter. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block multi-index is complete only for distance <= 3")
-    val blockCols = (0 until 4).map(i => s"(simhash DIV ${1L << (8 * i)}) % 256 AS blk$i")
-    val s = simhash(documents).selectExpr(Seq("doc_id", "simhash") ++ blockCols: _*)
-    val joined = (0 until 4).map { i =>
-      s.as("a").join(s.as("b"), expr(s"a.blk$i = b.blk$i AND a.doc_id < b.doc_id"))
-        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
-          "CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming")
-    }.reduce(_ union _)
-    joined
+    val blocks = (0 until 4).map(i => s"(simhash DIV ${1L << (8 * i)}) % 256").mkString(", ")
+    val blk = simhashAgg(documents)
+      .selectExpr("doc_id", "simhash", s"posexplode(array($blocks)) AS (bi, bv)")
+    blk.as("a")
+      .join(blk.as("b"), expr("a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id"))
+      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+        "CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming")
       .where(s"hamming <= $maxHamming")
       .distinct()
       .orderBy("doc_a", "doc_b")

@@ -222,6 +222,18 @@ object Pipeline {
       .as[PartitionLineage]
   }
 
+  /** Debug consolidation view — the reference's artifact consolidator
+    * (`test/consolidate.py:6-41`: concat per-folder page texts with a
+    * header line) as one aggregate: per conversation, extracted turn texts
+    * concatenated in turn order with `=== turn N ===` headers. */
+  def consolidate(extracted: Dataset[ExtractedTurn]): org.apache.spark.sql.DataFrame =
+    extracted.toDF()
+      .groupBy("conv_id")
+      .agg(
+        expr("concat_ws('\n', transform(sort_array(collect_list(struct(turn_idx, text))), " +
+          "s -> concat('=== turn ', s.turn_idx, ' ===\n', s.text)))").as("consolidated"),
+        count(lit(1)).as("n_turns"))
+
   /** XML rendering of one conversation's segment set — the reference's
     * `create_subdocument_xml` (`data_models.py:7-32`) as a per-group column. */
   def renderXml(segments: Dataset[ConvSegment]): Dataset[(String, String)] = {

@@ -120,6 +120,33 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(lin.map(_.errors).sum == 0L)
   }
 
+  test("observe() metrics report extraction row and error counts") {
+    import spark.implicits._
+    val turns = SyntheticTranscripts.turns(spark, 8, Seed).as[Turn]
+    val obs = new org.apache.spark.sql.Observation()
+    val df = Pipeline.extract(turns).toDF()
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(when(col("error"), 1L).otherwise(0L)).as("errs"))
+    val n = df.count()
+    assert(obs.get("rows") == n && n > 0)
+    assert(obs.get("errs") == 0L)
+  }
+
+  test("consolidation view concatenates turns in order with headers") {
+    import spark.implicits._
+    val turns = SyntheticTranscripts.turns(spark, 3, Seed).orderBy(hash($"text")).as[Turn]
+    val got = Pipeline.consolidate(Pipeline.extract(turns)).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    (0L until 3L).foreach { ci =>
+      val cid = SyntheticTranscripts.convId(ci)
+      val ts = SyntheticTranscripts.turnsFor(Seed, ci).sortBy(_.turn_idx)
+      val want = ts.map(t => s"=== turn ${t.turn_idx} ===\n${graft.core.extract.Extractor.extract(t.tool, t.text).text}")
+        .mkString("\n")
+      assert(got(cid)._1 == want)
+      assert(got(cid)._2 == ts.length.toLong)
+    }
+  }
+
   test("xml rendering matches core renderer per conversation") {
     import spark.implicits._
     val turns = SyntheticTranscripts.turns(spark, 6, Seed).as[Turn]
