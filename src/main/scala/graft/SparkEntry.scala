@@ -67,6 +67,10 @@ object SparkEntry {
     // multimodal plumbing
     "m_features" -> ((s, d) => Multimodal.features(docs(s, d)).drop("mean_byte")),
     "m_feature_summary" -> ((s, d) => Multimodal.featureSummary(docs(s, d))),
+    "m_resize" -> ((s, d) =>
+      Multimodal.resize(Multimodal.synthesize(docs(s, d))).toDF().orderBy("doc_id")),
+    "m_frames" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.synthesize(docs(s, d))).toDF().orderBy("doc_id")),
     // transcript pipeline (core-oracle checked in sbt test; rows-only here)
     "t_extract" -> ((s, d) => {
       val n = graft.gen.SyntheticTranscripts.convsForSfDir(d)
@@ -399,6 +403,25 @@ object SparkEntry {
         |  CAST(n_chars % 480 + 1 AS INT) AS height,
         |  TRUE AS header_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m_resize" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(greatest(1, (n_chars % 640 + 1) // 2) AS INT) AS width_out,
+        |  CAST(greatest(1, (n_chars % 480 + 1) // 2) AS INT) AS height_out,
+        |  CAST(16 + (strlen(text) + 1) // 2 AS INT) AS n_bytes_out
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m_frames" ->
+      """WITH m AS (SELECT doc_id, strlen(text) AS body FROM documents),
+        |f AS (SELECT doc_id, body, (body + 15) // 16 AS n_frames FROM m)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(n_frames AS INT) AS n_frames,
+        |  CAST((n_frames + 3) // 4 AS INT) AS n_frames_kept,
+        |  CAST(CASE WHEN n_frames = 0 THEN 0 ELSE
+        |    ((n_frames + 3) // 4) * 16 -
+        |    (CASE WHEN (n_frames - 1) % 4 = 0 AND body % 16 <> 0 THEN 16 - body % 16 ELSE 0 END)
+        |  END AS INT) AS n_bytes_kept
+        |FROM f ORDER BY doc_id""".stripMargin,
     "m_feature_summary" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
         |  COUNT(*) AS n, SUM(16 + strlen(text))::BIGINT AS total_bytes,

@@ -75,6 +75,74 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(
+      doc_id: Long,
+      modality: String,
+      width_out: Int,
+      height_out: Int,
+      n_bytes_out: Int)
+
+  /** STUB resize: halves header dimensions (floor, min 1) and keeps every
+    * `factor`-th body byte starting at offset 0 — a deterministic
+    * nearest-neighbor downsample stand-in. Real codec goes where
+    * [[decodeStub]] does; the Spark plumbing (binary in, binary out,
+    * partition-batched) is the real thing. */
+  def resizeStub(payload: Array[Byte], factor: Int): (Int, Int, Array[Byte]) = {
+    val (w, h, _, ok) = decodeStub(payload)
+    if (!ok) (0, 0, Array.empty[Byte])
+    else {
+      val w2 = math.max(1, w / factor)
+      val h2 = math.max(1, h / factor)
+      val body = payload.drop(16)
+      val kept = body.indices.collect { case i if i % factor == 0 => body(i) }.toArray
+      val bb = java.nio.ByteBuffer.allocate(16 + kept.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(0x47524654).putInt(w2).putInt(h2).putInt(0)
+      bb.put(kept)
+      (w2, h2, bb.array())
+    }
+  }
+
+  /** Batched resize over the media table. */
+  def resize(media: Dataset[MediaRow], factor: Int = 2): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val (w2, h2, out) = resizeStub(m.payload, factor)
+      ResizedMedia(m.doc_id, m.modality, w2, h2, out.length)
+    })
+  }
+
+  final case class FrameSample(
+      doc_id: Long,
+      modality: String,
+      n_frames: Int,
+      n_frames_kept: Int,
+      n_bytes_kept: Int)
+
+  /** STUB frame sampling: the body is treated as consecutive `frameSize`-byte
+    * frames (last partial frame counts); every `stride`-th frame is kept —
+    * the video-keyframe-sampling shape with a deterministic fake decoder. */
+  def frameSample(media: Dataset[MediaRow], frameSize: Int = 16, stride: Int = 4): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val body = m.payload.length - 16
+      val nFrames = (body + frameSize - 1) / frameSize
+      var kept = 0
+      var keptBytes = 0
+      var f = 0
+      while (f < nFrames) {
+        if (f % stride == 0) {
+          kept += 1
+          keptBytes += math.min(frameSize, body - f * frameSize)
+        }
+        f += 1
+      }
+      FrameSample(m.doc_id, m.modality, nFrames, kept, keptBytes)
+    })
+  }
+
   /** End-to-end query: synth → decode → per-modality feature rollup. */
   def featureSummary(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
