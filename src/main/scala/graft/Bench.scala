@@ -29,11 +29,20 @@ object Bench {
     val warm = pass()
     spark.stop()
 
-    val scaling =
-      if (scaleConvs > 0)
-        try Some(graft.bench.Scaling.run(scaleConvs, Seq(4, 16)))
-        catch { case e: Throwable => System.err.println(s"[bench] scaling: ${e.getMessage}"); None }
-      else None
+    // scaling runs bounded by a hard time cap so the JSON line below always
+    // prints even if the host is having a noisy episode
+    val scaling: Option[graft.bench.Scaling.Result] =
+      if (scaleConvs > 0) {
+        @volatile var res: Option[graft.bench.Scaling.Result] = None
+        val t = new Thread(() =>
+          try res = Some(graft.bench.Scaling.run(scaleConvs, Seq(4, 16)))
+          catch { case e: Throwable => System.err.println(s"[bench] scaling: ${e.getMessage}") })
+        t.setDaemon(true)
+        t.start()
+        t.join(sys.env.getOrElse("SPARK_GRAFT_SCALE_CAP_MS", "270000").toLong)
+        if (t.isAlive) System.err.println("[bench] scaling timed out; reporting queries only")
+        res
+      } else None
 
     val qs = warm.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
