@@ -120,6 +120,38 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(lin.map(_.errors).sum == 0L)
   }
 
+  test("salted extraction balances a monster conversation across partitions") {
+    import spark.implicits._
+    // one conversation dominates the corpus: stage A's hash(conv_id, turn_idx)
+    // salting must spread it; no partition may hold a straggler share
+    val big = (1 to 20000).map(i => Turn("conv-huge", i, "user", s"payload $i text", "",
+      new java.sql.Timestamp(SyntheticTranscripts.BaseEpochMs + i)))
+    val small = (0L until 5L).flatMap(ci => SyntheticTranscripts.turnsFor(Seed, ci))
+    val turns = spark.createDataset(big ++ small)
+    val parts = Pipeline.extract(turns, partitions = 8).groupByKey(_.part_id)
+      .count().collect().map(_._2)
+    assert(parts.length == 8, "all salted partitions used")
+    val mean = parts.sum.toDouble / parts.length
+    assert(parts.max < mean * 1.5, s"salting imbalance: ${parts.mkString(",")}")
+  }
+
+  test("single monster conversation folds in one pass (memory bounded per conv)") {
+    import spark.implicits._
+    val n = 20000
+    val marker = 17777
+    val turns = spark.createDataset((1 to n).map(i =>
+      Turn("conv-huge", i, "user", if (i == marker) "zq start here" else s"filler text $i", "",
+        new java.sql.Timestamp(SyntheticTranscripts.BaseEpochMs + i))))
+    val rule = graft.core.seg.Rule(
+      documentTypeId = "BIG", startingIdentifier = "zq start here",
+      sequence = Some("1"), docReceivedId = Some(1L))
+    val bc = spark.sparkContext.broadcast(Map("conv-huge" -> Seq(rule)))
+    val segs = Pipeline.segmentFused(turns, bc).collect()
+    assert(segs.length == 1)
+    assert(segs(0).FromPageNumber == marker && segs(0).ToPageNumber == n)
+    assert(segs(0).TotalNumberOfpages == n)
+  }
+
   test("observe() metrics report extraction row and error counts") {
     import spark.implicits._
     val turns = SyntheticTranscripts.turns(spark, 8, Seed).as[Turn]
