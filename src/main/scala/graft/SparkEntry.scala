@@ -43,6 +43,7 @@ object SparkEntry {
     "q9_multijoin" -> ((s, d) => Relational.q9MultiJoin(s, d)),
     "q10_above_avg" -> ((s, d) => Relational.q10AboveAvg(s, d)),
     "q11_envelope_decode" -> ((s, d) => graft.ops.EnvelopeOps.decodeRoundTrip(docs(s, d))),
+    "q12_cube" -> ((s, d) => Relational.q12Cube(s, d)),
     // event analytics
     "ev_tumbling" -> ((s, d) => EventOps.tumblingCounts(events(s, d))),
     "ev_sessionize" -> ((s, d) => EventOps.sessionize(events(s, d))),
@@ -256,6 +257,12 @@ object SparkEntry {
         |FROM orders o JOIN avgp ON o.o_custkey = avgp.o_custkey
         |WHERE o.o_totalprice > avg_price * 1.5
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_cube" ->
+      s"""SELECT COALESCE(o_orderpriority, '<all>') AS priority,
+         |  COALESCE(o_orderstatus, '<all>') AS status,
+         |  COUNT(*) AS n, ${dMoneySum("o_totalprice")} AS revenue
+         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+         |ORDER BY priority, status""".stripMargin,
     "q11_envelope_decode" ->
       """WITH env AS (
         |  SELECT doc_id, base64(encode(to_json(struct_pack(

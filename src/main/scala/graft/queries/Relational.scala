@@ -136,6 +136,18 @@ object Relational {
       .orderBy("s_nationkey")
   }
 
+  /** CUBE grouping sets over two dimensions with engine-neutral null
+    * markers — all four grouping combinations in one pass. */
+  def q12Cube(spark: SparkSession, sfDir: String): DataFrame =
+    tbl(spark, sfDir, "orders")
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), decSum("o_totalprice").as("revenue"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+        col("n"), col("revenue"))
+      .orderBy("priority", "status")
+
   /** Correlated-style aggregate: orders above their customer's average
     * (expressed as join against a pre-aggregate — the decorrelated plan). */
   def q10AboveAvg(spark: SparkSession, sfDir: String): DataFrame = {
