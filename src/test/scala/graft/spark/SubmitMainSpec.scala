@@ -1,0 +1,50 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SubmitMain
+import graft.io.SnapshotStore
+import graft.gen.SyntheticTranscripts
+import graft.pipeline.Pipeline
+import graft.core.extract.Extractor
+import graft.core.seg.Demarcator
+
+/** The spark-submit entry: synthetic corpus in, two committed snapshots
+  * out (segments + lineage), counts matching the sequential oracle. */
+class SubmitMainSpec extends AnyFunSuite with SparkFixture {
+
+  test("SubmitMain commits segment and lineage snapshots matching the oracle") {
+    spark // force fixture session so getOrCreate() inside main reuses it
+    val out = Files.createTempDirectory("graft-submit").toString
+    SubmitMain.main(Array("--synthetic-convs", "12", "--out", out))
+
+    val store = new SnapshotStore(out)
+    assert(store.snapshots == Seq(1L, 2L))
+    val segs = store.read(spark, 1L)
+    val lineage = store.read(spark, 2L)
+
+    val wantSegs = (0L until 12L).map { ci =>
+      val turns = SyntheticTranscripts.turnsFor(42L, ci)
+      val pages = turns.sortBy(_.turn_idx).map(t => Extractor.extract(t.tool, t.text).text)
+      Demarcator.demarcate(pages.toVector,
+        SyntheticTranscripts.rulesFor(42L, ci).map(Pipeline.toCoreRule)).size
+    }.sum
+    assert(segs.count() == wantSegs.toLong)
+
+    val totalTurns = (0L until 12L).map(ci => SyntheticTranscripts.turnsFor(42L, ci).size).sum
+    assert(lineage.selectExpr("sum(rows_in)").collect()(0).getLong(0) == totalTurns.toLong)
+  }
+
+  test("two-stage flag produces identical segments") {
+    spark
+    val out1 = Files.createTempDirectory("graft-submit-f").toString
+    val out2 = Files.createTempDirectory("graft-submit-t").toString
+    SubmitMain.main(Array("--synthetic-convs", "8", "--out", out1))
+    SubmitMain.main(Array("--synthetic-convs", "8", "--out", out2, "--two-stage"))
+    val a = new SnapshotStore(out1).read(spark, 1L).orderBy("conv_id", "Sequence").collect()
+    val b = new SnapshotStore(out2).read(spark, 1L).orderBy("conv_id", "Sequence").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+}
