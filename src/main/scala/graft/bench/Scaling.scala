@@ -245,6 +245,8 @@ object ScalingBench {
     val levels = if (args.length > 1) args(1).split(",").toSeq.map(_.toInt) else Seq(4, 8, 16, 32)
     val res = Scaling.run(nConvs, levels)
     println(res.json)
+    // single-level runs (soaks) must not clobber the scaling report
+    if (levels.size < 2) return
     val rows = res.levels.map(l =>
       f"| local[${l.cpus}] | ${res.nTurns} | ${l.seconds}%.2f | ${l.turnsPerSec}%.0f | ${l.nSegments} |")
       .mkString("\n")

@@ -47,7 +47,7 @@ final class SnapshotStore(val root: String) {
     df.write.mode("overwrite").parquet(dataDir(id).toString)
     Files.createDirectories(manifestDir)
     val json = {
-      val kv = (meta + ("snapshot_id" -> id.toString, "rows" -> "")).map {
+      val kv = (meta ++ Map("snapshot_id" -> id.toString, "rows" -> "")).map {
         case (k, v) => s""""$k": "${v.replace("\"", "\\\"")}""""
       }
       kv.mkString("{", ", ", "}")
