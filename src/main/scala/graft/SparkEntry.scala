@@ -44,6 +44,7 @@ object SparkEntry {
     "q10_above_avg" -> ((s, d) => Relational.q10AboveAvg(s, d)),
     "q11_envelope_decode" -> ((s, d) => graft.ops.EnvelopeOps.decodeRoundTrip(docs(s, d))),
     "q12_cube" -> ((s, d) => Relational.q12Cube(s, d)),
+    "q13_quantiles" -> ((s, d) => Relational.q13Quantiles(s, d)),
     // event analytics
     "ev_tumbling" -> ((s, d) => EventOps.tumblingCounts(events(s, d))),
     "ev_sessionize" -> ((s, d) => EventOps.sessionize(events(s, d))),
@@ -263,6 +264,17 @@ object SparkEntry {
          |  COUNT(*) AS n, ${dMoneySum("o_totalprice")} AS revenue
          |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
          |ORDER BY priority, status""".stripMargin,
+    "q13_quantiles" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS p50,
+        |  MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN o_totalprice END) AS p90,
+        |  MAX(n) AS n
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q11_envelope_decode" ->
       """WITH env AS (
         |  SELECT doc_id, base64(encode(to_json(struct_pack(

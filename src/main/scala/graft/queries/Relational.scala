@@ -148,6 +148,24 @@ object Relational {
         col("n"), col("revenue"))
       .orderBy("priority", "status")
 
+  /** Exact rank-based quantiles (p50/p90) per group — quantile_disc
+    * semantics via row_number so the reported values are actual data
+    * elements (no interpolation arithmetic, engine-exact). One window pass
+    * + one aggregate. */
+  def q13Quantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    tbl(spark, sfDir, "orders")
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+      .groupBy("o_orderpriority")
+      .agg(
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("o_totalprice"))).as("p50"),
+        max(when(col("rn") === expr("(n * 9 + 9) DIV 10"), col("o_totalprice"))).as("p90"),
+        max("n").as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Correlated-style aggregate: orders above their customer's average
     * (expressed as join against a pre-aggregate — the decorrelated plan). */
   def q10AboveAvg(spark: SparkSession, sfDir: String): DataFrame = {

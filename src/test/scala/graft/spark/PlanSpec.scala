@@ -2,6 +2,7 @@ package graft.spark
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.gen.SyntheticTranscripts
@@ -72,6 +73,31 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val bc = spark.sparkContext.broadcast(ruleMap)
     val df = Pipeline.segment(Pipeline.extract(turns), bc).toDF()
     assert(shuffleCount(df) == 2, formatted(df))
+  }
+
+  test("bucketed tables co-locate the join: zero exchanges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val orders = Relational.tbl(spark, Sf, "orders").select("o_custkey", "o_totalprice")
+    val customer = Relational.tbl(spark, Sf, "customer").select("c_custkey", "c_nationkey")
+    try {
+      orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$dir/orders_b").saveAsTable("orders_b")
+      customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$dir/customer_b").saveAsTable("customer_b")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("orders_b")
+          .join(spark.table("customer_b"),
+            col("o_custkey") === col("c_custkey"))
+        assert(shuffleCount(joined) == 0, formatted(joined))
+        assert(formatted(joined).contains("SortMergeJoin"), formatted(joined))
+        assert(joined.count() > 0)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
   }
 
   test("d_exact_dedup: single shuffle on the digest (partial count before it)") {
