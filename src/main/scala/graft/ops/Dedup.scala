@@ -44,26 +44,26 @@ object Dedup {
   def permA(k: Int): Long = ((2L * k + 1L) * 2654435761L) % P
   def permB(k: Int): Long = ((k + 1L) * 40503L * 65537L) % P
 
-  /** Per-document MinHash signature (NumPerms values). One explode + one
-    * aggregate; the signature column is an array so downstream banding is a
-    * projection, not another shuffle over shingles. */
-  def minhashSignatures(documents: DataFrame): DataFrame = {
-    val sigExprs = (0 until NumPerms).map { k =>
-      s"array_min(transform(sh, h -> (${permA(k)} * h + ${permB(k)}) % $P)) AS sig$k"
-    }
-    documents
-      .where("size(split(text, ' ')) >= 3")
-      .selectExpr("doc_id", s"${Shingles.ws} AS ws")
-      .selectExpr("doc_id", s"transform(${Shingles.shingles}, s -> ${Shingles.h32("s")} % $P) AS sh")
-      .selectExpr(Seq("doc_id") ++ sigExprs: _*)
-  }
-
   /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard over
     * distinct 3-shingles. Emits (doc_a, doc_b, n_shared_bands, jaccard_ppm)
     * for candidate pairs with Jaccard ≥ `thresholdPpm`. Jaccard is reported
-    * in exact integer parts-per-million: inter * 1e6 / union. */
+    * in exact integer parts-per-million: inter * 1e6 / union.
+    *
+    * Verification joins the (few) LSH candidates back to per-doc shingle
+    * SETS and intersects arrays — O(candidates × shingles-per-doc), never
+    * the full shingle×shingle join (that shape lives in [[ngramJaccard]]
+    * where all-pairs output is the actual ask). */
   def minhashLsh(documents: DataFrame, thresholdPpm: Long = 500000L): DataFrame = {
-    val sigs = minhashSignatures(documents)
+    val shingleSets = documents
+      .where("size(split(text, ' ')) >= 3")
+      .selectExpr("doc_id", s"${Shingles.ws} AS ws")
+      .selectExpr("doc_id", s"${Shingles.shingles} AS shs")
+    val sigExprs = (0 until NumPerms).map { k =>
+      s"array_min(transform(hh, h -> (${permA(k)} * h + ${permB(k)}) % $P)) AS sig$k"
+    }
+    val sigs = shingleSets
+      .selectExpr("doc_id", s"transform(shs, s -> ${Shingles.h32("s")} % $P) AS hh")
+      .selectExpr(Seq("doc_id") ++ sigExprs: _*)
     // band key = rolling-31 combine of the band's signature values
     val bandExprs = (0 until Bands).map { b =>
       val ks = (b * RowsPerBand until (b + 1) * RowsPerBand)
@@ -78,11 +78,15 @@ object Dedup {
       .join(banded.as("y"), expr("x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-    val verified = jaccardJoin(documents)
     candidates
-      .join(verified, Seq("doc_a", "doc_b"))
+      .join(shingleSets.selectExpr("doc_id AS doc_a", "shs AS shs_a"), "doc_a")
+      .join(shingleSets.selectExpr("doc_id AS doc_b", "shs AS shs_b"), "doc_b")
+      .selectExpr("doc_a", "doc_b", "n_shared_bands",
+        "size(array_intersect(shs_a, shs_b)) AS inter",
+        "size(shs_a) AS na", "size(shs_b) AS nb")
+      .selectExpr("doc_a", "doc_b", "n_shared_bands",
+        "(CAST(inter AS BIGINT) * 1000000) DIV (na + nb - inter) AS jaccard_ppm")
       .where(s"jaccard_ppm >= $thresholdPpm")
-      .select("doc_a", "doc_b", "n_shared_bands", "jaccard_ppm")
       .orderBy("doc_a", "doc_b")
   }
 
