@@ -165,7 +165,8 @@ object Pipeline {
   def segmentFused(
       turns: Dataset[Turn],
       rules: Broadcast[Map[String, Seq[Rule]]],
-      buckets: Int = 0
+      buckets: Int = 0,
+      errorCounter: Option[org.apache.spark.util.LongAccumulator] = None
   ): Dataset[ConvSegment] = {
     val spark = turns.sparkSession
     import spark.implicits._
@@ -177,7 +178,11 @@ object Pipeline {
       .as[(String, Int, String, String)]
       .mapPartitions(it =>
         new GroupFold(it, cid => rules.value.getOrElse(cid, Nil),
-          (tool, text) => Extractor.safeExtract(tool, text)._1.text))
+          (tool, text) => {
+            val (ex, err) = Extractor.safeExtract(tool, text)
+            if (err) errorCounter.foreach(_.add(1L))
+            ex.text
+          }))
   }
 
   /** Rules-as-dataset variant: shuffle-cogroup on conv_id — the scale path

@@ -152,6 +152,15 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(segs(0).TotalNumberOfpages == n)
   }
 
+  test("fused path surfaces extraction error counts via accumulator") {
+    import spark.implicits._
+    val turns = SyntheticTranscripts.turns(spark, 5, Seed).as[Turn]
+    val acc = spark.sparkContext.longAccumulator("graft.extract.errors")
+    val bc = spark.sparkContext.broadcast(Map.empty[String, Seq[graft.core.seg.Rule]])
+    Pipeline.segmentFused(turns, bc, errorCounter = Some(acc)).count()
+    assert(acc.value == 0L) // clean corpus: no kernel failures
+  }
+
   test("observe() metrics report extraction row and error counts") {
     import spark.implicits._
     val turns = SyntheticTranscripts.turns(spark, 8, Seed).as[Turn]
