@@ -9,13 +9,13 @@ import org.apache.spark.sql.SparkSession
   * the honest N→4N pair on this box) — one JSON line on stdout.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-  * SPARK_GRAFT_SCALE_CONVS (default 100000; 0 disables the scaling pair).
+  * SPARK_GRAFT_SCALE_CONVS (default 60000; 0 disables the scaling pair).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "100000").toLong
+    val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "60000").toLong
 
     val spark = graft.bench.Scaling.session(cpus)
     def pass(): Map[String, Double] =
@@ -35,11 +35,12 @@ object Bench {
       if (scaleConvs > 0) {
         @volatile var res: Option[graft.bench.Scaling.Result] = None
         val t = new Thread(() =>
-          try res = Some(graft.bench.Scaling.run(scaleConvs, Seq(4, 16)))
+          try res = Some(graft.bench.Scaling.run(scaleConvs, Seq(4, 16),
+            rounds = 2, reps = 2, maxReps = 4))
           catch { case e: Throwable => System.err.println(s"[bench] scaling: ${e.getMessage}") })
         t.setDaemon(true)
         t.start()
-        t.join(sys.env.getOrElse("SPARK_GRAFT_SCALE_CAP_MS", "270000").toLong)
+        t.join(sys.env.getOrElse("SPARK_GRAFT_SCALE_CAP_MS", "300000").toLong)
         if (t.isAlive) System.err.println("[bench] scaling timed out; reporting queries only")
         res
       } else None
@@ -48,7 +49,9 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = warm.values.sum
     val coldTotal = cold.values.sum
-    val scalingJson = scaling.map(r => s""","scaling":${r.json}""").getOrElse("")
+    val scalingJson = scaling.map(r =>
+      s""","scaling":${r.json},"scaling_note":"quick time-capped protocol; authoritative interleaved measurement in BENCH.md"""")
+      .getOrElse("")
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":${f"$coldTotal%.3f"},"cpus":$cpus$scalingJson}""")
   }

@@ -100,7 +100,7 @@ object Scaling {
   /** One parallelism level: fresh session, warmup, best-of-`reps` timing of
     * scan → extract → segment → count. */
   def runLevel(cpus: Int, dir: String, nConvs: Long, nTurns: Long, seed: Long,
-               reps: Int = 3): Level = {
+               reps: Int = 3, maxRepsOpt: Int = 0): Level = {
     val spark = session(cpus, Some(s"$dir/shuffle-c$cpus"))
     try {
       import spark.implicits._
@@ -127,7 +127,7 @@ object Scaling {
       // consecutive reps fail to beat the best by >5%.
       var i = 0
       var plateau = 0
-      val maxReps = math.max(reps, 10)
+      val maxReps = if (maxRepsOpt > 0) maxRepsOpt else math.max(reps, 10)
       while (i < maxReps && !(i >= reps && plateau >= 2)) {
         i += 1
         val g0 = gcMs
@@ -156,13 +156,13 @@ object Scaling {
     * per-level min across rounds is reported. Falls back to in-process if a
     * child can't be spawned. */
   def run(nConvs: Long, cpusLevels: Seq[Int], seed: Long = 42L,
-          rounds: Int = 2): Result = {
+          rounds: Int = 2, reps: Int = 3, maxReps: Int = 0): Result = {
     val (dir, nTurns) = materialize(nConvs, seed, genCpus = cpusLevels.max)
     try {
       val all = (1 to rounds).flatMap { _ =>
         cpusLevels.map { c =>
-          runLevelInChildJvm(c, dir, nConvs, nTurns, seed)
-            .getOrElse(runLevel(c, dir, nConvs, nTurns, seed))
+          runLevelInChildJvm(c, dir, nConvs, nTurns, seed, reps, maxReps)
+            .getOrElse(runLevel(c, dir, nConvs, nTurns, seed, reps, maxReps))
         }
       }
       val levels = cpusLevels.toVector.map { c =>
@@ -173,7 +173,7 @@ object Scaling {
   }
 
   def runLevelInChildJvm(cpus: Int, dir: String, nConvs: Long, nTurns: Long,
-                         seed: Long): Option[Level] = {
+                         seed: Long, reps: Int = 3, maxReps: Int = 0): Option[Level] = {
     try {
       val javaBin = s"${System.getProperty("java.home")}/bin/java"
       val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -186,7 +186,8 @@ object Scaling {
         "-Dspark.ui.enabled=false",
         "-cp", System.getProperty("java.class.path"),
         "graft.bench.LevelRunner",
-        cpus.toString, dir, nConvs.toString, nTurns.toString, seed.toString)
+        cpus.toString, dir, nConvs.toString, nTurns.toString, seed.toString,
+        reps.toString, maxReps.toString)
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -239,8 +240,9 @@ object Scaling {
 /** Child-JVM entry for one scaling level (see [[Scaling.runLevelInChildJvm]]). */
 object LevelRunner {
   def main(args: Array[String]): Unit = {
-    val Array(cpus, dir, nConvs, nTurns, seed) = args
-    val lvl = Scaling.runLevel(cpus.toInt, dir, nConvs.toLong, nTurns.toLong, seed.toLong)
+    val Array(cpus, dir, nConvs, nTurns, seed, reps, maxReps) = args
+    val lvl = Scaling.runLevel(cpus.toInt, dir, nConvs.toLong, nTurns.toLong,
+      seed.toLong, reps.toInt, maxReps.toInt)
     println(s"LEVEL_RESULT ${lvl.cpus} ${lvl.seconds} ${lvl.turnsPerSec} ${lvl.nSegments}")
   }
 }
