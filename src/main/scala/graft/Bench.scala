@@ -36,7 +36,7 @@ object Bench {
         @volatile var res: Option[graft.bench.Scaling.Result] = None
         val t = new Thread(() =>
           try res = Some(graft.bench.Scaling.run(scaleConvs, Seq(4, 16),
-            rounds = 2, reps = 2, maxReps = 4))
+            rounds = 2, reps = 2, maxReps = 4, timeBudgetMs = 250000L))
           catch { case e: Throwable => System.err.println(s"[bench] scaling: ${e.getMessage}") })
         t.setDaemon(true)
         t.start()

@@ -26,7 +26,8 @@ object Scaling {
 
   final case class Level(cpus: Int, seconds: Double, turnsPerSec: Double, nSegments: Long)
 
-  final case class Result(nConvs: Long, nTurns: Long, levels: Vector[Level]) {
+  final case class Result(nConvs: Long, nTurns: Long, levels: Vector[Level],
+                          pinnedTo: Int = 0) {
     /** Scaling efficiency between two measured levels:
       * (tps_hi / tps_lo) / (cpus_hi / cpus_lo). */
     def efficiencyBetween(lo: Int, hi: Int): Option[Double] =
@@ -51,7 +52,7 @@ object Scaling {
       val ls = levels.map(l =>
         s"""{"cpus":${l.cpus},"seconds":${f"${l.seconds}%.3f"},"turns_per_sec":${f"${l.turnsPerSec}%.1f"},"segments":${l.nSegments}}""")
         .mkString("[", ",", "]")
-      s"""{"n_convs":$nConvs,"n_turns":$nTurns,"levels":$ls,"efficiency":${f"$efficiency%.3f"}}"""
+      s"""{"n_convs":$nConvs,"n_turns":$nTurns,"levels":$ls,"efficiency":${f"$efficiency%.3f"},"occupancy_pinned_to_cores":$pinnedTo}"""
     }
   }
 
@@ -100,7 +101,21 @@ object Scaling {
   /** One parallelism level: fresh session, warmup, best-of-`reps` timing of
     * scan → extract → segment → count. */
   def runLevel(cpus: Int, dir: String, nConvs: Long, nTurns: Long, seed: Long,
-               reps: Int = 3, maxRepsOpt: Int = 0): Level = {
+               reps: Int = 3, maxRepsOpt: Int = 0, ballastTo: Int = 0): Level = {
+    // Frequency pinning: hold total active-core count at `ballastTo` with
+    // pure-ALU spinner threads (no memory traffic, min priority) so every
+    // level runs in the same turbo/frequency domain. On an idle socket a
+    // 4-thread run clocks ~30% higher than a 16-thread run (measured via
+    // KernelBench), flattering the low level — an artifact a multi-node
+    // N→4N scale-up does not have (each node keeps its own clock budget).
+    val stopBallast = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ballast = (0 until math.max(0, ballastTo - cpus)).map { _ =>
+      val t = new Thread(() => while (!stopBallast.get()) Thread.onSpinWait())
+      t.setDaemon(true)
+      t.setPriority(Thread.MIN_PRIORITY)
+      t.start()
+      t
+    }
     val spark = session(cpus, Some(s"$dir/shuffle-c$cpus"))
     try {
       import spark.implicits._
@@ -146,7 +161,11 @@ object Scaling {
         }
       }
       Level(cpus, best, nTurns / best, segs)
-    } finally spark.stop()
+    } finally {
+      stopBallast.set(true)
+      ballast.foreach(_.join(1000))
+      spark.stop()
+    }
   }
 
   /** Each level in a FRESH child JVM (same classpath + --add-opens): no
@@ -155,25 +174,44 @@ object Scaling {
     * host-noise episode hits every level rather than biasing one; the
     * per-level min across rounds is reported. Falls back to in-process if a
     * child can't be spawned. */
+  /** With `timeBudgetMs > 0`, interleaved rounds continue past `rounds`
+    * while a further full round is estimated to fit the budget (measured
+    * from run() start, materialization included) — more samples per level
+    * means the per-level min converges to the undisturbed time on a noisy
+    * host instead of reflecting one draw. */
   def run(nConvs: Long, cpusLevels: Seq[Int], seed: Long = 42L,
-          rounds: Int = 2, reps: Int = 3, maxReps: Int = 0): Result = {
+          rounds: Int = 2, reps: Int = 3, maxReps: Int = 0,
+          timeBudgetMs: Long = 0L, frequencyPinned: Boolean = true): Result = {
+    val ballastTo = if (frequencyPinned) cpusLevels.max else 0
+    val t0 = System.nanoTime()
+    def elapsedMs: Double = (System.nanoTime() - t0) / 1e6
     val (dir, nTurns) = materialize(nConvs, seed, genCpus = cpusLevels.max)
     try {
-      val all = (1 to rounds).flatMap { _ =>
-        cpusLevels.map { c =>
-          runLevelInChildJvm(c, dir, nConvs, nTurns, seed, reps, maxReps)
-            .getOrElse(runLevel(c, dir, nConvs, nTurns, seed, reps, maxReps))
+      val all = scala.collection.mutable.ArrayBuffer.empty[Level]
+      var r = 0
+      var continue = true
+      while (continue) {
+        val rs = System.nanoTime()
+        cpusLevels.foreach { c =>
+          all += runLevelInChildJvm(c, dir, nConvs, nTurns, seed, reps, maxReps, ballastTo)
+            .getOrElse(runLevel(c, dir, nConvs, nTurns, seed, reps, maxReps, ballastTo))
         }
+        r += 1
+        val roundMs = (System.nanoTime() - rs) / 1e6
+        continue =
+          if (r < rounds) true
+          else timeBudgetMs > 0 && elapsedMs + roundMs * 1.2 < timeBudgetMs
       }
       val levels = cpusLevels.toVector.map { c =>
         all.filter(_.cpus == c).minBy(_.seconds)
       }
-      Result(nConvs, nTurns, levels)
+      Result(nConvs, nTurns, levels, ballastTo)
     } finally deleteRecursively(new java.io.File(dir))
   }
 
   def runLevelInChildJvm(cpus: Int, dir: String, nConvs: Long, nTurns: Long,
-                         seed: Long, reps: Int = 3, maxReps: Int = 0): Option[Level] = {
+                         seed: Long, reps: Int = 3, maxReps: Int = 0,
+                         ballastTo: Int = 0): Option[Level] = {
     try {
       val javaBin = s"${System.getProperty("java.home")}/bin/java"
       val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -187,7 +225,7 @@ object Scaling {
         "-cp", System.getProperty("java.class.path"),
         "graft.bench.LevelRunner",
         cpus.toString, dir, nConvs.toString, nTurns.toString, seed.toString,
-        reps.toString, maxReps.toString)
+        reps.toString, maxReps.toString, ballastTo.toString)
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -240,9 +278,9 @@ object Scaling {
 /** Child-JVM entry for one scaling level (see [[Scaling.runLevelInChildJvm]]). */
 object LevelRunner {
   def main(args: Array[String]): Unit = {
-    val Array(cpus, dir, nConvs, nTurns, seed, reps, maxReps) = args
+    val Array(cpus, dir, nConvs, nTurns, seed, reps, maxReps, ballastTo) = args
     val lvl = Scaling.runLevel(cpus.toInt, dir, nConvs.toLong, nTurns.toLong,
-      seed.toLong, reps.toInt, maxReps.toInt)
+      seed.toLong, reps.toInt, maxReps.toInt, ballastTo.toInt)
     println(s"LEVEL_RESULT ${lvl.cpus} ${lvl.seconds} ${lvl.turnsPerSec} ${lvl.nSegments}")
   }
 }
