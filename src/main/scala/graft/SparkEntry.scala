@@ -59,6 +59,7 @@ object SparkEntry {
     "d_langid_trigram" -> ((s, d) => DocTextOps.langIdTrigram(docs(s, d))),
     "d_fingerprint" -> ((s, d) => DocTextOps.fingerprint(docs(s, d))),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
+    "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
     "d_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "d_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
@@ -382,6 +383,21 @@ object SparkEntry {
          |$dJaccard
          |SELECT da AS doc_a, db AS doc_b, jaccard_ppm FROM jac
          |WHERE jaccard_ppm >= 800000 ORDER BY doc_a, doc_b""".stripMargin,
+    "d_dedup_clusters" ->
+      s"""WITH RECURSIVE $dShingleDocs,
+         |$dJaccard,
+         |edges AS (SELECT da AS a, db AS b FROM jac WHERE jaccard_ppm >= 800000),
+         |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+         |reach AS (SELECT a, b FROM sym
+         |          UNION
+         |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+         |lab AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+         |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |sz AS (SELECT component, count(*) AS cluster_size FROM lab GROUP BY 1)
+         |SELECT l.doc_id, l.component, sz.cluster_size,
+         |  l.doc_id = l.component AS is_canonical
+         |FROM lab l JOIN sz USING (component) ORDER BY l.doc_id""".stripMargin,
     "d_minhash_lsh" -> minhashOracle,
     "d_simhash" ->
       s"""WITH $simhashCte

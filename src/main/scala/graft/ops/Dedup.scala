@@ -132,6 +132,48 @@ object Dedup {
           "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS simhash")
       .orderBy("doc_id")
 
+  /** Near-duplicate CLUSTERS: connected components over the n-gram-Jaccard
+    * edge set, by iterative min-label propagation (Pregel-style: each round
+    * every vertex takes the min component id among itself and its
+    * neighbors; rounds ≈ graph diameter, checked for convergence with one
+    * tiny action per round; lineage truncated per round). Every document
+    * gets a row — singletons form their own component; the canonical
+    * survivor is the min doc_id. This is the stage after pair-finding in a
+    * real dedup pipeline: pairs → clusters → keep one per cluster. */
+  def dedupClusters(documents: DataFrame, thresholdPpm: Long = 800000L,
+                    maxIters: Int = 20): DataFrame = {
+    val edges = ngramJaccard(documents, thresholdPpm).select("doc_a", "doc_b")
+    val sym = edges.unionByName(edges.selectExpr("doc_b AS doc_a", "doc_a AS doc_b"))
+      .localCheckpoint(true)
+    var labels = documents.select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("doc_id", "nbr"), col("doc_b") === col("nbr"))
+        .groupBy(col("doc_a").as("u"))
+        .agg(min("component").as("ncomp"))
+      val updated = labels
+        .join(neighborMin, labels("doc_id") === col("u"), "left")
+        .select(labels("doc_id"),
+          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val changed = updated.as("n")
+        .join(labels.withColumnRenamed("component", "old").as("o"), "doc_id")
+        .where(col("component") =!= col("old"))
+        .limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "component")
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        (col("doc_id") === col("component")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** Grouped-votes SimHash derivation (same integer sketch as [[simhash]],
     * different plan shape): explode token hashes × bit positions into a
     * two-level codegen'd hash aggregate. Cheaper than the per-row fold when

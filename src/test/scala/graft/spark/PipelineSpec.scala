@@ -120,6 +120,28 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(lin.map(_.errors).sum == 0L)
   }
 
+  test("dedup clustering: chained near-dups collapse to one component") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (10L, base),                       // chain: 10-11 similar, 11-12 similar
+      (11L, base + " lambda"),
+      (12L, base + " lambda mu"),
+      (20L, "totally different words entirely unrelated content here now"),
+      (21L, "totally different words entirely unrelated content here now"), // exact dup of 20
+      (30L, "a lone short document that matches nothing else at all")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.dedupClusters(docs, thresholdPpm = 700000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // 10,11,12 one component rooted at 10 (transitive: 10-12 may not be a
+    // direct edge but the chain connects them)
+    assert(got(10L) == ((10L, 3L, true)))
+    assert(got(11L) == ((10L, 3L, false)))
+    assert(got(12L) == ((10L, 3L, false)))
+    assert(got(20L) == ((20L, 2L, true)) && got(21L) == ((20L, 2L, false)))
+    assert(got(30L) == ((30L, 1L, true)))
+  }
+
   test("salted extraction balances a monster conversation across partitions") {
     import spark.implicits._
     // one conversation dominates the corpus: stage A's hash(conv_id, turn_idx)
