@@ -51,6 +51,7 @@ object SparkEntry {
     "ev_session_stats" -> ((s, d) => EventOps.sessionStats(events(s, d))),
     "ev_prop_extract" -> ((s, d) => EventOps.propExtract(events(s, d))),
     "ev_asof" -> ((s, d) => EventOps.asofViewBeforePurchase(events(s, d))),
+    "ev_funnel" -> ((s, d) => EventOps.funnel(events(s, d))),
     // documents: dedup + text analysis
     "d_exact_dedup" -> ((s, d) => Dedup.exact(docs(s, d)).drop("doc_ids")),
     "d_token_stats" -> ((s, d) => DocTextOps.tokenStats(docs(s, d))),
@@ -326,6 +327,17 @@ object SparkEntry {
         |  v.view_event_id, v.vepoch, p.pepoch - v.vepoch AS lag_sec
         |FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.vepoch <= p.pepoch
         |ORDER BY purchase_event_id""".stripMargin,
+    "ev_funnel" ->
+      """WITH base AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS epoch FROM events),
+        |v AS (SELECT user_id, min(epoch) AS t_view FROM base WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT b.user_id, min(b.epoch) AS t_click FROM base b JOIN v USING (user_id)
+        |      WHERE b.event_type = 'click' AND b.epoch >= v.t_view GROUP BY 1),
+        |p AS (SELECT b.user_id, min(b.epoch) AS t_purchase FROM base b JOIN c USING (user_id)
+        |      WHERE b.event_type = 'purchase' AND b.epoch >= c.t_click GROUP BY 1)
+        |SELECT count(*) AS n_view, count(t_click) AS n_click_after_view,
+        |  count(t_purchase) AS n_purchase_after_click,
+        |  sum(t_purchase - t_view) AS total_view_to_purchase_sec
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
     "ev_prop_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,

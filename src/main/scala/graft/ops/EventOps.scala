@@ -95,6 +95,30 @@ object EventOps {
       .orderBy("purchase_event_id")
   }
 
+  /** Ordered funnel: view → click → purchase, each stage's first occurrence
+    * strictly at-or-after the previous stage's first occurrence, per user.
+    * Three filtered aggregates chained by broadcast-size joins (each stage
+    * output is one row per qualifying user) — no window over the full
+    * event stream, so the plan scales with users, not events. */
+  def funnel(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("epoch"))
+    val v = base.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("epoch").as("t_view"))
+    val c = base.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("epoch") >= col("t_view"))
+      .groupBy("user_id").agg(min("epoch").as("t_click"))
+    val p = base.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("epoch") >= col("t_click"))
+      .groupBy("user_id").agg(min("epoch").as("t_purchase"))
+    val joined = v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+    joined.agg(
+      count(lit(1)).as("n_view"),
+      count(col("t_click")).as("n_click_after_view"),
+      count(col("t_purchase")).as("n_purchase_after_click"),
+      sum(col("t_purchase") - col("t_view")).as("total_view_to_purchase_sec"))
+  }
+
   /** JSON prop extraction + conditional aggregation (`from_json` /
     * `get_json_object` surface). */
   def propExtract(events: DataFrame): DataFrame =
