@@ -56,6 +56,8 @@ object SparkEntry {
     "d_exact_dedup" -> ((s, d) => Dedup.exact(docs(s, d)).drop("doc_ids")),
     "d_token_stats" -> ((s, d) => DocTextOps.tokenStats(docs(s, d))),
     "d_quality" -> ((s, d) => DocTextOps.qualityScore(docs(s, d))),
+    "d_quality_filter" -> ((s, d) => DocTextOps.qualityFilter(docs(s, d))),
+    "d_sample" -> ((s, d) => DocTextOps.stratifiedSample(docs(s, d))),
     "d_langid_stopword" -> ((s, d) => DocTextOps.langIdStopword(docs(s, d))),
     "d_langid_trigram" -> ((s, d) => DocTextOps.langIdTrigram(docs(s, d))),
     "d_fingerprint" -> ((s, d) => DocTextOps.fingerprint(docs(s, d))),
@@ -365,6 +367,28 @@ object SparkEntry {
         |  (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS diversity_ppm,
         |  (CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS mean_word_len_ppm
         |FROM d ORDER BY doc_id""".stripMargin,
+    "d_quality_filter" ->
+      """WITH d AS (SELECT doc_id, text, concat(' ', text, ' ') AS pt FROM documents),
+        |q AS (SELECT doc_id, length(text) AS n_chars_actual,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5 AS BIGINT)
+        |    + CAST((length(pt) - length(replace(pt, ' a ', ''))) / 3 AS BIGINT)
+        |    + CAST((length(pt) - length(replace(pt, ' of ', ''))) / 4 AS BIGINT) AS stopword_hits,
+        |  (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS diversity_ppm,
+        |  (CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS mean_word_len_ppm
+        |FROM d)
+        |SELECT doc_id, n_chars_actual, n_tokens, stopword_hits, diversity_ppm, mean_word_len_ppm,
+        |  (n_chars_actual >= 80 AND n_tokens >= 16 AND stopword_hits >= 1 AND
+        |   diversity_ppm >= 300000 AND mean_word_len_ppm BETWEEN 2000000 AND 12000000) AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "d_sample" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  ${dh32("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         |  CAST(CASE WHEN lang = 'en' THEN 50 WHEN lang IN ('de','es','fr') THEN 80
+         |            ELSE 10 END AS BIGINT) AS rate
+         |  FROM documents)
+         |SELECT doc_id, lang, bucket, rate FROM s WHERE bucket < rate
+         |ORDER BY doc_id""".stripMargin,
     "d_langid_stopword" -> {
       val stops = Map(
         "en" -> Seq(" the ", " of ", " and "), "de" -> Seq(" der ", " und ", " die "),

@@ -76,6 +76,37 @@ object DocTextOps {
       .orderBy("doc_id")
   }
 
+  /** Composite keep/drop quality filter — the pretraining downselect step:
+    * combines length, stopword evidence, lexical diversity, and mean word
+    * length into one boolean with explicit integer thresholds (every signal
+    * engine-exact, so the filter is reproducible anywhere). */
+  def qualityFilter(documents: DataFrame): DataFrame =
+    qualityScore(documents)
+      .selectExpr("doc_id", "n_chars_actual", "n_tokens", "stopword_hits",
+        "diversity_ppm", "mean_word_len_ppm",
+        "(n_chars_actual >= 80 AND n_tokens >= 16 AND stopword_hits >= 1 AND " +
+          "diversity_ppm >= 300000 AND mean_word_len_ppm BETWEEN 2000000 AND 12000000) AS keep")
+      .orderBy("doc_id")
+
+  /** Deterministic stratified sampling: md5-hash each doc_id into [0,100)
+    * and keep it if under its language's per-mille... percent rate — the
+    * downsampling primitive for rebalancing a 100 TB corpus by stratum.
+    * Hash-based (not rand()): reproducible across runs, engines, and
+    * partitionings, and any doc's membership is decidable in isolation. */
+  def stratifiedSample(documents: DataFrame, rates: Map[String, Int] = Map(
+      "en" -> 50, "de" -> 80, "es" -> 80, "fr" -> 80)): DataFrame = {
+    val rateExpr = rates.foldLeft("10") { case (acc, (l, r)) =>
+      s"IF(lang = '$l', $r, $acc)"
+    }
+    documents
+      .selectExpr("doc_id", "lang",
+        s"${Shingles.h32("CAST(doc_id AS STRING)")} % 100 AS bucket",
+        s"CAST($rateExpr AS BIGINT) AS rate")
+      .where("bucket < rate")
+      .select("doc_id", "lang", "bucket", "rate")
+      .orderBy("doc_id")
+  }
+
   /** Character-trigram language ID (Cavnar–Trenkle rank distance) as a
     * per-row kernel over `mapPartitions` — the richer, non-SQL-expressible
     * companion to [[langIdStopword]] (rows-only checked; its unit oracle is
