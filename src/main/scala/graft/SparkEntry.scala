@@ -70,6 +70,7 @@ object SparkEntry {
     "e_knn" -> ((s, d) => Similarity.knnBruteForce(embs(s, d))),
     "e_neardup" -> ((s, d) => Similarity.nearDupPairs(embs(s, d))),
     "e_ann_lsh" -> ((s, d) => Similarity.annLsh(embs(s, d))),
+    "e_centroids" -> ((s, d) => Similarity.labelCentroids(embs(s, d))),
     // multimodal plumbing
     "m_features" -> ((s, d) => Multimodal.features(docs(s, d)).drop("mean_byte")),
     "m_feature_summary" -> ((s, d) => Multimodal.featureSummary(docs(s, d))),
@@ -466,6 +467,12 @@ object SparkEntry {
          |WHERE ${dCos("a.v", "b.v")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
     "e_ann_lsh" -> annOracle,
+    "e_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS pos,
+        |  SUM(CAST(floor(embedding[i]::DOUBLE * 1048576) AS BIGINT)) AS sum_scaled,
+        |  COUNT(*) AS n
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "m_features" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,

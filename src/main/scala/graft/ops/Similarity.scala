@@ -104,6 +104,20 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Per-label centroid accumulators: element-wise sums over the embedding
+    * column, exact via power-of-two fixed-point (×2^20, floored to BIGINT —
+    * float→double and ×2^k are exact, so the result is order-independent
+    * and engine-identical; divide by `n` downstream for the mean). One
+    * explode + one hash aggregate — the scale shape for computing class
+    * centroids / cluster seeds over 10^12 vectors. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .selectExpr("label", s"posexplode(${asDouble("embedding")}) AS (pos, v)")
+      .selectExpr("label", "pos", "CAST(floor(v * 1048576) AS BIGINT) AS sv")
+      .groupBy("label", "pos")
+      .agg(expr("SUM(sv)").as("sum_scaled"), count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+
   val AnnPlanes = 8
 
   /** Max embedding dimensionality the literal hyperplane arrays cover. */
