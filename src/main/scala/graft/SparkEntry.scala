@@ -53,7 +53,7 @@ object SparkEntry {
     "ev_asof" -> ((s, d) => EventOps.asofViewBeforePurchase(events(s, d))),
     "ev_funnel" -> ((s, d) => EventOps.funnel(events(s, d))),
     // documents: dedup + text analysis
-    "d_exact_dedup" -> ((s, d) => Dedup.exact(docs(s, d)).drop("doc_ids")),
+    "d_exact_dedup" -> ((s, d) => Dedup.exact(docs(s, d))),
     "d_token_stats" -> ((s, d) => DocTextOps.tokenStats(docs(s, d))),
     "d_quality" -> ((s, d) => DocTextOps.qualityScore(docs(s, d))),
     "d_quality_filter" -> ((s, d) => DocTextOps.qualityFilter(docs(s, d))),

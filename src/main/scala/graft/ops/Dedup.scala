@@ -23,16 +23,21 @@ object Dedup {
 
   /** Exact duplicate groups: md5 of raw text. `dup_count > 1` marks a
     * duplicate cluster; `keep` is the canonical (min doc_id) survivor —
-    * standard exact-dedup shape: one shuffle on the 16-byte digest. */
-  def exact(documents: DataFrame): DataFrame =
+    * standard exact-dedup shape: one shuffle on the 16-byte digest.
+    * Member lists are opt-in: at corpus scale a duplicate cluster can hold
+    * millions of ids, and `collect_list` would materialize them all in one
+    * aggregation buffer. */
+  def exact(documents: DataFrame, withMembers: Boolean = false): DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("dup_count"),
+      min("doc_id").as("keep_doc_id")) ++
+      (if (withMembers) Seq(sort_array(collect_list("doc_id")).as("doc_ids")) else Nil)
     documents
       .selectExpr("doc_id", "md5(text) AS content_hash")
       .groupBy("content_hash")
-      .agg(
-        count(lit(1)).as("dup_count"),
-        min("doc_id").as("keep_doc_id"),
-        sort_array(collect_list("doc_id")).as("doc_ids"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy("content_hash")
+  }
 
   private val P = 2147483647L // 2^31 - 1
   val NumPerms = 32
