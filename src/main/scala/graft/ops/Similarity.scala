@@ -14,11 +14,11 @@ import org.apache.spark.sql.functions._
   * Scale shapes:
   *  - brute-force top-k: broadcast the (small) query set against the big
   *    side — one pass, no shuffle of the corpus, top-k via window rank.
-  *  - exact all-pairs baseline: the corpus is broadcast as primitive double
-  *    arrays and the pair loop runs distributed over row-index ranges — a
-  *    block nested-loop join with tight JIT'd inner loops instead of
-  *    per-pair Catalyst array expressions. Valid while one side fits in a
-  *    broadcast (the honest baseline); beyond that, [[annLsh]] is the path.
+  *  - exact all-pairs baseline: distributed block nested-loop — blocks of
+  *    rows cogrouped per block PAIR, tight JIT'd inner loops instead of
+  *    per-pair Catalyst array expressions, bounded per-task memory, no
+  *    driver materialization. O(n²) compute by contract; [[annLsh]] is the
+  *    sub-quadratic path.
   *  - LSH-bucketed ANN: deterministic md5-derived random hyperplanes
   *    (precomputed driver-side into literal arrays — zero per-row md5 work)
   *    → sign-bit bucket key → equi-join on bucket (shuffle on bucket id,
@@ -59,47 +59,52 @@ object Similarity {
   }
 
   /** All pairs with cosine ≥ threshold (exact, symmetric dedup by id order)
-    * — the honest baseline the ANN path is measured against. The corpus is
-    * collected once into primitive arrays and broadcast; the O(n²) pair loop
-    * is distributed over interleaved row-index slices (i ≡ p mod P) so the
-    * triangular workload balances across tasks. */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    * — the honest baseline the ANN path is measured against. Fully
+    * distributed block nested-loop: vectors hash into `nBlocks` blocks by
+    * id; every unordered block pair (i ≤ j) is one cogroup key, so each
+    * task materializes at most TWO blocks (≈ 2·n/B vectors — bounded task
+    * memory, nothing ever collected to the driver) and runs a tight JIT'd
+    * dot-product loop over its pair. The O(n²) compute is the operator's
+    * contract; shuffle volume is (B+1)·corpus (each row feeds B+1 block
+    * pairs). At larger corpora raise `nBlocks` so 2·n·dim·8/B stays inside
+    * executor memory; [[annLsh]] remains the sub-quadratic path. */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
+                   nBlocks: Int = 16): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val corpus = embeddings
+    val b = nBlocks.toLong
+    // (block, id, vector, norm) — norm projected once per row
+    val base = embeddings
       .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", s"${asDouble("embedding")} AS v")
       .as[(Long, Array[Double])]
-      .collect()
-      .sortBy(_._1)
-    val ids = corpus.map(_._1)
-    val vecs = corpus.map(_._2)
-    val norms = vecs.map { v =>
-      var acc = 0.0; var k = 0
-      while (k < v.length) { acc += v(k) * v(k); k += 1 }
-      math.sqrt(acc)
-    }
-    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
-    val n = ids.length
-    val par = math.max(1, math.min(spark.sparkContext.defaultParallelism, n))
-    spark.range(0, n.toLong)
-      .repartition(par, pmod(col("id"), lit(par)))
-      .as[Long]
-      .mapPartitions { it =>
-        val (ids, vecs, norms) = bc.value
-        it.flatMap { ii =>
-          val i = ii.toInt
-          val vi = vecs(i)
-          val ni = norms(i)
-          (i + 1 until ids.length).iterator.flatMap { j =>
-            val vj = vecs(j)
-            var acc = 0.0
-            var k = 0
-            while (k < vi.length) { acc += vi(k) * vj(k); k += 1 }
-            val sim = acc / (ni * norms(j))
-            if (sim >= threshold) Iterator.single((ids(i), ids(j), sim)) else Iterator.empty
-          }
-        }
+      .map { case (id, v) =>
+        var acc = 0.0; var k = 0
+        while (k < v.length) { acc += v(k) * v(k); k += 1 }
+        (((id % b) + b) % b, id, v, math.sqrt(acc))
       }
+    // pair key (i, j), i <= j, encoded i*B+j: a row in block p serves as the
+    // LEFT side of every (p, j >= p) and the RIGHT side of every (i < p, p);
+    // a within-block pair meets only at (p, p) on the left side.
+    val left = base.flatMap(r => (r._1 to b - 1).map(j => (r._1 * b + j, r._2, r._3, r._4)))
+    val right = base.flatMap(r => (0L until r._1).map(i => (i * b + r._1, r._2, r._3, r._4)))
+    left.groupByKey(_._1).cogroup(right.groupByKey(_._1)) { (key, ls, rs) =>
+      val a = ls.toArray
+      val c = rs.toArray
+      def emit(x: (Long, Long, Array[Double], Double),
+               y: (Long, Long, Array[Double], Double)): Iterator[(Long, Long, Double)] = {
+        val vx = x._3; val vy = y._3
+        var acc = 0.0; var k = 0
+        while (k < vx.length) { acc += vx(k) * vy(k); k += 1 }
+        val sim = acc / (x._4 * y._4)
+        if (sim >= threshold)
+          Iterator.single((math.min(x._2, y._2), math.max(x._2, y._2), sim))
+        else Iterator.empty
+      }
+      if (key % b == key / b)
+        a.indices.iterator.flatMap(p => (p + 1 until a.length).iterator.flatMap(q => emit(a(p), a(q))))
+      else
+        a.iterator.flatMap(x => c.iterator.flatMap(y => emit(x, y)))
+    }
       .toDF("vec_a", "vec_b", "sim")
       .orderBy("vec_a", "vec_b")
   }
@@ -140,14 +145,19 @@ object Similarity {
     s"array(${comps.mkString(",")})"
   }
 
-  /** Sign-bit LSH bucket key over AnnPlanes literal hyperplanes. */
+  /** Sign-bit LSH bucket key over AnnPlanes literal hyperplanes. Guarded:
+    * embeddings wider than the precomputed hyperplanes fail loudly (the
+    * padded `zip_with` would otherwise null the dot product and silently
+    * collapse every row into bucket 0 — ANN degenerating to all-pairs). */
   private def bucketExpr(v: String): String = {
     val bits = (0 until AnnPlanes).map { p =>
       val dot = s"aggregate(zip_with($v, slice(${planeLit(p)}, 1, size($v)), " +
         "(x, w) -> x * w), CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)"
       s"IF($dot >= 0, ${1 << p}, 0)"
     }
-    bits.mkString(" + ")
+    s"IF(size($v) <= $MaxDim, ${bits.mkString(" + ")}, " +
+      s"CAST(raise_error(concat('annLsh: embedding dimension ', size($v), " +
+      s"' exceeds the $MaxDim-dim precomputed hyperplanes')) AS INT))"
   }
 
   /** LSH-bucketed approximate nearest neighbors: bucket by hyperplane sign
