@@ -122,15 +122,26 @@ object SparkEntry {
        |                        for i in range(1, len(ws) - 1)]) AS shs
        |       FROM docs)""".stripMargin
 
-  private val dJaccard =
-    s"""shx AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-       |sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+  /** Shingle-pair Jaccard CTE chain; `cap` mirrors [[Dedup.DefaultDfCap]]
+    * (shingles above the document-frequency cap are dropped from the
+    * universe on BOTH sides — sizes and intersections). */
+  private def dJaccard(cap: Option[Long]): String = {
+    val filt = cap match {
+      case Some(c) =>
+        s"""shx0 AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+           |keep AS (SELECT s FROM (SELECT s, count(*) AS df FROM shx0 GROUP BY 1) WHERE df <= $c),
+           |shx AS (SELECT doc_id, s FROM shx0 JOIN keep USING (s)),""".stripMargin
+      case None => "shx AS (SELECT doc_id, unnest(shs) AS s FROM sh),"
+    }
+    s"""$filt
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1),
        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
        |          FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2),
        |jac AS (SELECT da, db, (i * 1000000) // (sa.n + sb.n - i) AS jaccard_ppm
        |        FROM inter JOIN sizes sa ON da = sa.doc_id
        |                   JOIN sizes sb ON db = sb.doc_id)""".stripMargin
+  }
 
   /** DuckDB exact-fold cosine between DOUBLE[] columns a and b. */
   private def dCos(a: String, b: String): String = {
@@ -158,18 +169,21 @@ object SparkEntry {
        |         FROM banded x JOIN banded y
        |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
        |         GROUP BY 1, 2),
-       |$dJaccard
+       |${dJaccard(None)}
        |SELECT doc_a, doc_b, n_shared_bands, jaccard_ppm
        |FROM cand JOIN jac ON doc_a = da AND doc_b = db
        |WHERE jaccard_ppm >= 500000
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** 60-bit hash: first 15 md5 hex chars (sign-safe in every engine). */
+  private def dh60(col: String) = s"(('0x' || substr(md5($col), 1, 15))::BIGINT)"
+
   private def simhashCte: String =
     s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-       |th AS (SELECT doc_id, ${dh32("w")} AS h FROM tok),
+       |th AS (SELECT doc_id, ${dh60("w")} AS h FROM tok),
        |votes AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-       |          FROM th, range(0, 32) t(b) GROUP BY 1, 2),
+       |          FROM th, range(0, ${graft.ops.Dedup.SimhashBits}) t(b) GROUP BY 1, 2),
        |simt AS (SELECT doc_id,
        |           CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
        |         FROM votes GROUP BY 1)""".stripMargin
@@ -339,7 +353,7 @@ object SparkEntry {
         |      WHERE b.event_type = 'purchase' AND b.epoch >= c.t_click GROUP BY 1)
         |SELECT count(*) AS n_view, count(t_click) AS n_click_after_view,
         |  count(t_purchase) AS n_purchase_after_click,
-        |  sum(t_purchase - t_view) AS total_view_to_purchase_sec
+        |  CAST(sum(t_purchase - t_view) AS BIGINT) AS total_view_to_purchase_sec
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
     "ev_prop_extract" ->
       """SELECT event_type, COUNT(*) AS n,
@@ -417,12 +431,12 @@ object SparkEntry {
          |FROM docs d JOIN sh ON d.doc_id = sh.doc_id ORDER BY d.doc_id""".stripMargin,
     "d_ngram_jaccard" ->
       s"""WITH $dShingleDocs,
-         |$dJaccard
+         |${dJaccard(Some(graft.ops.Dedup.DefaultDfCap))}
          |SELECT da AS doc_a, db AS doc_b, jaccard_ppm FROM jac
          |WHERE jaccard_ppm >= 800000 ORDER BY doc_a, doc_b""".stripMargin,
     "d_dedup_clusters" ->
       s"""WITH RECURSIVE $dShingleDocs,
-         |$dJaccard,
+         |${dJaccard(Some(graft.ops.Dedup.DefaultDfCap))},
          |edges AS (SELECT da AS a, db AS b FROM jac WHERE jaccard_ppm >= 800000),
          |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
          |reach AS (SELECT a, b FROM sym
@@ -440,12 +454,15 @@ object SparkEntry {
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM simt ORDER BY doc_id""".stripMargin,
     "d_simhash_pairs" -> {
-      val joins = (0 until 4).map { i =>
+      import graft.ops.Dedup.{SimhashBlocks, SimhashBlockBits}
+      val joins = (0 until SimhashBlocks).map { i =>
         s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
            |FROM blk a JOIN blk b ON a.blk$i = b.blk$i AND a.doc_id < b.doc_id""".stripMargin
       }
-      val blkCols = (0 until 4).map(i => s"(simhash // ${1L << (8 * i)}) % 256 AS blk$i").mkString(", ")
+      val blkCols = (0 until SimhashBlocks)
+        .map(i => s"(simhash // ${1L << (SimhashBlockBits * i)}) % ${1L << SimhashBlockBits} AS blk$i")
+        .mkString(", ")
       s"""WITH $simhashCte,
          |blk AS (SELECT doc_id, simhash, $blkCols FROM simt)
          |SELECT DISTINCT doc_a, doc_b, hamming FROM (${joins.mkString(" UNION ALL ")})
@@ -469,7 +486,7 @@ object SparkEntry {
     "e_ann_lsh" -> annOracle,
     "e_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS pos,
-        |  SUM(CAST(floor(embedding[i]::DOUBLE * 1048576) AS BIGINT)) AS sum_scaled,
+        |  CAST(SUM(CAST(floor(embedding[i]::DOUBLE * 1048576) AS BIGINT)) AS BIGINT) AS sum_scaled,
         |  COUNT(*) AS n
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

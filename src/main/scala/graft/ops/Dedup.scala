@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   * plan shape they'd need at 100 TB:
   *
   *  - exact: one hash-aggregate (map-side partial) on md5(text).
-  *  - n-gram Jaccard: explode distinct shingles → self-equi-join on shingle
-  *    (shuffle on shingle — never an all-pairs cross join) → count → filter.
+  *  - n-gram Jaccard: explode distinct shingles → document-frequency cap
+  *    (bounds any shingle's join fan-out; see [[DefaultDfCap]]) →
+  *    self-equi-join on shingle (shuffle on shingle — never an all-pairs
+  *    cross join) → count → filter.
   *  - MinHash/LSH: shingles → per-doc signature (one aggregate) → band keys
   *    → self-equi-join on (band, band hash) → exact-Jaccard verify of the
   *    candidates only.
-  *  - SimHash: token hash → 32 bit-position votes → per-doc 32-bit sketch;
-  *    pair scan joins on sketch bucket.
+  *  - SimHash: token hash → 60 bit-position votes → per-doc 60-bit sketch;
+  *    pair scan joins on 15-bit pigeonhole blocks.
   *
   * Hash arithmetic is md5-derived 32-bit integers with explicit modular
   * math — reproducible bit-for-bit by the DuckDB oracle.
@@ -95,17 +97,32 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact Jaccard over distinct 3-shingles for every pair sharing ≥1
-    * shingle: explode → equi-join on shingle → intersection counts. The
-    * scale-correct shape: shuffle keyed by shingle, never |D|² pairs. */
-  private def jaccardJoin(documents: DataFrame): DataFrame = {
+  /** Document-frequency cap on join shingles: a shingle present in k
+    * documents emits k² candidate rows from the self-join, so one
+    * boilerplate shingle ("click here to subscribe …") shared by 10⁶ docs
+    * would emit 10¹² rows. Shingles with df > cap are dropped from the
+    * shingle UNIVERSE — both intersections and set sizes are computed over
+    * the df-filtered sets, so the metric stays an exact set Jaccard (of the
+    * filtered sets) and the DuckDB oracle applies the identical cap. 64
+    * bounds any single shingle's join contribution at 64² = 4096 rows. */
+  val DefaultDfCap = 64L
+
+  /** Exact Jaccard over distinct df-capped 3-shingles for every pair
+    * sharing ≥1 surviving shingle: explode → df filter → equi-join on
+    * shingle → intersection counts. The scale-correct shape: shuffle keyed
+    * by shingle with a per-key row bound, never |D|² pairs. */
+  private def jaccardJoin(documents: DataFrame, dfCap: Long): DataFrame = {
     val sh = documents
       .where("size(split(text, ' ')) >= 3")
       .selectExpr("doc_id", s"${Shingles.ws} AS ws")
       .selectExpr("doc_id", s"explode(${Shingles.shingles}) AS s")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    sh.as("a")
-      .join(sh.as("b"), expr("a.s = b.s AND a.doc_id < b.doc_id"))
+    // shingles are distinct per doc, so count(*) per shingle = document
+    // frequency; the keep-join is co-partitioned with the pair join below
+    val keep = sh.groupBy("s").agg(count(lit(1)).as("df")).where(s"df <= $dfCap").select("s")
+    val shf = sh.join(keep, "s")
+    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    shf.as("a")
+      .join(shf.as("b"), expr("a.s = b.s AND a.doc_id < b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
@@ -113,26 +130,39 @@ object Dedup {
       .selectExpr("doc_a", "doc_b", "(inter * 1000000) DIV (na + nb - inter) AS jaccard_ppm")
   }
 
-  /** All near-duplicate pairs by exact n-gram Jaccard ≥ threshold. */
-  def ngramJaccard(documents: DataFrame, thresholdPpm: Long = 800000L): DataFrame =
-    jaccardJoin(documents)
+  /** All near-duplicate pairs by exact n-gram Jaccard ≥ threshold over the
+    * df-capped shingle universe (see [[DefaultDfCap]]). */
+  def ngramJaccard(documents: DataFrame, thresholdPpm: Long = 800000L,
+                   dfCap: Long = DefaultDfCap): DataFrame =
+    jaccardJoin(documents, dfCap)
       .where(s"jaccard_ppm >= $thresholdPpm")
       .orderBy("doc_a", "doc_b")
 
-  /** Per-document 32-bit SimHash over token md5 hashes (frequency-weighted
+  /** SimHash sketch width and pigeonhole-block layout. 60 bits (top 15 hex
+    * chars of md5): the widest md5 prefix that still fits a SIGNED 64-bit
+    * int in every engine (16 hex chars can set the sign bit — DuckDB has no
+    * unsigned BIGINT), split into 4 × 15-bit blocks. Each block key has
+    * 2^15 = 32768 values, so the per-block equi-join bucket holds ~n/32768
+    * docs — at 10⁸ docs that is ~3k per bucket (vs n/256 for the 8-bit
+    * blocks of a 32-bit sketch, which degenerates quadratic at scale). */
+  val SimhashBits = 60
+  val SimhashBlocks = 4
+  val SimhashBlockBits: Int = SimhashBits / SimhashBlocks
+
+  /** Per-document 60-bit SimHash over token md5 hashes (frequency-weighted
     * bit votes; ties at vote 0 count as a set bit). Computed as a single
-    * per-row fold over the token-hash array — no shuffle, no 32×-token row
+    * per-row fold over the token-hash array — no shuffle, no 60×-token row
     * explosion; the integer sketch is formulation-independent, so the
     * DuckDB oracle's grouped-votes derivation matches exactly. */
   def simhash(documents: DataFrame): DataFrame =
     documents
       .selectExpr("doc_id", s"${Shingles.ws} AS ws")
-      .selectExpr("doc_id", s"transform(ws, w -> ${Shingles.h32("w")}) AS hh")
+      .selectExpr("doc_id", s"transform(ws, w -> ${Shingles.h60("w")}) AS hh")
       .selectExpr("doc_id",
-        "aggregate(hh, array_repeat(CAST(0 AS BIGINT), 32), (acc, h) -> " +
-          "zip_with(acc, sequence(0, 31), (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1))) AS votes")
+        s"aggregate(hh, array_repeat(CAST(0 AS BIGINT), $SimhashBits), (acc, h) -> " +
+          s"zip_with(acc, sequence(0, ${SimhashBits - 1}), (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1))) AS votes")
       .selectExpr("doc_id",
-        "aggregate(zip_with(votes, sequence(0, 31), (v, b) -> " +
+        s"aggregate(zip_with(votes, sequence(0, ${SimhashBits - 1}), (v, b) -> " +
           "IF(v >= 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), " +
           "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS simhash")
       .orderBy("doc_id")
@@ -140,21 +170,43 @@ object Dedup {
   /** Near-duplicate CLUSTERS: connected components over the n-gram-Jaccard
     * edge set, by iterative min-label propagation (Pregel-style: each round
     * every vertex takes the min component id among itself and its
-    * neighbors; rounds ≈ graph diameter, checked for convergence with one
-    * tiny action per round; lineage truncated per round). Every document
-    * gets a row — singletons form their own component; the canonical
-    * survivor is the min doc_id. This is the stage after pair-finding in a
-    * real dedup pipeline: pairs → clusters → keep one per cluster. */
+    * neighbors; rounds ≈ graph diameter). Every document gets a row —
+    * singletons form their own component; the canonical survivor is the min
+    * doc_id. This is the stage after pair-finding in a real dedup pipeline:
+    * pairs → clusters → keep one per cluster.
+    *
+    * Iteration state management: each round's labels are persisted as an
+    * RDD and the DataFrame is rebuilt from it, so the Catalyst plan never
+    * grows with iteration count; the superseded round's cache is explicitly
+    * freed. When `sparkContext.setCheckpointDir` is configured the round
+    * state is ALSO reliably checkpointed — the executor-loss-safe mode for
+    * real clusters (without it, losing an executor recomputes from the
+    * start, the `localCheckpoint` caveat). Non-convergence within
+    * `maxIters` (graph diameter > maxIters — adversarial chain topology)
+    * fails loudly instead of returning silently split components. */
   def dedupClusters(documents: DataFrame, thresholdPpm: Long = 800000L,
                     maxIters: Int = 20): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     val edges = ngramJaccard(documents, thresholdPpm).select("doc_a", "doc_b")
     val sym = edges.unionByName(edges.selectExpr("doc_b AS doc_a", "doc_a AS doc_b"))
       .localCheckpoint(true)
-    var labels = documents.select(col("doc_id"), col("doc_id").as("component"))
-      .localCheckpoint(true)
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def materialize(df: DataFrame): org.apache.spark.rdd.RDD[(Long, Long)] = {
+      val rdd = df.as[(Long, Long)].rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (reliable) rdd.checkpoint()
+      rdd.count()
+      rdd
+    }
+    var cur = materialize(documents.select(
+      col("doc_id").cast("long").as("doc_id"), col("doc_id").cast("long").as("component")))
+    // the persisted RDD backing `cur` — what unpersist must target
+    var curPersisted: org.apache.spark.rdd.RDD[_] = cur
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
+      val labels = spark.createDataset(cur).toDF("doc_id", "component")
       val neighborMin = sym
         .join(labels.withColumnRenamed("doc_id", "nbr"), col("doc_b") === col("nbr"))
         .groupBy(col("doc_a").as("u"))
@@ -162,16 +214,22 @@ object Dedup {
       val updated = labels
         .join(neighborMin, labels("doc_id") === col("u"), "left")
         .select(labels("doc_id"),
-          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
-        .localCheckpoint(true)
-      val changed = updated.as("n")
-        .join(labels.withColumnRenamed("component", "old").as("o"), "doc_id")
-        .where(col("component") =!= col("old"))
-        .limit(1).count()
-      labels = updated
-      converged = changed == 0
+          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"),
+          (col("ncomp").isNotNull && col("ncomp") < col("component")).as("changed"))
+      val next = updated.as[(Long, Long, Boolean)].rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (reliable) next.checkpoint()
+      next.count() // fully materialize before dropping the previous round
+      converged = next.filter(_._3).isEmpty()
+      curPersisted.unpersist(blocking = false)
+      curPersisted = next
+      cur = next.map(t => (t._1, t._2))
       iter += 1
     }
+    require(converged,
+      s"dedupClusters: min-label propagation did not converge in $maxIters rounds " +
+        "(component diameter exceeds maxIters) — raise maxIters")
+    val labels = spark.createDataset(cur).toDF("doc_id", "component")
     val sizes = labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "component")
       .select(col("doc_id"), col("component"), col("cluster_size"),
@@ -185,9 +243,9 @@ object Dedup {
     * a downstream self-join duplicates the subtree. */
   private def simhashAgg(documents: DataFrame): DataFrame = {
     val tokens = documents.selectExpr("doc_id", "explode(split(text, ' ')) AS w")
-      .selectExpr("doc_id", s"${Shingles.h32("w")} AS h")
+      .selectExpr("doc_id", s"${Shingles.h60("w")} AS h")
     tokens
-      .selectExpr("doc_id", "h", "explode(sequence(0, 31)) AS b")
+      .selectExpr("doc_id", "h", s"explode(sequence(0, ${SimhashBits - 1})) AS b")
       .selectExpr("doc_id", "b", "IF((shiftright(h, b) & 1) = 1, 1, -1) AS vote")
       .groupBy("doc_id", "b")
       .agg(sum("vote").as("votes"))
@@ -197,14 +255,16 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs at Hamming distance ≤ 3 via the
-    * multi-index (pigeonhole) trick: split the 32-bit sketch into 4 byte
-    * blocks; any pair within distance 3 agrees exactly on ≥1 block, so one
-    * equi-join on the exploded (block index, block value) keys (shuffle on
-    * one byte each, never all-pairs) finds every qualifying pair;
-    * distinct + exact Hamming filter. */
+    * multi-index (pigeonhole) trick: split the 60-bit sketch into 4
+    * 15-bit blocks; any pair within distance 3 agrees exactly on ≥1 block,
+    * so one equi-join on the exploded (block index, block value) keys
+    * (shuffle on 15 bits each, never all-pairs) finds every qualifying
+    * pair; distinct + exact Hamming filter. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block multi-index is complete only for distance <= 3")
-    val blocks = (0 until 4).map(i => s"(simhash DIV ${1L << (8 * i)}) % 256").mkString(", ")
+    val blocks = (0 until SimhashBlocks)
+      .map(i => s"(simhash DIV ${1L << (SimhashBlockBits * i)}) % ${1L << SimhashBlockBits}")
+      .mkString(", ")
     val blk = simhashAgg(documents)
       .selectExpr("doc_id", "simhash", s"posexplode(array($blocks)) AS (bi, bv)")
     blk.as("a")

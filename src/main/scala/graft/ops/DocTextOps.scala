@@ -160,6 +160,10 @@ object Shingles {
     * engine with md5: first 8 hex chars as unsigned int. */
   def h32(col: String): String = s"CAST(conv(substring(md5($col), 1, 8), 16, 10) AS BIGINT)"
 
+  /** 60-bit hash: first 15 md5 hex chars — the widest md5 prefix that is
+    * still non-negative in a SIGNED 64-bit int in every engine. */
+  def h60(col: String): String = s"CAST(conv(substring(md5($col), 1, 15), 16, 10) AS BIGINT)"
+
   val minShingleHash: String = s"array_min(transform($shingles, s -> ${h32("s")}))"
   val maxShingleHash: String = s"array_max(transform($shingles, s -> ${h32("s")}))"
 }
