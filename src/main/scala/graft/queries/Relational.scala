@@ -149,19 +149,38 @@ object Relational {
       .orderBy("priority", "status")
 
   /** Exact rank-based quantiles (p50/p90) per group — quantile_disc
-    * semantics via row_number so the reported values are actual data
-    * elements (no interpolation arithmetic, engine-exact). One window pass
-    * + one aggregate. */
+    * semantics (the reported values are actual data elements, engine-exact).
+    *
+    * Scale shape: the group key has ~5 values, so a window partitioned by it
+    * would sort each group's entire slice in ONE task — a straggler at 100×.
+    * Instead: range-repartition + sort by (group, value, key) — a PARALLEL
+    * sort across all partitions — then `zipWithIndex` for global positions
+    * (its internal per-partition count job runs over the persisted sorted
+    * result, so both passes see identical partitions), and per-group rank =
+    * global position − group start, where group starts come from a tiny
+    * G-row broadcast aggregate. No task ever holds more than one partition
+    * of one group's slice. */
   def q13Quantiles(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    tbl(spark, sfDir, "orders")
-      .select("o_orderpriority", "o_orderkey", "o_totalprice")
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+    import spark.implicits._
+    val p = spark.sessionState.conf.numShufflePartitions
+    val parts = tbl(spark, sfDir, "orders")
+      .select(col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("o_orderkey").cast("long").as("o_orderkey"))
+      .repartitionByRange(p, col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .sortWithinPartitions("o_orderpriority", "o_totalprice", "o_orderkey")
+      .persist()
+    val idx = parts.rdd.zipWithIndex.map { case (r, i) => (r.getString(0), r.getDouble(1), i) }
+    val idxDF = spark.createDataset(idx).toDF("o_orderpriority", "price", "gidx")
+    val stats = idxDF.groupBy("o_orderpriority")
+      .agg(min("gidx").as("start"), count(lit(1)).as("n"))
+    idxDF.join(broadcast(stats), "o_orderpriority")
+      .withColumn("rn", col("gidx") - col("start") + 1)
+      .where(col("rn") === expr("(n + 1) DIV 2") || col("rn") === expr("(n * 9 + 9) DIV 10"))
       .groupBy("o_orderpriority")
       .agg(
-        max(when(col("rn") === expr("(n + 1) DIV 2"), col("o_totalprice"))).as("p50"),
-        max(when(col("rn") === expr("(n * 9 + 9) DIV 10"), col("o_totalprice"))).as("p90"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("price"))).as("p50"),
+        max(when(col("rn") === expr("(n * 9 + 9) DIV 10"), col("price"))).as("p90"),
         max("n").as("n"))
       .orderBy("o_orderpriority")
   }
