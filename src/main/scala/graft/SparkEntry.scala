@@ -45,6 +45,8 @@ object SparkEntry {
     "q11_envelope_decode" -> ((s, d) => graft.ops.EnvelopeOps.decodeRoundTrip(docs(s, d))),
     "q12_cube" -> ((s, d) => Relational.q12Cube(s, d)),
     "q13_quantiles" -> ((s, d) => Relational.q13Quantiles(s, d)),
+    "q14_validate" -> ((s, d) =>
+      graft.ops.EnvelopeOps.validateEnvelope(graft.ops.EnvelopeOps.synthesizeEnvelopes(docs(s, d)))),
     // event analytics
     "ev_tumbling" -> ((s, d) => EventOps.tumblingCounts(events(s, d))),
     "ev_sessionize" -> ((s, d) => EventOps.sessionize(events(s, d))),
@@ -305,6 +307,30 @@ object SparkEntry {
         |  CAST(json_extract_string(j, '$.BatchId') AS BIGINT) AS batch_id,
         |  CAST(length(json_extract_string(j, '$.Body')) AS BIGINT) AS body_len
         |FROM dec ORDER BY doc_id""".stripMargin,
+    "q14_validate" ->
+      """WITH env AS (
+        |  SELECT doc_id, '{' || concat_ws(', ',
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL
+        |         ELSE '"ClientFileName": "' || (CASE WHEN doc_id % 11 = 0 THEN '' ELSE source END) || '"' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN NULL
+        |         ELSE '"UploadDatasheetid": ' || CAST(doc_id * 10 + 1 AS VARCHAR) END,
+        |    CASE WHEN doc_id % 3 = 0 THEN NULL
+        |         ELSE '"DocReceivedId": ' || CAST(doc_id * 10 + 2 AS VARCHAR) END,
+        |    '"BatchId": ' || CAST(doc_id AS VARCHAR)) || '}' AS env
+        |  FROM documents),
+        |x AS (SELECT doc_id,
+        |  json_extract_string(env, '$.ClientFileName') AS client_file,
+        |  CAST(json_extract_string(env, '$.UploadDatasheetid') AS BIGINT) AS upload_datasheet_id,
+        |  CAST(json_extract_string(env, '$.DocReceivedId') AS BIGINT) AS doc_received_id,
+        |  CAST(json_extract_string(env, '$.BatchId') AS BIGINT) AS batch_id
+        |  FROM env)
+        |SELECT doc_id, client_file, upload_datasheet_id, doc_received_id, batch_id,
+        |  (client_file IS NOT NULL AND client_file != '') AS valid,
+        |  concat_ws(',',
+        |    CASE WHEN upload_datasheet_id IS NULL THEN 'UploadDatasheetid' END,
+        |    CASE WHEN doc_received_id IS NULL THEN 'DocReceivedId' END,
+        |    CASE WHEN batch_id IS NULL THEN 'BatchId' END) AS missing_warn
+        |FROM x ORDER BY doc_id""".stripMargin,
     "ev_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
