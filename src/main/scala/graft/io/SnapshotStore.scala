@@ -80,57 +80,110 @@ final class SnapshotStore(val root: String) {
   * chunks and never duplicates output — reproducing the reference's
   * redelivery semantics (undeleted queue messages reappear,
   * `main.py:396-397`) in batch form.
+  *
+  * Poison handling: a bucket whose processing throws is left incomplete
+  * (retried by the next run — the redelivery analog) with its attempt count
+  * persisted; once attempts reach `maxAttempts` the bucket is QUARANTINED —
+  * recorded with its error in a quarantine table and skipped by later runs —
+  * so a deterministically-crashing conversation can never wedge the job
+  * forever (the batch analog of the reference deleting poison messages,
+  * `main.py:399-402`).
   */
 object ResumableJob {
 
   private def markerPath(workRoot: String, bucket: Int): Path =
     Paths.get(workRoot, "_done", s"bucket-$bucket.done")
 
+  private def attemptsPath(workRoot: String, bucket: Int): Path =
+    Paths.get(workRoot, "_attempts", s"bucket-$bucket.count")
+
+  private def quarantinePath(workRoot: String, bucket: Int): Path =
+    Paths.get(workRoot, "_quarantine", s"bucket-$bucket.json")
+
   def completedBuckets(workRoot: String, buckets: Int): Set[Int] =
     (0 until buckets).filter(b => Files.exists(markerPath(workRoot, b))).toSet
 
+  def quarantinedBuckets(workRoot: String, buckets: Int): Set[Int] =
+    (0 until buckets).filter(b => Files.exists(quarantinePath(workRoot, b))).toSet
+
+  def attempts(workRoot: String, bucket: Int): Int = {
+    val p = attemptsPath(workRoot, bucket)
+    if (Files.exists(p)) new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt
+    else 0
+  }
+
+  /** Quarantine table: (bucket, error) rows for every quarantined chunk. */
+  def readQuarantine(workRoot: String, buckets: Int): Seq[(Int, String)] =
+    (0 until buckets).flatMap { b =>
+      val p = quarantinePath(workRoot, b)
+      if (Files.exists(p)) Some(b -> new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      else None
+    }
+
+  private def atomicWrite(p: Path, content: String): Unit = {
+    Files.createDirectories(p.getParent)
+    val tmp = p.getParent.resolve("." + p.getFileName.toString + ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Runs the pipeline over `nConvs` synthetic conversations in `buckets`
     * chunks; `failAfter` aborts after that many newly-completed chunks (test
-    * hook simulating a mid-job crash). Returns ids of chunks this run
-    * completed. */
+    * hook simulating a mid-job crash); `poisonBuckets` makes those buckets
+    * throw deterministically (test hook simulating an unparseable
+    * conversation). Returns ids of chunks this run completed. */
   def run(
       spark: SparkSession,
       nConvs: Long,
       workRoot: String,
       buckets: Int,
       corpusSeed: Long = 42L,
-      failAfter: Option[Int] = None
+      failAfter: Option[Int] = None,
+      poisonBuckets: Set[Int] = Set.empty,
+      maxAttempts: Int = 3
   ): Seq[Int] = {
     import graft.gen.SyntheticTranscripts
     import graft.pipeline.Pipeline
     val done = completedBuckets(workRoot, buckets)
+    val quarantined = quarantinedBuckets(workRoot, buckets)
     val completedNow = Vector.newBuilder[Int]
     var newlyDone = 0
     val per = math.max(1L, (nConvs + buckets - 1) / buckets)
-    for (b <- 0 until buckets if !done.contains(b)) {
+    for (b <- 0 until buckets if !done.contains(b) && !quarantined.contains(b)) {
       if (failAfter.exists(newlyDone >= _))
         throw new RuntimeException(s"injected failure before bucket $b")
       val lo = b * per
       val hi = math.min(nConvs, lo + per)
-      if (lo < hi) {
-        import spark.implicits._
-        val turns = spark.range(lo, hi, 1, spark.sparkContext.defaultParallelism)
-          .flatMap(i => SyntheticTranscripts.turnsFor(corpusSeed, i))
-        val ruleMap = (lo until hi).map { i =>
-          SyntheticTranscripts.convId(i) ->
-            SyntheticTranscripts.rulesFor(corpusSeed, i).map(Pipeline.toCoreRule)
-        }.toMap
-        val bc = spark.sparkContext.broadcast(ruleMap)
-        val segs = Pipeline.segment(Pipeline.extract(turns), bc)
-        segs.write.mode("overwrite").parquet(s"$workRoot/segments/bucket=$b")
+      try {
+        if (lo < hi) {
+          import spark.implicits._
+          if (poisonBuckets.contains(b))
+            throw new RuntimeException(s"poisoned conversation in bucket $b")
+          val turns = spark.range(lo, hi, 1, spark.sparkContext.defaultParallelism)
+            .flatMap(i => SyntheticTranscripts.turnsFor(corpusSeed, i))
+          val ruleMap = (lo until hi).map { i =>
+            SyntheticTranscripts.convId(i) ->
+              SyntheticTranscripts.rulesFor(corpusSeed, i).map(Pipeline.toCoreRule)
+          }.toMap
+          val bc = spark.sparkContext.broadcast(ruleMap)
+          val segs = Pipeline.segment(Pipeline.extract(turns), bc)
+          segs.write.mode("overwrite").parquet(s"$workRoot/segments/bucket=$b")
+        }
+        atomicWrite(markerPath(workRoot, b), s"""{"bucket": $b, "convs": [$lo, $hi)}""")
+        completedNow += b
+        newlyDone += 1
+      } catch {
+        case e: Exception =>
+          val n = attempts(workRoot, b) + 1
+          atomicWrite(attemptsPath(workRoot, b), n.toString)
+          if (n >= maxAttempts) {
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replace("\\", "\\\\").replace("\"", "\\\"")
+            atomicWrite(quarantinePath(workRoot, b),
+              s"""{"bucket": $b, "convs": [$lo, $hi), "attempts": $n, "error": "$msg"}""")
+          }
+        // incomplete, not quarantined → the next run retries it
       }
-      val mp = markerPath(workRoot, b)
-      Files.createDirectories(mp.getParent)
-      val tmp = mp.getParent.resolve(s".bucket-$b.tmp")
-      Files.write(tmp, s"""{"bucket": $b, "convs": [$lo, $hi)}""".getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, mp, StandardCopyOption.ATOMIC_MOVE)
-      completedNow += b
-      newlyDone += 1
     }
     completedNow.result()
   }

@@ -52,4 +52,40 @@ class ResumeSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.toString).sorted
     assert(got.toSeq == want.toSeq, "resumed output differs from clean run")
   }
+
+  test("poisoned bucket: retried per run, quarantined after maxAttempts, rest completes") {
+    val nConvs = 20L
+    val buckets = 5
+    val root = Files.createTempDirectory("resume_poison").toString
+
+    // run 1: bucket 2 fails (attempt 1), every other bucket completes
+    val run1 = ResumableJob.run(spark, nConvs, root, buckets, poisonBuckets = Set(2))
+    assert(run1 == Seq(0, 1, 3, 4))
+    assert(ResumableJob.attempts(root, 2) == 1)
+    assert(ResumableJob.quarantinedBuckets(root, buckets).isEmpty)
+
+    // runs 2..3: retries — the redelivery analog — then quarantine at maxAttempts
+    assert(ResumableJob.run(spark, nConvs, root, buckets, poisonBuckets = Set(2)).isEmpty)
+    assert(ResumableJob.run(spark, nConvs, root, buckets, poisonBuckets = Set(2)).isEmpty)
+    assert(ResumableJob.attempts(root, 2) == 3)
+    assert(ResumableJob.quarantinedBuckets(root, buckets) == Set(2))
+    val q = ResumableJob.readQuarantine(root, buckets)
+    assert(q.size == 1 && q.head._1 == 2 && q.head._2.contains("poisoned conversation"))
+
+    // run 4: quarantined bucket is skipped — no exception, no new attempts,
+    // even when the poison hook is gone (the decision is durable)
+    assert(ResumableJob.run(spark, nConvs, root, buckets).isEmpty)
+    assert(ResumableJob.attempts(root, 2) == 3)
+    assert(ResumableJob.completedBuckets(root, buckets) == Set(0, 1, 3, 4))
+
+    // output covers exactly the non-quarantined buckets
+    val cleanRoot = Files.createTempDirectory("resume_poison_clean").toString
+    ResumableJob.run(spark, nConvs, cleanRoot, buckets)
+    val wantFull = ResumableJob.readSegments(spark, cleanRoot)
+      .collect().map(_.toString).sorted
+    val got = ResumableJob.readSegments(spark, root).collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.length < wantFull.length,
+      "quarantined bucket's segments must be absent")
+    assert(got.toSet.subsetOf(wantFull.toSet))
+  }
 }
