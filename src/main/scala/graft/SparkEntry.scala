@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 import graft.ops.{Dedup, DocTextOps, EventOps, Multimodal, Similarity}
 import graft.queries.Relational
@@ -95,13 +96,21 @@ object SparkEntry {
     "t_consolidate" -> ((s, d) => {
       val n = math.min(100L, graft.gen.SyntheticTranscripts.convsForSfDir(d))
       Pipeline.consolidate(Pipeline.extract(graft.gen.SyntheticTranscripts.turns(s, n)))
-        .selectExpr("conv_id", "n_turns", "length(consolidated) AS n_chars")
+        .selectExpr("conv_id", "n_turns",
+          "CAST(length(consolidated) AS BIGINT) AS n_chars",
+          "md5(consolidated) AS content_md5")
         .orderBy("conv_id")
     }),
+    // totals view of the per-partition lineage (partition ids are a Spark
+    // planning artifact no other engine can derive — SubmitMain still
+    // snapshots the per-partition rows, PipelineSpec checks them)
     "t_lineage" -> ((s, d) => {
       val n = graft.gen.SyntheticTranscripts.convsForSfDir(d)
       Pipeline.extractionLineage(
         Pipeline.extract(graft.gen.SyntheticTranscripts.turns(s, n)), snapshotId = 1L).toDF()
+        .groupBy("stage", "snapshot_id")
+        .agg(expr("SUM(rows_in) AS rows_in"), expr("SUM(rows_out) AS rows_out"),
+          expr("SUM(errors) AS errors"))
     })
   )
 
@@ -209,7 +218,103 @@ object SparkEntry {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** XML re-render of the t_segment dump (the segmentation itself is
+    * core-oracled in sbt test; THIS checks the `data_models.py:7-32` output
+    * format independently): rebuild each row's element lines and the
+    * pretty-print layout with pure string ops over the dumped segments. */
+  private def xmlOracle: String = {
+    def esc(v: String) =
+      s"replace(replace(replace($v, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    def num(k: String) = s"'    <$k>' || CAST($k AS VARCHAR) || '</$k>' || chr(10)"
+    def str(k: String) =
+      s"(CASE WHEN $k = '' THEN '    <$k/>' ELSE '    <$k>' || ${esc(k)} || '</$k>' END) || chr(10)"
+    // field order mirrors graft.core.xml.SubDocXml.fields; numeric fields
+    // are never empty (the segment schema is non-optional)
+    val lines = Seq(num("DocReceivedId"), num("FromPageNumber"), num("ToPageNumber"),
+      str("FileNumber"), str("DocumentTypeId"), num("UploadDataSheetId"),
+      num("TotalNumberOfpages"), num("NoOfPages"), str("Sequence"), str("SessionId"))
+      .mkString(" ||\n    ")
+    s"""WITH seg AS (SELECT * FROM read_parquet('__VERIFY_OUT__/t_segment/*.parquet')
+       |            WHERE conv_id < 'conv-00000050'),
+       |rows_xml AS (SELECT conv_id,
+       |    COALESCE(TRY_CAST(Sequence AS INTEGER), 999) AS seqk,
+       |    '  <SubDocumentRow>' || chr(10) ||
+       |    $lines
+       |    || '  </SubDocumentRow>' || chr(10) AS rx
+       |  FROM seg)
+       |SELECT conv_id,
+       |  '<SubDocumentDetails>' || chr(10) || string_agg(rx, '' ORDER BY seqk) ||
+       |  '</SubDocumentDetails>' || chr(10) AS xml
+       |FROM rows_xml GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Cavnar–Trenkle rank-distance language ID in SQL. The per-language
+    * ranked profiles are emitted as literal VALUES rows from the SAME
+    * constants the Scala kernel uses (`TrigramLangId.languageProfiles`), so
+    * the two cannot drift. */
+  private def trigramOracle: String = {
+    import graft.core.text.TrigramLangId
+    val profRows = TrigramLangId.Langs.flatMap { l =>
+      TrigramLangId.languageProfiles(l).toSeq.sortBy(_._2).map { case (t, r) =>
+        s"('$l', '${t.replace("'", "''")}', $r)"
+      }
+    }.mkString(", ")
+    val pen = TrigramLangId.ProfileSize
+    val maxL = Long.MaxValue
+    s"""WITH docw AS (SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> length(w) > 0) AS ws
+       |  FROM documents),
+       |tg AS (SELECT doc_id,
+       |    unnest(flatten([[substring('_' || w || '_', i, 3) for i in range(1, length(w) + 1)] for w in ws])) AS t
+       |  FROM docw),
+       |cnt AS (SELECT doc_id, t, count(*) AS c FROM tg GROUP BY 1, 2),
+       |dp AS (SELECT doc_id, t, r FROM (
+       |    SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, t) - 1 AS r FROM cnt)
+       |  WHERE r < $pen),
+       |lp(lang, t, lr) AS (VALUES $profRows),
+       |dist AS (SELECT dp.doc_id, lc.l AS lang,
+       |    CAST(SUM(CASE WHEN lp.lr IS NULL THEN $pen ELSE abs(dp.r - lp.lr) END) AS BIGINT) AS d
+       |  FROM dp CROSS JOIN (SELECT unnest(['de','en','es','fr']) AS l) lc
+       |  LEFT JOIN lp ON lp.lang = lc.l AND lp.t = dp.t
+       |  GROUP BY 1, 2),
+       |piv AS (SELECT doc_id,
+       |    MAX(CASE WHEN lang = 'de' THEN d END) AS dist_de,
+       |    MAX(CASE WHEN lang = 'en' THEN d END) AS dist_en,
+       |    MAX(CASE WHEN lang = 'es' THEN d END) AS dist_es,
+       |    MAX(CASE WHEN lang = 'fr' THEN d END) AS dist_fr
+       |  FROM dist GROUP BY 1)
+       |SELECT d.doc_id, d.lang AS lang_declared,
+       |  CASE WHEN p.doc_id IS NULL THEN 'und'
+       |       WHEN p.dist_de <= p.dist_en AND p.dist_de <= p.dist_es AND p.dist_de <= p.dist_fr THEN 'de'
+       |       WHEN p.dist_en <= p.dist_es AND p.dist_en <= p.dist_fr THEN 'en'
+       |       WHEN p.dist_es <= p.dist_fr THEN 'es'
+       |       ELSE 'fr' END AS lang_pred,
+       |  COALESCE(p.dist_de, $maxL) AS dist_de,
+       |  COALESCE(p.dist_en, $maxL) AS dist_en,
+       |  COALESCE(p.dist_es, $maxL) AS dist_es,
+       |  COALESCE(p.dist_fr, $maxL) AS dist_fr
+       |FROM documents d LEFT JOIN piv p ON d.doc_id = p.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // oracles over other queries' dumps (__VERIFY_OUT__ → Verify's outDir):
+    // consolidation re-derived per turn with ordered string_agg; lineage
+    // totals re-counted from the extracted rows; XML re-rendered from the
+    // segment rows; trigram language-ID recomputed from literal profiles
+    "t_consolidate" ->
+      """SELECT conv_id, count(*) AS n_turns,
+        |  CAST(SUM(length('=== turn ' || turn_idx || ' ===' || chr(10) || text)) + count(*) - 1 AS BIGINT) AS n_chars,
+        |  md5(string_agg('=== turn ' || turn_idx || ' ===' || chr(10) || text, chr(10) ORDER BY turn_idx)) AS content_md5
+        |FROM read_parquet('__VERIFY_OUT__/t_extract/*.parquet')
+        |WHERE conv_id < 'conv-00000100'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_lineage" ->
+      """SELECT 'extract' AS stage, CAST(1 AS BIGINT) AS snapshot_id,
+        |  count(*) AS rows_in, count(*) AS rows_out,
+        |  CAST(SUM(CASE WHEN error THEN 1 ELSE 0 END) AS BIGINT) AS errors
+        |FROM read_parquet('__VERIFY_OUT__/t_extract/*.parquet')""".stripMargin,
+    "t_xml" -> xmlOracle,
+    "d_langid_trigram" -> trigramOracle,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dMoneySum("l_quantity")} AS sum_qty,

@@ -34,8 +34,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Oracles over OTHER queries' dumps (t_consolidate vs the t_extract
+    // parquet, t_xml vs t_segment, …) carry a __VERIFY_OUT__ placeholder —
+    // resolved here to the absolute dump dir, since only Verify knows it.
+    // All dumps complete above before the driver runs any oracle SQL.
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__VERIFY_OUT__", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

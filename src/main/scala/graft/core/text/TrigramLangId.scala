@@ -68,6 +68,10 @@ object TrigramLangId {
   private val langProfiles: Map[String, Map[String, Int]] =
     seeds.map { case (l, s) => l -> profile(s) }
 
+  /** The per-language ranked profiles — public so the driver-facing DuckDB
+    * oracle can be generated from the SAME constants (no drift possible). */
+  def languageProfiles: Map[String, Map[String, Int]] = langProfiles
+
   /** Out-of-place distance of a document profile to a language profile. */
   def distance(docProfile: Map[String, Int], langProfile: Map[String, Int]): Long =
     docProfile.iterator.map { case (t, r) =>
