@@ -190,6 +190,15 @@ object SparkEntry {
   /** 60-bit hash: first 15 md5 hex chars (sign-safe in every engine). */
   private def dh60(col: String) = s"(('0x' || substr(md5($col), 1, 15))::BIGINT)"
 
+  // BMP arithmetic mirrored from graft.core.media.MediaCodec: 24-bpp,
+  // 54-byte headers, rows padded to 4 bytes; dims derived as in
+  // Multimodal.synthesize. WAV: 44-byte canonical header + 1 byte/sample.
+  private val dModality =
+    "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+  private val dBmpW = "(n_chars % 64 + 1)"
+  private val dBmpH = "(n_chars % 48 + 1)"
+  private val dBmpBytes = s"(54 + (($dBmpW * 3 + 3) // 4 * 4) * $dBmpH)"
+
   private def simhashCte: String =
     s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
        |th AS (SELECT doc_id, ${dh60("w")} AS h FROM tok),
@@ -622,37 +631,56 @@ object SparkEntry {
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "m_features" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  CAST(16 + strlen(text) AS INT) AS n_bytes,
-        |  CAST(n_chars % 640 + 1 AS INT) AS width,
-        |  CAST(n_chars % 480 + 1 AS INT) AS height,
-        |  TRUE AS header_ok
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, $dModality AS modality,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN $dBmpBytes
+         |            WHEN doc_id % 3 = 1 THEN 44 + strlen(text)
+         |            ELSE 16 + strlen(text) END AS INT) AS n_bytes,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN $dBmpW
+         |            WHEN doc_id % 3 = 1 THEN strlen(text)
+         |            ELSE n_chars % 640 + 1 END AS INT) AS width,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN $dBmpH
+         |            WHEN doc_id % 3 = 1 THEN 1
+         |            ELSE n_chars % 480 + 1 END AS INT) AS height,
+         |  TRUE AS header_ok
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "m_resize" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  CAST(greatest(1, (n_chars % 640 + 1) // 2) AS INT) AS width_out,
-        |  CAST(greatest(1, (n_chars % 480 + 1) // 2) AS INT) AS height_out,
-        |  CAST(16 + (strlen(text) + 1) // 2 AS INT) AS n_bytes_out
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH r AS (SELECT doc_id, text, n_chars,
+         |    greatest(1, $dBmpW // 2) AS w2, greatest(1, $dBmpH // 2) AS h2
+         |  FROM documents)
+         |SELECT doc_id, $dModality AS modality,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN w2
+         |            WHEN doc_id % 3 = 1 THEN (strlen(text) + 1) // 2
+         |            ELSE greatest(1, (n_chars % 640 + 1) // 2) END AS INT) AS width_out,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN h2
+         |            WHEN doc_id % 3 = 1 THEN 1
+         |            ELSE greatest(1, (n_chars % 480 + 1) // 2) END AS INT) AS height_out,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 54 + ((w2 * 3 + 3) // 4 * 4) * h2
+         |            WHEN doc_id % 3 = 1 THEN 44 + (strlen(text) + 1) // 2
+         |            ELSE 16 + (strlen(text) + 1) // 2 END AS INT) AS n_bytes_out
+         |FROM r ORDER BY doc_id""".stripMargin,
     "m_frames" ->
-      """WITH m AS (SELECT doc_id, strlen(text) AS body FROM documents),
-        |f AS (SELECT doc_id, body, (body + 15) // 16 AS n_frames FROM m)
-        |SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  CAST(n_frames AS INT) AS n_frames,
-        |  CAST((n_frames + 3) // 4 AS INT) AS n_frames_kept,
-        |  CAST(CASE WHEN n_frames = 0 THEN 0 ELSE
-        |    ((n_frames + 3) // 4) * 16 -
-        |    (CASE WHEN (n_frames - 1) % 4 = 0 AND body % 16 <> 0 THEN 16 - body % 16 ELSE 0 END)
-        |  END AS INT) AS n_bytes_kept
-        |FROM f ORDER BY doc_id""".stripMargin,
+      s"""WITH m AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN $dBmpBytes - 54 ELSE strlen(text) END AS body
+         |  FROM documents),
+         |f AS (SELECT doc_id, body, (body + 15) // 16 AS n_frames FROM m)
+         |SELECT doc_id, $dModality AS modality,
+         |  CAST(n_frames AS INT) AS n_frames,
+         |  CAST((n_frames + 3) // 4 AS INT) AS n_frames_kept,
+         |  CAST(CASE WHEN n_frames = 0 THEN 0 ELSE
+         |    ((n_frames + 3) // 4) * 16 -
+         |    (CASE WHEN (n_frames - 1) % 4 = 0 AND body % 16 <> 0 THEN 16 - body % 16 ELSE 0 END)
+         |  END AS INT) AS n_bytes_kept
+         |FROM f ORDER BY doc_id""".stripMargin,
     "m_feature_summary" ->
-      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  COUNT(*) AS n, SUM(16 + strlen(text))::BIGINT AS total_bytes,
-        |  MAX(CAST(n_chars % 640 + 1 AS INT)) AS max_width,
-        |  MIN(1) AS all_headers_ok
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+      s"""SELECT $dModality AS modality,
+         |  COUNT(*) AS n,
+         |  SUM(CASE WHEN doc_id % 3 = 0 THEN $dBmpBytes
+         |           WHEN doc_id % 3 = 1 THEN 44 + strlen(text)
+         |           ELSE 16 + strlen(text) END)::BIGINT AS total_bytes,
+         |  MAX(CAST(CASE WHEN doc_id % 3 = 0 THEN $dBmpW
+         |               WHEN doc_id % 3 = 1 THEN strlen(text)
+         |               ELSE n_chars % 640 + 1 END AS INT)) AS max_width,
+         |  MIN(1) AS all_headers_ok
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,178 @@
+package graft.core.media
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** From-scratch pure-JVM codecs for two public, trivially-specified media
+  * containers — Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 24-bpp
+  * uncompressed, bottom-up rows padded to 4 bytes) and RIFF/WAVE (PCM,
+  * 8-bit mono) — so the multimodal operators parse REAL formats instead of
+  * a made-up header. Encoders exist so the synthetic corpus is genuine
+  * BMP/WAV bytes (round-trip validated against `javax.imageio` /
+  * `javax.sound.sampled` in MediaCodecSpec); decoders are hand-rolled and
+  * defensive: any structural violation returns None rather than throwing.
+  */
+object MediaCodec {
+
+  // ------------------------------------------------------------------ BMP
+
+  /** Decoded BMP facts: header dims + pixel statistics (mean over the
+    * `width*height*3` pixel bytes, padding excluded). */
+  final case class BmpInfo(width: Int, height: Int, bitsPerPixel: Int,
+                           pixelOffset: Int, meanPixel: Double)
+
+  private def rowSize(width: Int): Int = ((width * 3) + 3) / 4 * 4
+
+  /** 24-bpp bottom-up BI_RGB BMP. `pixels` is row-major top-down BGR,
+    * length `width*height*3`. */
+  def encodeBmp(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height * 3,
+      s"bad BMP encode args: ${width}x$height with ${pixels.length} pixel bytes")
+    val rs = rowSize(width)
+    val dataSize = rs * height
+    val bb = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54 + dataSize) // file size
+    bb.putShort(0).putShort(0)
+    bb.putInt(54) // pixel data offset
+    bb.putInt(40) // BITMAPINFOHEADER size
+    bb.putInt(width).putInt(height) // positive height = bottom-up
+    bb.putShort(1) // planes
+    bb.putShort(24) // bpp
+    bb.putInt(0) // BI_RGB
+    bb.putInt(dataSize)
+    bb.putInt(2835).putInt(2835) // 72 dpi in px/metre
+    bb.putInt(0).putInt(0)
+    // rows stored bottom-up: file row y holds image row (height-1-y)
+    var y = height - 1
+    while (y >= 0) {
+      bb.put(pixels, y * width * 3, width * 3)
+      var p = width * 3
+      while (p < rs) { bb.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** Defensive BMP parse; None on any structural violation. */
+  def decodeBmp(bytes: Array[Byte]): Option[BmpInfo] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val pixelOffset = bb.getInt(10)
+    val hdrSize = bb.getInt(14)
+    val width = bb.getInt(18)
+    val height = bb.getInt(22)
+    val bpp = bb.getShort(28).toInt
+    val compression = bb.getInt(30)
+    if (hdrSize < 40 || width <= 0 || height <= 0 || bpp != 24 || compression != 0)
+      return None
+    val rs = rowSize(width)
+    if (pixelOffset < 54 || pixelOffset.toLong + rs.toLong * height > bytes.length)
+      return None
+    var sum = 0L
+    var y = 0
+    while (y < height) {
+      val rowStart = pixelOffset + y * rs
+      var x = 0
+      while (x < width * 3) { sum += bytes(rowStart + x) & 0xff; x += 1 }
+      y += 1
+    }
+    val n = width.toLong * height * 3
+    Some(BmpInfo(width, height, bpp, pixelOffset, sum.toDouble / n))
+  }
+
+  /** Nearest-neighbor downsample by `factor` (pixel (x,y) ← source
+    * (x*factor, y*factor)), re-encoded as BMP. None if input isn't a valid
+    * 24-bpp BMP. */
+  def resizeBmp(bytes: Array[Byte], factor: Int): Option[Array[Byte]] =
+    decodeBmp(bytes).map { info =>
+      val w2 = math.max(1, info.width / factor)
+      val h2 = math.max(1, info.height / factor)
+      val rs = rowSize(info.width)
+      val out = new Array[Byte](w2 * h2 * 3)
+      var y = 0
+      while (y < h2) {
+        val srcY = math.min(info.height - 1, y * factor)
+        // bottom-up storage: image row r lives at file row (height-1-r)
+        val srcRow = info.pixelOffset + (info.height - 1 - srcY) * rs
+        var x = 0
+        while (x < w2) {
+          val srcX = math.min(info.width - 1, x * factor) * 3
+          out(3 * (y * w2 + x)) = bytes(srcRow + srcX)
+          out(3 * (y * w2 + x) + 1) = bytes(srcRow + srcX + 1)
+          out(3 * (y * w2 + x) + 2) = bytes(srcRow + srcX + 2)
+          x += 1
+        }
+        y += 1
+      }
+      encodeBmp(w2, h2, out)
+    }
+
+  // ------------------------------------------------------------------ WAV
+
+  /** Decoded WAV facts: fmt-chunk fields + data-chunk stats. */
+  final case class WavInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                           nSamples: Int, dataOffset: Int, meanSample: Double)
+
+  /** PCM 8-bit mono RIFF/WAVE; 44-byte canonical header + raw samples. */
+  def encodeWav(samples: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val bb = ByteBuffer.allocate(44 + samples.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(36 + samples.length)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16) // PCM fmt chunk size
+    bb.putShort(1) // audio format = PCM
+    bb.putShort(1) // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate) // byte rate = rate * channels * bytes/sample
+    bb.putShort(1) // block align
+    bb.putShort(8) // bits per sample
+    bb.put("data".getBytes("US-ASCII"))
+    bb.putInt(samples.length)
+    bb.put(samples)
+    bb.array()
+  }
+
+  /** Defensive RIFF chunk walk; tolerates extra chunks between fmt and
+    * data; None on any structural violation. */
+  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+    def ascii(off: Int, n: Int): String =
+      if (off + n <= bytes.length) new String(bytes, off, n, "US-ASCII") else ""
+    if (bytes.length < 44 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (rate, channels, bits)
+    var data: Option[(Int, Int)] = None // (offset, length)
+    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = ascii(off, 4)
+      val size = bb.getInt(off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      if (id == "fmt " && size >= 16) {
+        val audioFormat = bb.getShort(off + 8).toInt
+        if (audioFormat != 1) return None // PCM only
+        fmt = Some((bb.getInt(off + 12), bb.getShort(off + 10).toInt,
+          bb.getShort(off + 22).toInt))
+      } else if (id == "data") {
+        data = Some((off + 8, size))
+      }
+      off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    for ((rate, ch, bits) <- fmt; (dOff, dLen) <- data) yield {
+      var sum = 0L
+      var i = 0
+      while (i < dLen) { sum += bytes(dOff + i) & 0xff; i += 1 }
+      WavInfo(rate, ch, bits, dLen, dOff, if (dLen == 0) 0.0 else sum.toDouble / dLen)
+    }
+  }
+
+  /** Keep every `factor`-th sample (indices 0, factor, 2·factor, …),
+    * re-encoded at the same rate. None if input isn't valid PCM WAV. */
+  def downsampleWav(bytes: Array[Byte], factor: Int): Option[Array[Byte]] =
+    decodeWav(bytes).map { info =>
+      val n2 = (info.nSamples + factor - 1) / factor
+      val out = new Array[Byte](n2)
+      var i = 0
+      while (i < n2) { out(i) = bytes(info.dataOffset + i * factor); i += 1 }
+      encodeWav(out, info.sampleRate)
+    }
+}

@@ -1,0 +1,106 @@
+package graft.core
+
+import java.nio.ByteOrder
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.media.MediaCodec
+
+/** The BMP/WAV codecs are hand-rolled; the JDK's own readers
+  * (`javax.imageio`, `javax.sound.sampled`) serve as INDEPENDENT decoders
+  * of our encoder output, and our decoder is fuzz-checked to never throw on
+  * malformed bytes. */
+class MediaCodecSpec extends AnyFunSuite {
+
+  private def pixels(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 251).toByte)
+
+  test("BMP round-trip: decoder recovers dims, offset, and exact pixel mean") {
+    for ((w, h) <- Seq((1, 1), (3, 2), (17, 5), (64, 48))) {
+      val px = pixels(w, h)
+      val info = MediaCodec.decodeBmp(MediaCodec.encodeBmp(w, h, px)).get
+      assert(info.width == w && info.height == h && info.bitsPerPixel == 24)
+      assert(info.pixelOffset == 54)
+      val mean = px.iterator.map(b => (b & 0xff).toLong).sum.toDouble / px.length
+      assert(math.abs(info.meanPixel - mean) < 1e-9)
+    }
+  }
+
+  test("encoded BMP is a real BMP: javax.imageio reads identical pixels") {
+    val (w, h) = (17, 9)
+    val px = pixels(w, h)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MediaCodec.encodeBmp(w, h, px)))
+    assert(img != null, "ImageIO could not parse our BMP")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val b = px(3 * (y * w + x)) & 0xff
+      val g = px(3 * (y * w + x) + 1) & 0xff
+      val r = px(3 * (y * w + x) + 2) & 0xff
+      assert((img.getRGB(x, y) & 0xffffff) == ((r << 16) | (g << 8) | b),
+        s"pixel ($x,$y) mismatch")
+    }
+  }
+
+  test("encoded WAV is a real WAV: javax.sound.sampled parses format and samples") {
+    val samples = Array.tabulate(1000)(i => ((i * 7) % 256).toByte)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(MediaCodec.encodeWav(samples, sampleRate = 8000)))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 && fmt.getSampleSizeInBits == 8)
+    assert(ais.getFrameLength == samples.length.toLong)
+    assert(ais.readAllBytes().sameElements(samples))
+  }
+
+  test("RIFF chunk walk tolerates an extra chunk before data") {
+    val samples = Array[Byte](1, 2, 3, 4, 5)
+    val base = MediaCodec.encodeWav(samples, 44100)
+    val extra = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII")
+    val spliced = base.take(36) ++ extra ++ base.drop(36) // after fmt chunk
+    java.nio.ByteBuffer.wrap(spliced).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8) // fix RIFF size
+    val info = MediaCodec.decodeWav(spliced).get
+    assert(info.nSamples == 5 && info.sampleRate == 44100 && info.channels == 1)
+  }
+
+  test("malformed payloads: decoders return None, never throw") {
+    val goodBmp = MediaCodec.encodeBmp(4, 3, pixels(4, 3))
+    val bpp8 = goodBmp.clone(); bpp8(28) = 8
+    val hugeOffset = goodBmp.clone()
+    java.nio.ByteBuffer.wrap(hugeOffset).order(ByteOrder.LITTLE_ENDIAN).putInt(10, 1 << 20)
+    val goodWav = MediaCodec.encodeWav(Array[Byte](1, 2, 3))
+    val floatWav = goodWav.clone(); floatWav(20) = 3 // IEEE-float format tag
+    val cases: Seq[Array[Byte]] = Seq(
+      Array.empty[Byte],
+      "BM".getBytes("US-ASCII"),
+      goodBmp.take(30), // truncated header
+      goodBmp.take(60), // truncated pixels
+      bpp8,
+      hugeOffset,
+      goodWav.take(20), // truncated fmt
+      floatWav,
+      Array.tabulate(128)(i => (i * 13).toByte)) // noise
+    cases.foreach { c =>
+      assert(MediaCodec.decodeBmp(c).isEmpty)
+      assert(MediaCodec.decodeWav(c).isEmpty)
+    }
+  }
+
+  test("nearest-neighbor BMP resize halves dims and remains ImageIO-readable") {
+    val (w, h) = (10, 7)
+    val out = MediaCodec.resizeBmp(MediaCodec.encodeBmp(w, h, pixels(w, h)), 2).get
+    val info = MediaCodec.decodeBmp(out).get
+    assert(info.width == 5 && info.height == 3)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(img.getWidth == 5 && img.getHeight == 3)
+  }
+
+  test("WAV downsample keeps exactly every factor-th sample") {
+    val samples = Array.tabulate(11)(i => (i + 1).toByte)
+    val out = MediaCodec.downsampleWav(MediaCodec.encodeWav(samples), 4).get
+    val info = MediaCodec.decodeWav(out).get
+    assert(info.nSamples == 3) // indices 0, 4, 8
+    assert(out.slice(info.dataOffset, info.dataOffset + 3).toSeq == Seq[Byte](1, 5, 9))
+  }
+}
