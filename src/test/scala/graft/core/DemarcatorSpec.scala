@@ -5,11 +5,12 @@ import graft.core.seg.{Demarcator, Rule, SegmentRow}
 import graft.core.xml.SubDocXml
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Field-for-field parity of the demarcation fold vs 57 golden cases produced
+/** Field-for-field parity of the demarcation fold vs 61 golden cases produced
   * by executing the reference's demarcate_document (ocr_processor.py:439-507)
   * under python3 (tools/gen_goldens.py). Covers every branch: plus1 priority,
   * offsets, ExactMatch, occurrence thresholds, overlap invalidation,
-  * demarcated-page skipping, sequence ordering, plus 25 randomized cases.
+  * demarcated-page skipping, sequence ordering, 25 randomized cases, and the
+  * ACTUAL Sample2/Sample5 rule payloads planted into synthetic page sets.
   */
 class DemarcatorSpec extends AnyFunSuite {
   import GoldenJson._

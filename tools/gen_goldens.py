@@ -334,6 +334,52 @@ case("mix_corpus_shapes", P + ["appendix A", "appendix B"], [
 case("all_empty_ids_fixed", P, [rule(1, npages=3)])
 case("no_ids_no_npages", P, [rule(1)])  # start=page1, no end ids -> doc end
 
+# real rule-corpus shapes (SURVEY §5.1): the ACTUAL Sample2/Sample5
+# Identifier payloads (13-rule doc, pipe alternatives, Occurence:2,
+# stringly " " offsets, Plus1/Minus1 chains) run end-to-end against
+# mechanically planted page sets; expected output comes from executing the
+# reference, same as every other golden.
+def enrich(r, i):
+    r = dict(r)
+    r.setdefault("DocReceivedId", 5000 + i)
+    r.setdefault("FirmFile", "FF-S")
+    r.setdefault("UploadDatasheetid", 88)
+    r.setdefault("SessionId", None)
+    return r
+
+def first_alt(s):
+    alts = [a.strip() for a in (s or "").split("|") if a.strip()]
+    return alts[0] if alts else ""
+
+def pages_for(rules):
+    pages = ["transcript cover page"]
+    for r in rules:
+        occ = r.get("Occurence") or 0
+        occ = occ if occ > 0 else 1
+        start = first_alt(r.get("StartingIdentifierPlus1")) or first_alt(r.get("StartingIdentifier"))
+        end = first_alt(r.get("EndingIdentifierMinus1")) or first_alt(r.get("EndingIdentifier"))
+        for _ in range(occ):
+            if start and not start.lower().startswith("exactmatch:"):
+                pages.append(f"header line\n{start}\nbody text")
+        pages.append("filler page between sections")
+        if end and not end.lower().startswith("exactmatch:"):
+            pages.append(f"closing words {end} trailing")
+    pages.append("final transcript page")
+    return pages
+
+for n in (2, 5):
+    with open(f"/root/reference/test/payload/Input_Sample{n}.json") as f:
+        payload = json.load(f)
+    srules = [enrich(r, i) for i, r in enumerate(payload["Identifiers"])]
+    case(f"sample{n}_planted", pages_for(srules), srules)
+    # adversarial layout: every start marker stacked on consecutive early
+    # pages -> exercises overlap invalidation + demarcated-page skipping
+    stacked = ["cover"] + [
+        (first_alt(r.get("StartingIdentifier")) or
+         first_alt(r.get("StartingIdentifierPlus1")) or "blank filler")
+        for r in srules] + ["tail page"]
+    case(f"sample{n}_stacked", stacked, srules)
+
 # randomized property corpus: synthetic pages & rules, seeded
 rng = random.Random(20260816)
 WORDS = ["alpha", "beta", "gamma", "delta", "section", "report", "invoice",
