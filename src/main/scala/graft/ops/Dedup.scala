@@ -116,10 +116,15 @@ object Dedup {
       .where("size(split(text, ' ')) >= 3")
       .selectExpr("doc_id", s"${Shingles.ws} AS ws")
       .selectExpr("doc_id", s"explode(${Shingles.shingles}) AS s")
-    // shingles are distinct per doc, so count(*) per shingle = document
-    // frequency; the keep-join is co-partitioned with the pair join below
-    val keep = sh.groupBy("s").agg(count(lit(1)).as("df")).where(s"df <= $dfCap").select("s")
-    val shf = sh.join(keep, "s")
+    // shingles are distinct per doc, so a count window over s = document
+    // frequency. Computed as a WINDOW (not groupBy+join) so the df filter
+    // rides the exact hashpartitioning(s) exchange the pair self-join needs
+    // — Catalyst reuses one shuffle for the filter and both join sides.
+    val shf = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .where(s"df <= $dfCap")
+      .drop("df")
     val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
     shf.as("a")
       .join(shf.as("b"), expr("a.s = b.s AND a.doc_id < b.doc_id"))
@@ -219,8 +224,10 @@ object Dedup {
       val next = updated.as[(Long, Long, Boolean)].rdd
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (reliable) next.checkpoint()
-      next.count() // fully materialize before dropping the previous round
-      converged = next.filter(_._3).isEmpty()
+      // one job: counting changed rows scans (and therefore caches) every
+      // partition of `next` — full materialization before the previous
+      // round's cache is dropped, plus the convergence signal
+      converged = next.filter(_._3).count() == 0
       curPersisted.unpersist(blocking = false)
       curPersisted = next
       cur = next.map(t => (t._1, t._2))

@@ -106,4 +106,42 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // one exchange for the groupBy, one for the final orderBy range partitioning
     assert(shuffleCount(df) <= 2, formatted(df))
   }
+
+  test("ngram jaccard: df-cap bounds hot-shingle join fan-out") {
+    import spark.implicits._
+    // 80 identical docs: every shingle has document frequency 80. Below the
+    // cap the shared shingles leave the universe entirely — ZERO join rows
+    // instead of 80² candidate rows per shingle; above it, the full 80·79/2
+    // identical pairs emerge. This is the bound that keeps one boilerplate
+    // shingle from emitting k² rows at web scale.
+    val docs = (1 to 80).map(i => (i.toLong, "common shingle words here now"))
+      .toDF("doc_id", "text")
+    assert(graft.ops.Dedup.ngramJaccard(docs, thresholdPpm = 1L, dfCap = 64L).count() == 0)
+    assert(graft.ops.Dedup.ngramJaccard(docs, thresholdPpm = 1L, dfCap = 100L)
+      .count() == 80L * 79 / 2)
+  }
+
+  test("ngram jaccard: df filter shares the join's shuffle (no extra exchange)") {
+    // At scale the pair join is a sort-merge join; the window-based df
+    // filter must then REUSE the hashpartitioning(s) exchange for both join
+    // sides rather than adding a groupBy+join shuffle of its own. Broadcast
+    // is disabled to get the at-scale join shape at test size.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Relational.tbl(spark, Sf, "documents")
+      val df = graft.ops.Dedup.ngramJaccard(docs)
+      df.collect() // AQE reuses identical shuffle stages at RUNTIME
+      val p = df.queryExecution.executedPlan.toString
+      val stageIds = "ShuffleQueryStage (\\d+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(p.contains("ReusedExchange") || stageIds.distinct.size < stageIds.size,
+        p.take(4000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q13 quantiles: no window over the low-cardinality group key") {
+    val df = Relational.q13Quantiles(spark, Sf)
+    val p = formatted(df)
+    assert(!p.contains("Window"), p) // parallel two-pass rank, not a 5-task sort
+  }
 }
