@@ -73,6 +73,7 @@ object SparkEntry {
     "e_knn" -> ((s, d) => Similarity.knnBruteForce(embs(s, d))),
     "e_neardup" -> ((s, d) => Similarity.nearDupPairs(embs(s, d))),
     "e_ann_lsh" -> ((s, d) => Similarity.annLsh(embs(s, d))),
+    "e_ann_ivf" -> ((s, d) => Similarity.annIvf(embs(s, d))),
     "e_centroids" -> ((s, d) => Similarity.labelCentroids(embs(s, d))),
     // multimodal plumbing
     "m_features" -> ((s, d) => Multimodal.features(docs(s, d)).drop("mean_byte")),
@@ -305,7 +306,35 @@ object SparkEntry {
        |FROM documents d LEFT JOIN piv p ON d.doc_id = p.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
+  /** IVF ANN oracle: identical deterministic cells (first nCells vectors),
+    * argmax assignment and probe ranking with the same smaller-id
+    * tie-break, exact rerank — all cosines the same left-fold arithmetic. */
+  private def annIvfOracle: String = {
+    val (nCells, nProbe, nQ, k) = (16, 4, 20, 5)
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id < $nCells),
+       |simsq AS (SELECT b.vec_id, c.cent_id, ${dCos("b.v", "c.cv")} AS csim
+       |          FROM base b CROSS JOIN cents c),
+       |ranked AS (SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+       |  FROM simsq),
+       |assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cent_id AS cell
+       |           FROM ranked WHERE vec_id < $nQ AND rn <= $nProbe),
+       |cand AS (SELECT p.query_id, CAST(a.cell AS INT) AS cell, b.vec_id AS neighbor_id,
+       |           ${dCos("q.v", "b.v")} AS sim
+       |         FROM probes p
+       |         JOIN assign a ON a.cell = p.cell
+       |         JOIN base b ON b.vec_id = a.vec_id AND b.vec_id != p.query_id
+       |         JOIN base q ON q.vec_id = p.query_id)
+       |SELECT query_id, rank, neighbor_id, cell, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM cand) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "e_ann_ivf" -> annIvfOracle,
     // oracles over other queries' dumps (__VERIFY_OUT__ → Verify's outDir):
     // consolidation re-derived per turn with ordered string_agg; lineage
     // totals re-counted from the extracted rows; XML re-rendered from the

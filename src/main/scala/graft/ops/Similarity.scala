@@ -160,6 +160,66 @@ object Similarity {
       s"' exceeds the $MaxDim-dim precomputed hyperplanes')) AS INT))"
   }
 
+  /** IVF (inverted-file) approximate nearest neighbors — the coarse-
+    * quantizer scale path next to the hyperplane-LSH one:
+    *
+    *  1. coarse cells: the first `nCells` vectors by id serve as centroids —
+    *     the deterministic, engine-reproducible stand-in for a k-means
+    *     training pass (any engine derives identical cells, which is what
+    *     lets the DuckDB oracle hash-match; swap in trained centroids at
+    *     will, the plan is unchanged);
+    *  2. assignment: one codegen'd pass computes each row's argmax-cosine
+    *     cell against centroid LITERALS (collected once — `nCells` rows —
+    *     and inlined, so there is NO K× row blowup and NO shuffle to
+    *     assign);
+    *  3. probe: each query searches its `nProbe` nearest cells; candidates
+    *     come from an equi-join on cell id (shuffle keyed by cell, never
+    *     all-pairs), exact cosine rerank, top-k per query.
+    *
+    * Ties (cell assignment and probe ranking) break toward the smaller
+    * cell id. */
+  def annIvf(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
+             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Double])] = embeddings
+      .where(s"vec_id < $nCells")
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", s"${asDouble("embedding")} AS v")
+      .as[(Long, Array[Double])]
+      .collect().sortBy(_._1)
+    require(cents.nonEmpty, s"annIvf: corpus has no vec_id < $nCells to seed cells")
+    def lit(d: Double) = s"CAST('$d' AS DOUBLE)"
+    val simArray = cents.map { case (_, cv) =>
+      val norm = math.sqrt(cv.map(x => x * x).sum)
+      val cl = s"array(${cv.map(lit).mkString(",")})"
+      s"(${dotExpr(cl, "v")} / (nv * ${lit(norm)}))"
+    }.mkString("array(", ",", ")")
+    val base = withNorm(embeddings)
+      .selectExpr("vec_id", "v", "nv", s"$simArray AS csims")
+      .selectExpr("vec_id", "v", "nv",
+        "CAST(array_position(csims, array_max(csims)) - 1 AS INT) AS cell", "csims")
+    val corpus = base.select("vec_id", "v", "nv", "cell")
+    val queries = base.where(s"vec_id < $nQueries")
+      .selectExpr("vec_id AS query_id", "v AS qv", "nv AS nq",
+        // nProbe nearest cells: sort (−sim, cell) asc, take the prefix
+        s"""transform(slice(array_sort(zip_with(csims, sequence(0, ${cents.length - 1}),
+           |  (s, i) -> named_struct('negs', -s, 'idx', i))), 1, $nProbe),
+           |  x -> CAST(x.idx AS INT)) AS probes""".stripMargin)
+      .selectExpr("query_id", "qv", "nq", "explode(probes) AS cell")
+    corpus
+      .join(queries, Seq("cell"))
+      .where("vec_id != query_id")
+      .selectExpr("query_id", "cell", "vec_id AS neighbor_id",
+        s"${dotExpr("qv", "v")} / (nq * nv) AS sim")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
+      .where(s"rank <= $k")
+      .select("query_id", "rank", "neighbor_id", "cell", "sim")
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed approximate nearest neighbors: bucket by hyperplane sign
     * bits, exact cosine rerank within each bucket, top-k per query. Same
     * output schema as [[knnBruteForce]] (plus bucket id) so recall is
