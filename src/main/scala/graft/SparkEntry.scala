@@ -74,6 +74,7 @@ object SparkEntry {
     "e_neardup" -> ((s, d) => Similarity.nearDupPairs(embs(s, d))),
     "e_ann_lsh" -> ((s, d) => Similarity.annLsh(embs(s, d))),
     "e_ann_ivf" -> ((s, d) => Similarity.annIvf(embs(s, d))),
+    "e_ann_recall" -> ((s, d) => Similarity.annRecall(embs(s, d))),
     "e_centroids" -> ((s, d) => Similarity.labelCentroids(embs(s, d))),
     // multimodal plumbing
     "m_features" -> ((s, d) => Multimodal.features(docs(s, d)).drop("mean_byte")),
@@ -217,9 +218,12 @@ object SparkEntry {
     val bucket = (0 until Similarity.AnnPlanes)
       .map(p => s"(CASE WHEN ${dot(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
       .mkString(" + ")
+    val probes = Similarity.probeMasks.map(m => s"xor(bucket, $m)")
+      .mkString("[", ", ", "]")
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |bkt AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM base),
-       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bkt WHERE vec_id < 20),
+       |q AS (SELECT vec_id AS query_id, qv, CAST(pb AS BIGINT) AS bucket FROM (
+       |    SELECT vec_id, v AS qv, unnest($probes) AS pb FROM bkt WHERE vec_id < 20)),
        |scored AS (SELECT query_id, b.bucket, b.vec_id AS neighbor_id, ${dCos("qv", "v")} AS sim
        |           FROM bkt b JOIN q USING (bucket) WHERE b.vec_id != query_id)
        |SELECT query_id, rank, neighbor_id, bucket, sim FROM (
@@ -332,6 +336,16 @@ object SparkEntry {
        |  FROM cand) WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  private def knnOracle: String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 20),
+       |scored AS (SELECT query_id, b.vec_id AS neighbor_id, ${dCos("qv", "v")} AS sim
+       |           FROM base b, q WHERE b.vec_id != query_id)
+       |SELECT query_id, rank, neighbor_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored) WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "e_ann_ivf" -> annIvfOracle,
@@ -637,15 +651,21 @@ object SparkEntry {
          |SELECT DISTINCT doc_a, doc_b, hamming FROM (${joins.mkString(" UNION ALL ")})
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
     },
-    "e_knn" ->
-      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 20),
-         |scored AS (SELECT query_id, b.vec_id AS neighbor_id, ${dCos("qv", "v")} AS sim
-         |           FROM base b, q WHERE b.vec_id != query_id)
-         |SELECT query_id, rank, neighbor_id, sim FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-         |  FROM scored) WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+    "e_knn" -> knnOracle,
+    "e_ann_recall" ->
+      s"""WITH tknn AS (SELECT query_id, neighbor_id FROM ($knnOracle)),
+         |tivf AS (SELECT query_id, neighbor_id FROM ($annIvfOracle)),
+         |tlsh AS (SELECT query_id, neighbor_id FROM ($annOracle))
+         |SELECT method, n_hits, n_possible, (n_hits * 1000000) // n_possible AS recall_ppm
+         |FROM (
+         |  SELECT 'ivf' AS method,
+         |    (SELECT count(*) FROM tknn JOIN tivf USING (query_id, neighbor_id)) AS n_hits,
+         |    (SELECT count(*) FROM tknn) AS n_possible
+         |  UNION ALL
+         |  SELECT 'lsh',
+         |    (SELECT count(*) FROM tknn JOIN tlsh USING (query_id, neighbor_id)),
+         |    (SELECT count(*) FROM tknn))
+         |ORDER BY method""".stripMargin,
     "e_neardup" ->
       s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${dCos("a.v", "b.v")} AS sim

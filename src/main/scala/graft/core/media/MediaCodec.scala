@@ -63,7 +63,10 @@ object MediaCodec {
     val height = bb.getInt(22)
     val bpp = bb.getShort(28).toInt
     val compression = bb.getInt(30)
-    if (hdrSize < 40 || width <= 0 || height <= 0 || bpp != 24 || compression != 0)
+    // dimension caps also guard the int arithmetic below against overflow
+    // (a flipped width bit could make width*3 wrap negative)
+    if (hdrSize < 40 || width <= 0 || height <= 0 || bpp != 24 || compression != 0 ||
+        width > (1 << 24) || height > (1 << 24))
       return None
     val rs = rowSize(width)
     if (pixelOffset < 54 || pixelOffset.toLong + rs.toLong * height > bytes.length)
@@ -146,7 +149,7 @@ object MediaCodec {
     while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = ascii(off, 4)
       val size = bb.getInt(off + 4)
-      if (size < 0 || off + 8 + size > bytes.length) return None
+      if (size < 0 || off.toLong + 8 + size > bytes.length) return None // long: no int wrap
       if (id == "fmt " && size >= 16) {
         val audioFormat = bb.getShort(off + 8).toInt
         if (audioFormat != 1) return None // PCM only

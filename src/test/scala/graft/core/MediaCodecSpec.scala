@@ -87,6 +87,21 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("decoders survive every truncation and every header bit-flip") {
+    val bmp = MediaCodec.encodeBmp(9, 4, pixels(9, 4))
+    val wav = MediaCodec.encodeWav(Array.tabulate(64)(_.toByte))
+    for (n <- 0 to bmp.length) { MediaCodec.decodeBmp(bmp.take(n)); MediaCodec.decodeWav(bmp.take(n)) }
+    for (n <- 0 to wav.length) { MediaCodec.decodeWav(wav.take(n)); MediaCodec.decodeBmp(wav.take(n)) }
+    for (i <- 0 until 54) {
+      val b = bmp.clone(); b(i) = (b(i) ^ 0x55).toByte
+      MediaCodec.decodeBmp(b) // must return, never throw
+    }
+    for (i <- 0 until 44) {
+      val w = wav.clone(); w(i) = (w(i) ^ 0x55).toByte
+      MediaCodec.decodeWav(w)
+    }
+  }
+
   test("nearest-neighbor BMP resize halves dims and remains ImageIO-readable") {
     val (w, h) = (10, 7)
     val out = MediaCodec.resizeBmp(MediaCodec.encodeBmp(w, h, pixels(w, h)), 2).get
