@@ -86,4 +86,19 @@ object StreamingSegmenter {
           }
       }
   }
+
+  final case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
+
+  /** Streaming exact dedup — the streaming twin of `Dedup.exact`: the first
+    * occurrence of each content hash passes, later duplicates within the
+    * watermark horizon are dropped, and per-hash state is EVICTED once the
+    * watermark passes its expiry. Bounded state is the property that
+    * matters on an unbounded stream: a plain `dropDuplicates` would grow
+    * its hash state forever at 10^12 docs, `dropDuplicatesWithinWatermark`
+    * holds only one horizon's worth. */
+  def dedupDocs(docs: Dataset[StreamDoc], watermark: String = "1 hour"): Dataset[org.apache.spark.sql.Row] =
+    docs.toDF()
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -89,4 +89,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val rows = spark.table("turn_rates").collect()
     assert(rows.map(_.getAs[Long]("n_turns")).sum > 0)
   }
+  test("streaming exact dedup: duplicates dropped within the watermark, state evicted after") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSegmenter.StreamDoc
+    val input = MemoryStream[StreamDoc]
+    val out = StreamingSegmenter.dedupDocs(input.toDS(), watermark = "10 minutes")
+    val query = out.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+    input.addData(StreamDoc(1, "alpha", ts(0)), StreamDoc(3, "beta", ts(1)))
+    query.processAllAvailable()
+    // duplicates inside the horizon: dropped
+    input.addData(StreamDoc(2, "alpha", ts(2)), StreamDoc(4, "beta", ts(2)))
+    query.processAllAvailable()
+    // far-future doc advances the watermark past both hashes' expiry
+    input.addData(StreamDoc(5, "gamma", ts(60)))
+    query.processAllAvailable()
+    // same content AFTER eviction: emitted again (bounded state, not a set)
+    input.addData(StreamDoc(6, "alpha", ts(61)))
+    query.processAllAvailable()
+    query.stop()
+
+    val ids = spark.table("stream_dedup").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L, 5L, 6L), s"got $ids")
+  }
+
 }
