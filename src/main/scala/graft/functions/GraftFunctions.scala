@@ -78,10 +78,13 @@ case class PyCountOccurrences(left: Expression, right: Expression)
   *  - existing session (tests, notebooks): `GraftFunctions.register(spark)`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // whole-operator segmentation (custom LogicalPlan → SparkPlan)
+    ext.injectPlannerStrategy(_ => graft.plans.SegmentStrategy)
+  }
 }
 
 object GraftFunctions {

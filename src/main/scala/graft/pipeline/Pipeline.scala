@@ -80,7 +80,7 @@ object Pipeline {
     * buffers), runs the demarcation fold, emits its segment rows. Asserts
     * sortedness — the north rule's "stable turn ordering" is a guaranteed
     * invariant, not a hope. */
-  private final class GroupFold(
+  private[graft] final class GroupFold(
       it: Iterator[(String, Int, String, String)],
       rulesFor: String => Seq[Rule],
       extractPage: (String, String) => String

@@ -139,6 +139,28 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("custom SegmentConversations operator: Catalyst plans the exchange + sort; results match") {
+    val n = 6L
+    val turns = SyntheticTranscripts.turns(spark, n)
+    val ruleMap = SyntheticTranscripts.rules(spark, n).collect()
+      .groupBy(_.conv_id).map { case (k, v) => k -> v.toSeq.map(Pipeline.toCoreRule) }
+    val bc = spark.sparkContext.broadcast(ruleMap)
+    val rulesFor = (cid: String) => bc.value.getOrElse(cid, Nil)
+
+    val df = graft.plans.SegmentPlans.segment(turns, rulesFor)
+    val p = formatted(df)
+    // the physical operator only DECLARES ClusteredDistribution(conv_id) +
+    // (conv_id, turn_idx) ordering; the exchange and sort below it must be
+    // Catalyst's EnsureRequirements insertions — exactly one of each
+    assert(p.contains("Segment ("), p) // SegmentExec renders as "Segment"
+    assert(shuffleCount(df) == 1, p)
+    assert(p.contains("Sort ("), p)
+
+    val got = df.collect().map(_.toString).sorted.toSeq
+    val want = Pipeline.segmentFused(turns, bc).toDF().collect().map(_.toString).sorted.toSeq
+    assert(got == want, "custom-operator output must equal the fused pipeline")
+  }
+
   test("q13 quantiles: no window over the low-cardinality group key") {
     val df = Relational.q13Quantiles(spark, Sf)
     val p = formatted(df)
