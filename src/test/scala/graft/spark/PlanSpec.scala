@@ -161,6 +161,35 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(got == want, "custom-operator output must equal the fused pipeline")
   }
 
+  test("custom operator over a bucketed+sorted turns table: ZERO exchanges") {
+    // the payoff of declaring requirements instead of calling repartition:
+    // a table already bucketed by conv_id and sorted by (conv_id, turn_idx)
+    // — the 10^12-turn Iceberg layout — satisfies the operator's
+    // distribution and ordering, so Catalyst plans NO shuffle and NO sort
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-turns-bucketed").toString
+    val n = 6L
+    val turns = SyntheticTranscripts.turns(spark, n)
+    val ruleMap = SyntheticTranscripts.rules(spark, n).collect()
+      .groupBy(_.conv_id).map { case (k, v) => k -> v.toSeq.map(Pipeline.toCoreRule) }
+    val bc = spark.sparkContext.broadcast(ruleMap)
+    try {
+      turns.write.bucketBy(4, "conv_id").sortBy("conv_id", "turn_idx")
+        .option("path", s"$dir/turns_b").saveAsTable("turns_b")
+      val bucketed = spark.table("turns_b").as[graft.schema.Turn]
+      val df = graft.plans.SegmentPlans.segment(bucketed, cid => bc.value.getOrElse(cid, Nil))
+      val p = formatted(df)
+      assert(shuffleCount(df) == 0, p)
+      // a WITHIN-partition sort remains: since SPARK-28632 a bucketed scan
+      // no longer advertises its sortBy ordering (only the legacy flag
+      // restores it) — the expensive part, the network shuffle, is gone
+      assert(p.contains("Bucketed: true"), p)
+      val got = df.collect().map(_.toString).sorted.toSeq
+      val want = Pipeline.segmentFused(turns, bc).toDF().collect().map(_.toString).sorted.toSeq
+      assert(got == want)
+    } finally spark.sql("DROP TABLE IF EXISTS turns_b")
+  }
+
   test("q13 quantiles: no window over the low-cardinality group key") {
     val df = Relational.q13Quantiles(spark, Sf)
     val p = formatted(df)
