@@ -55,6 +55,7 @@ object SparkEntry {
     "ev_prop_extract" -> ((s, d) => EventOps.propExtract(events(s, d))),
     "ev_asof" -> ((s, d) => EventOps.asofViewBeforePurchase(events(s, d))),
     "ev_funnel" -> ((s, d) => EventOps.funnel(events(s, d))),
+    "ev_interval_join" -> ((s, d) => EventOps.intervalJoin(events(s, d))),
     // documents: dedup + text analysis
     "d_exact_dedup" -> ((s, d) => Dedup.exact(docs(s, d))),
     "d_token_stats" -> ((s, d) => DocTextOps.tokenStats(docs(s, d))),
@@ -538,6 +539,18 @@ object SparkEntry {
         |  count(t_purchase) AS n_purchase_after_click,
         |  CAST(sum(t_purchase - t_view) AS BIGINT) AS total_view_to_purchase_sec
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+    "ev_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS epoch FROM events),
+        |b AS (SELECT *, CASE WHEN prev_epoch IS NULL OR epoch - prev_epoch > 1800 THEN 1 ELSE 0 END AS is_break
+        |      FROM (SELECT *, lag(epoch) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_epoch FROM e)),
+        |s AS (SELECT *, SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM b),
+        |sess AS (SELECT user_id, session_seq, MIN(epoch) AS s, MAX(epoch) AS e FROM s GROUP BY 1, 2),
+        |iv AS (SELECT CAST(user_id * 1000 + session_seq AS BIGINT) AS interval_id, s, e
+        |       FROM sess WHERE user_id < 10)
+        |SELECT interval_id, iv.s AS s, iv.e AS e, count(*) AS n_events
+        |FROM iv JOIN e ON e.epoch BETWEEN iv.s AND iv.e
+        |GROUP BY 1, 2, 3 ORDER BY interval_id""".stripMargin,
     "ev_prop_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,

@@ -119,6 +119,33 @@ object EventOps {
       sum(col("t_purchase") - col("t_view")).as("total_view_to_purchase_sec"))
   }
 
+  /** Global interval (range) join via time-binning — the scale-correct
+    * non-equi-join shape. A raw `s <= t AND t <= e` theta join plans as a
+    * broadcast nested loop (every event against every interval); instead
+    * each interval explodes into the hour bins it covers and each event
+    * carries its own bin, so the match becomes an EQUI-join on bin (shuffle
+    * keyed by bin) plus a residual range filter. An event's bin is unique,
+    * so every qualifying (event, interval) pair meets exactly once — no
+    * dedup pass. Intervals are the sessions of the first `nUsers` users
+    * (deterministic, derived from the same table); output counts events of
+    * ALL users inside each window. */
+  def intervalJoin(events: DataFrame, nUsers: Int = 10, binSeconds: Long = 3600L): DataFrame = {
+    val iv = sessionize(events)
+      .where(col("user_id") < nUsers)
+      .selectExpr("user_id * 1000 + session_seq AS interval_id",
+        "session_start_epoch AS s", "session_end_epoch AS e")
+      .selectExpr("interval_id", "s", "e",
+        s"explode(sequence(s DIV $binSeconds, e DIV $binSeconds)) AS bin")
+    val ev = events
+      .select(unix_timestamp(col("ts")).as("t"))
+      .withColumn("bin", expr(s"t DIV $binSeconds"))
+    ev.join(iv, "bin")
+      .where(col("t") >= col("s") && col("t") <= col("e"))
+      .groupBy("interval_id", "s", "e")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("interval_id")
+  }
+
   /** JSON prop extraction + conditional aggregation (`from_json` /
     * `get_json_object` surface). */
   def propExtract(events: DataFrame): DataFrame =
