@@ -201,6 +201,16 @@ object SparkEntry {
   private val dBmpW = "(n_chars % 64 + 1)"
   private val dBmpH = "(n_chars % 48 + 1)"
   private val dBmpBytes = s"(54 + (($dBmpW * 3 + 3) // 4 * 4) * $dBmpH)"
+  // Y4M arithmetic mirrored from MediaCodec.encodeY4m / Multimodal video
+  // synthesis: text stream header (its length depends on the dim digits),
+  // then per frame 'FRAME\n' + W*H*3 C444 plane bytes
+  private val dVidW = "(n_chars % 16 + 1)"
+  private val dVidH = "(n_chars % 12 + 1)"
+  private val dVidFrames = "(strlen(text) // 64 + 1)"
+  private def dY4mHeader(w: String, h: String) =
+    s"(length('YUV4MPEG2 W' || $w || ' H' || $h || ' F25:1 Ip A1:1 C444') + 1)"
+  private val dVidBytes =
+    s"(${dY4mHeader(dVidW, dVidH)} + $dVidFrames * (6 + $dVidW * $dVidH * 3))"
 
   private def simhashCte: String =
     s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -696,41 +706,48 @@ object SparkEntry {
       s"""SELECT doc_id, $dModality AS modality,
          |  CAST(CASE WHEN doc_id % 3 = 0 THEN $dBmpBytes
          |            WHEN doc_id % 3 = 1 THEN 44 + strlen(text)
-         |            ELSE 16 + strlen(text) END AS INT) AS n_bytes,
+         |            ELSE $dVidBytes END AS INT) AS n_bytes,
          |  CAST(CASE WHEN doc_id % 3 = 0 THEN $dBmpW
          |            WHEN doc_id % 3 = 1 THEN strlen(text)
-         |            ELSE n_chars % 640 + 1 END AS INT) AS width,
+         |            ELSE $dVidW END AS INT) AS width,
          |  CAST(CASE WHEN doc_id % 3 = 0 THEN $dBmpH
          |            WHEN doc_id % 3 = 1 THEN 1
-         |            ELSE n_chars % 480 + 1 END AS INT) AS height,
+         |            ELSE $dVidH END AS INT) AS height,
          |  TRUE AS header_ok
          |FROM documents ORDER BY doc_id""".stripMargin,
     "m_resize" ->
       s"""WITH r AS (SELECT doc_id, text, n_chars,
-         |    greatest(1, $dBmpW // 2) AS w2, greatest(1, $dBmpH // 2) AS h2
+         |    greatest(1, $dBmpW // 2) AS w2, greatest(1, $dBmpH // 2) AS h2,
+         |    greatest(1, $dVidW // 2) AS vw2, greatest(1, $dVidH // 2) AS vh2
          |  FROM documents)
          |SELECT doc_id, $dModality AS modality,
          |  CAST(CASE WHEN doc_id % 3 = 0 THEN w2
          |            WHEN doc_id % 3 = 1 THEN (strlen(text) + 1) // 2
-         |            ELSE greatest(1, (n_chars % 640 + 1) // 2) END AS INT) AS width_out,
+         |            ELSE vw2 END AS INT) AS width_out,
          |  CAST(CASE WHEN doc_id % 3 = 0 THEN h2
          |            WHEN doc_id % 3 = 1 THEN 1
-         |            ELSE greatest(1, (n_chars % 480 + 1) // 2) END AS INT) AS height_out,
+         |            ELSE vh2 END AS INT) AS height_out,
          |  CAST(CASE WHEN doc_id % 3 = 0 THEN 54 + ((w2 * 3 + 3) // 4 * 4) * h2
          |            WHEN doc_id % 3 = 1 THEN 44 + (strlen(text) + 1) // 2
-         |            ELSE 16 + (strlen(text) + 1) // 2 END AS INT) AS n_bytes_out
+         |            ELSE ${dY4mHeader("vw2", "vh2")} + $dVidFrames * (6 + vw2 * vh2 * 3)
+         |       END AS INT) AS n_bytes_out
          |FROM r ORDER BY doc_id""".stripMargin,
     "m_frames" ->
       s"""WITH m AS (SELECT doc_id,
-         |    CASE WHEN doc_id % 3 = 0 THEN $dBmpBytes - 54 ELSE strlen(text) END AS body
+         |    CASE WHEN doc_id % 3 = 0 THEN $dBmpBytes - 54 ELSE strlen(text) END AS body,
+         |    $dVidFrames AS vid_frames, $dVidW * $dVidH * 3 AS vid_fsz
          |  FROM documents),
-         |f AS (SELECT doc_id, body, (body + 15) // 16 AS n_frames FROM m)
+         |f AS (SELECT doc_id, body, vid_frames, vid_fsz,
+         |        CASE WHEN doc_id % 3 = 2 THEN vid_frames ELSE (body + 15) // 16 END AS n_frames
+         |      FROM m)
          |SELECT doc_id, $dModality AS modality,
          |  CAST(n_frames AS INT) AS n_frames,
          |  CAST((n_frames + 3) // 4 AS INT) AS n_frames_kept,
-         |  CAST(CASE WHEN n_frames = 0 THEN 0 ELSE
-         |    ((n_frames + 3) // 4) * 16 -
-         |    (CASE WHEN (n_frames - 1) % 4 = 0 AND body % 16 <> 0 THEN 16 - body % 16 ELSE 0 END)
+         |  CAST(CASE
+         |    WHEN doc_id % 3 = 2 THEN ((n_frames + 3) // 4) * vid_fsz
+         |    WHEN n_frames = 0 THEN 0
+         |    ELSE ((n_frames + 3) // 4) * 16 -
+         |      (CASE WHEN (n_frames - 1) % 4 = 0 AND body % 16 <> 0 THEN 16 - body % 16 ELSE 0 END)
          |  END AS INT) AS n_bytes_kept
          |FROM f ORDER BY doc_id""".stripMargin,
     "m_feature_summary" ->
@@ -738,10 +755,10 @@ object SparkEntry {
          |  COUNT(*) AS n,
          |  SUM(CASE WHEN doc_id % 3 = 0 THEN $dBmpBytes
          |           WHEN doc_id % 3 = 1 THEN 44 + strlen(text)
-         |           ELSE 16 + strlen(text) END)::BIGINT AS total_bytes,
+         |           ELSE $dVidBytes END)::BIGINT AS total_bytes,
          |  MAX(CAST(CASE WHEN doc_id % 3 = 0 THEN $dBmpW
          |               WHEN doc_id % 3 = 1 THEN strlen(text)
-         |               ELSE n_chars % 640 + 1 END AS INT)) AS max_width,
+         |               ELSE $dVidW END AS INT)) AS max_width,
          |  MIN(1) AS all_headers_ok
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )

@@ -178,4 +178,92 @@ object MediaCodec {
       while (i < n2) { out(i) = bytes(info.dataOffset + i * factor); i += 1 }
       encodeWav(out, info.sampleRate)
     }
+
+  // ------------------------------------------------------------------ Y4M
+
+  /** Decoded YUV4MPEG2 facts: stream-header dims, frame geometry, mean of
+    * all frame-plane bytes (FRAME markers excluded). */
+  final case class Y4mInfo(width: Int, height: Int, nFrames: Int,
+                           frameSize: Int, headerLen: Int, meanByte: Double)
+
+  private def y4mHeader(width: Int, height: Int): String =
+    s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C444\n"
+
+  private val FrameMarker = "FRAME\n".getBytes("US-ASCII")
+
+  /** YUV4MPEG2, C444 (one byte per component, frame = W·H·3 bytes): text
+    * stream header, then `FRAME\n` + raw planes per frame. Each element of
+    * `frames` must be exactly `width*height*3` bytes. */
+  def encodeY4m(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.forall(_.length == width * height * 3),
+      s"bad Y4M encode args: ${width}x$height")
+    val header = y4mHeader(width, height).getBytes("US-ASCII")
+    val out = ByteBuffer.allocate(header.length + frames.map(f => 6 + f.length).sum)
+    out.put(header)
+    frames.foreach { f => out.put(FrameMarker); out.put(f) }
+    out.array()
+  }
+
+  /** Defensive Y4M parse: header tokens, then a strict FRAME walk — every
+    * frame complete, no trailing garbage. None on any violation. */
+  def decodeY4m(bytes: Array[Byte]): Option[Y4mInfo] = {
+    val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+    if (bytes.length < magic.length || !bytes.take(magic.length).sameElements(magic)) return None
+    val nl = bytes.indexOf('\n'.toByte)
+    if (nl < 0) return None
+    val tokens = new String(bytes, 0, nl, "US-ASCII").split(" ")
+    def tok(prefix: String): Option[String] =
+      tokens.find(t => t.startsWith(prefix) && t.length > prefix.length).map(_.drop(prefix.length))
+    val width = tok("W").flatMap(_.toIntOption).getOrElse(return None)
+    val height = tok("H").flatMap(_.toIntOption).getOrElse(return None)
+    if (width <= 0 || height <= 0 || width > (1 << 15) || height > (1 << 15)) return None
+    if (!tokens.contains("C444")) return None // only the encoded colourspace
+    val frameSize = width * height * 3
+    var off = nl + 1
+    var n = 0
+    var sum = 0L
+    while (off < bytes.length) {
+      if (off + FrameMarker.length > bytes.length ||
+          !java.util.Arrays.equals(bytes, off, off + FrameMarker.length,
+            FrameMarker, 0, FrameMarker.length)) return None
+      off += FrameMarker.length
+      if (off.toLong + frameSize > bytes.length) return None // truncated frame
+      var i = 0
+      while (i < frameSize) { sum += bytes(off + i) & 0xff; i += 1 }
+      off += frameSize
+      n += 1
+    }
+    val total = n.toLong * frameSize
+    Some(Y4mInfo(width, height, n, frameSize, nl + 1,
+      if (total == 0) 0.0 else sum.toDouble / total))
+  }
+
+  /** Nearest-neighbor downsample of every frame by `factor`, re-encoded.
+    * None if input isn't valid C444 Y4M. */
+  def resizeY4m(bytes: Array[Byte], factor: Int): Option[Array[Byte]] =
+    decodeY4m(bytes).map { info =>
+      val w2 = math.max(1, info.width / factor)
+      val h2 = math.max(1, info.height / factor)
+      val frames = (0 until info.nFrames).map { f =>
+        val base = info.headerLen + f * (FrameMarker.length + info.frameSize) + FrameMarker.length
+        val out = new Array[Byte](w2 * h2 * 3)
+        var y = 0
+        while (y < h2) {
+          val srcY = math.min(info.height - 1, y * factor)
+          var x = 0
+          while (x < w2) {
+            val srcX = math.min(info.width - 1, x * factor)
+            var c = 0
+            while (c < 3) {
+              out(3 * (y * w2 + x) + c) = bytes(base + 3 * (srcY * info.width + srcX) + c)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+      encodeY4m(w2, h2, frames)
+    }
 }

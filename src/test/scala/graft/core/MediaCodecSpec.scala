@@ -111,6 +111,44 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(img.getWidth == 5 && img.getHeight == 3)
   }
 
+  test("Y4M round-trip: header dims, frame count, frame size, mean") {
+    val (w, h) = (3, 2)
+    val frames = Seq(pixels(3, 2), pixels(3, 2).map(b => (b + 1).toByte))
+    val bytes = MediaCodec.encodeY4m(w, h, frames)
+    // byte-exact container layout: public YUV4MPEG2 text header + markers
+    val s = new String(bytes, "ISO-8859-1")
+    assert(s.startsWith("YUV4MPEG2 W3 H2 F25:1 Ip A1:1 C444\n"))
+    assert(s.indexOf("FRAME\n") == 35)
+    assert(s.indexOf("FRAME\n", 36) == 35 + 6 + 18)
+    val info = MediaCodec.decodeY4m(bytes).get
+    assert(info.width == 3 && info.height == 2 && info.nFrames == 2 && info.frameSize == 18)
+    val all = frames.flatten
+    val mean = all.iterator.map(b => (b & 0xff).toLong).sum.toDouble / all.size
+    assert(math.abs(info.meanByte - mean) < 1e-9)
+  }
+
+  test("Y4M resize halves dims per frame and keeps the frame count") {
+    val frames = Seq.fill(3)(pixels(8, 6))
+    val out = MediaCodec.resizeY4m(MediaCodec.encodeY4m(8, 6, frames), 2).get
+    val info = MediaCodec.decodeY4m(out).get
+    assert(info.width == 4 && info.height == 3 && info.nFrames == 3)
+  }
+
+  test("Y4M decoder rejects truncation, bad markers, and wrong colourspace") {
+    val good = MediaCodec.encodeY4m(3, 2, Seq(pixels(3, 2))) // header 35 + 6 + 18
+    // every truncation must return without throwing; the only valid prefix
+    // shorter than the full stream is the bare header (a legal 0-frame clip)
+    for (n <- 0 until good.length) {
+      val d = MediaCodec.decodeY4m(good.take(n))
+      if (n == 35) assert(d.exists(_.nFrames == 0), s"len $n")
+      else assert(d.isEmpty, s"len $n")
+    }
+    val badMarker = good.clone(); badMarker(35) = 'G'
+    assert(MediaCodec.decodeY4m(badMarker).isEmpty)
+    val c420 = new String(good, "ISO-8859-1").replace("C444", "C420")
+    assert(MediaCodec.decodeY4m(c420.getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("WAV downsample keeps exactly every factor-th sample") {
     val samples = Array.tabulate(11)(i => (i + 1).toByte)
     val out = MediaCodec.downsampleWav(MediaCodec.encodeWav(samples), 4).get
