@@ -110,6 +110,20 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(viaCogroup == want)
   }
 
+  test("segmentAuto routes both branches to identical segments") {
+    import spark.implicits._
+    val turns = SyntheticTranscripts.turns(spark, NConvs, Seed).as[Turn]
+    val rules = SyntheticTranscripts.rules(spark, NConvs, Seed)
+    val want = (0L until NConvs).flatMap(oracleSegments).sortBy(s => (s.conv_id, s.Sequence.toInt))
+    // rule count under the limit → broadcast fused; limit 0 → fused cogroup
+    val viaBroadcast = Pipeline.segmentAuto(turns, rules, broadcastRuleLimit = 1000000L)
+      .collect().sortBy(s => (s.conv_id, s.Sequence.toInt)).toSeq
+    val viaCogroup = Pipeline.segmentAuto(turns, rules, broadcastRuleLimit = 0L)
+      .collect().sortBy(s => (s.conv_id, s.Sequence.toInt)).toSeq
+    assert(viaBroadcast == want)
+    assert(viaCogroup == want)
+  }
+
   test("extraction lineage counts rows and isolates failures") {
     import spark.implicits._
     val good = SyntheticTranscripts.turns(spark, 5, Seed).as[Turn]
