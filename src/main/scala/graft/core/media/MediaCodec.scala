@@ -53,8 +53,10 @@ object MediaCodec {
     bb.array()
   }
 
-  /** Defensive BMP parse; None on any structural violation. */
-  def decodeBmp(bytes: Array[Byte]): Option[BmpInfo] = {
+  /** Header-only BMP parse: every structural check, no body scan
+    * (`meanPixel` left 0). The cheap path for plumbing that needs offsets
+    * and dims only. */
+  def bmpHeaderInfo(bytes: Array[Byte]): Option[BmpInfo] = {
     if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val pixelOffset = bb.getInt(10)
@@ -71,23 +73,29 @@ object MediaCodec {
     val rs = rowSize(width)
     if (pixelOffset < 54 || pixelOffset.toLong + rs.toLong * height > bytes.length)
       return None
-    var sum = 0L
-    var y = 0
-    while (y < height) {
-      val rowStart = pixelOffset + y * rs
-      var x = 0
-      while (x < width * 3) { sum += bytes(rowStart + x) & 0xff; x += 1 }
-      y += 1
-    }
-    val n = width.toLong * height * 3
-    Some(BmpInfo(width, height, bpp, pixelOffset, sum.toDouble / n))
+    Some(BmpInfo(width, height, bpp, pixelOffset, 0.0))
   }
 
+  /** Defensive BMP parse incl. pixel statistics; None on any violation. */
+  def decodeBmp(bytes: Array[Byte]): Option[BmpInfo] =
+    bmpHeaderInfo(bytes).map { info =>
+      val rs = rowSize(info.width)
+      var sum = 0L
+      var y = 0
+      while (y < info.height) {
+        val rowStart = info.pixelOffset + y * rs
+        var x = 0
+        while (x < info.width * 3) { sum += bytes(rowStart + x) & 0xff; x += 1 }
+        y += 1
+      }
+      info.copy(meanPixel = sum.toDouble / (info.width.toLong * info.height * 3))
+    }
+
   /** Nearest-neighbor downsample by `factor` (pixel (x,y) ← source
-    * (x*factor, y*factor)), re-encoded as BMP. None if input isn't a valid
-    * 24-bpp BMP. */
-  def resizeBmp(bytes: Array[Byte], factor: Int): Option[Array[Byte]] =
-    decodeBmp(bytes).map { info =>
+    * (x*factor, y*factor)), re-encoded as BMP; returns (w2, h2, bytes) so
+    * callers need no second decode. None if input isn't valid 24-bpp BMP. */
+  def resizeBmp(bytes: Array[Byte], factor: Int): Option[(Int, Int, Array[Byte])] =
+    bmpHeaderInfo(bytes).map { info =>
       val w2 = math.max(1, info.width / factor)
       val h2 = math.max(1, info.height / factor)
       val rs = rowSize(info.width)
@@ -107,7 +115,7 @@ object MediaCodec {
         }
         y += 1
       }
-      encodeBmp(w2, h2, out)
+      (w2, h2, encodeBmp(w2, h2, out))
     }
 
   // ------------------------------------------------------------------ WAV
@@ -136,9 +144,9 @@ object MediaCodec {
     bb.array()
   }
 
-  /** Defensive RIFF chunk walk; tolerates extra chunks between fmt and
-    * data; None on any structural violation. */
-  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+  /** Header-only RIFF chunk walk (no sample scan, `meanSample` left 0);
+    * tolerates extra chunks between fmt and data; None on any violation. */
+  def wavHeaderInfo(bytes: Array[Byte]): Option[WavInfo] = {
     def ascii(off: Int, n: Int): String =
       if (off + n <= bytes.length) new String(bytes, off, n, "US-ASCII") else ""
     if (bytes.length < 44 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
@@ -160,23 +168,29 @@ object MediaCodec {
       }
       off += 8 + size + (size & 1) // RIFF chunks are word-aligned
     }
-    for ((rate, ch, bits) <- fmt; (dOff, dLen) <- data) yield {
-      var sum = 0L
-      var i = 0
-      while (i < dLen) { sum += bytes(dOff + i) & 0xff; i += 1 }
-      WavInfo(rate, ch, bits, dLen, dOff, if (dLen == 0) 0.0 else sum.toDouble / dLen)
-    }
+    for ((rate, ch, bits) <- fmt; (dOff, dLen) <- data)
+      yield WavInfo(rate, ch, bits, dLen, dOff, 0.0)
   }
 
+  /** Defensive WAV parse incl. sample statistics; None on any violation. */
+  def decodeWav(bytes: Array[Byte]): Option[WavInfo] =
+    wavHeaderInfo(bytes).map { info =>
+      var sum = 0L
+      var i = 0
+      while (i < info.nSamples) { sum += bytes(info.dataOffset + i) & 0xff; i += 1 }
+      info.copy(meanSample = if (info.nSamples == 0) 0.0 else sum.toDouble / info.nSamples)
+    }
+
   /** Keep every `factor`-th sample (indices 0, factor, 2·factor, …),
-    * re-encoded at the same rate. None if input isn't valid PCM WAV. */
-  def downsampleWav(bytes: Array[Byte], factor: Int): Option[Array[Byte]] =
-    decodeWav(bytes).map { info =>
+    * re-encoded at the same rate; returns (kept sample count, bytes). None
+    * if input isn't valid PCM WAV. */
+  def downsampleWav(bytes: Array[Byte], factor: Int): Option[(Int, Array[Byte])] =
+    wavHeaderInfo(bytes).map { info =>
       val n2 = (info.nSamples + factor - 1) / factor
       val out = new Array[Byte](n2)
       var i = 0
       while (i < n2) { out(i) = bytes(info.dataOffset + i * factor); i += 1 }
-      encodeWav(out, info.sampleRate)
+      (n2, encodeWav(out, info.sampleRate))
     }
 
   // ------------------------------------------------------------------ Y4M
@@ -204,9 +218,16 @@ object MediaCodec {
     out.array()
   }
 
-  /** Defensive Y4M parse: header tokens, then a strict FRAME walk — every
-    * frame complete, no trailing garbage. None on any violation. */
-  def decodeY4m(bytes: Array[Byte]): Option[Y4mInfo] = {
+  /** Header-only Y4M parse: header tokens + strict FRAME walk (marker and
+    * length checks, no byte summing — `meanByte` left 0). */
+  def y4mHeaderInfo(bytes: Array[Byte]): Option[Y4mInfo] = y4mParse(bytes, withStats = false)
+
+  /** Defensive Y4M parse incl. plane statistics; None on any violation. */
+  def decodeY4m(bytes: Array[Byte]): Option[Y4mInfo] = y4mParse(bytes, withStats = true)
+
+  /** Header tokens, then a strict FRAME walk — every frame complete, no
+    * trailing garbage. None on any violation. */
+  private def y4mParse(bytes: Array[Byte], withStats: Boolean): Option[Y4mInfo] = {
     val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
     if (bytes.length < magic.length || !bytes.take(magic.length).sameElements(magic)) return None
     val nl = bytes.indexOf('\n'.toByte)
@@ -216,7 +237,10 @@ object MediaCodec {
       tokens.find(t => t.startsWith(prefix) && t.length > prefix.length).map(_.drop(prefix.length))
     val width = tok("W").flatMap(_.toIntOption).getOrElse(return None)
     val height = tok("H").flatMap(_.toIntOption).getOrElse(return None)
-    if (width <= 0 || height <= 0 || width > (1 << 15) || height > (1 << 15)) return None
+    // dim caps keep frameSize = W*H*3 far from Int overflow (a crafted
+    // 32768x32768 header would otherwise wrap frameSize negative and crash
+    // the walk instead of returning None)
+    if (width <= 0 || height <= 0 || width > (1 << 12) || height > (1 << 12)) return None
     if (!tokens.contains("C444")) return None // only the encoded colourspace
     val frameSize = width * height * 3
     var off = nl + 1
@@ -228,8 +252,10 @@ object MediaCodec {
             FrameMarker, 0, FrameMarker.length)) return None
       off += FrameMarker.length
       if (off.toLong + frameSize > bytes.length) return None // truncated frame
-      var i = 0
-      while (i < frameSize) { sum += bytes(off + i) & 0xff; i += 1 }
+      if (withStats) {
+        var i = 0
+        while (i < frameSize) { sum += bytes(off + i) & 0xff; i += 1 }
+      }
       off += frameSize
       n += 1
     }
@@ -238,10 +264,10 @@ object MediaCodec {
       if (total == 0) 0.0 else sum.toDouble / total))
   }
 
-  /** Nearest-neighbor downsample of every frame by `factor`, re-encoded.
-    * None if input isn't valid C444 Y4M. */
-  def resizeY4m(bytes: Array[Byte], factor: Int): Option[Array[Byte]] =
-    decodeY4m(bytes).map { info =>
+  /** Nearest-neighbor downsample of every frame by `factor`, re-encoded;
+    * returns (w2, h2, bytes). None if input isn't valid C444 Y4M. */
+  def resizeY4m(bytes: Array[Byte], factor: Int): Option[(Int, Int, Array[Byte])] =
+    y4mHeaderInfo(bytes).map { info =>
       val w2 = math.max(1, info.width / factor)
       val h2 = math.max(1, info.height / factor)
       val frames = (0 until info.nFrames).map { f =>
@@ -264,6 +290,6 @@ object MediaCodec {
         }
         out
       }
-      encodeY4m(w2, h2, frames)
+      (w2, h2, encodeY4m(w2, h2, frames))
     }
 }

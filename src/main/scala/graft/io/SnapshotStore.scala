@@ -177,8 +177,14 @@ object ResumableJob {
           val n = attempts(workRoot, b) + 1
           atomicWrite(attemptsPath(workRoot, b), n.toString)
           if (n >= maxAttempts) {
-            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replace("\\", "\\\\").replace("\"", "\\\"")
+            // full JSON string escape: Spark exception messages routinely
+            // span lines — a raw newline would corrupt the quarantine record
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName).flatMap {
+              case '"' => "\\\""
+              case '\\' => "\\\\"
+              case c if c < ' ' => f"\\u${c.toInt}%04x"
+              case c => c.toString
+            }
             atomicWrite(quarantinePath(workRoot, b),
               s"""{"bucket": $b, "convs": [$lo, $hi), "attempts": $n, "error": "$msg"}""")
           }

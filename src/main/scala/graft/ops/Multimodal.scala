@@ -32,12 +32,13 @@ object Multimodal {
 
   private def textBytes(text: String): Array[Byte] = text.getBytes("UTF-8")
 
-  /** Body bytes cycling the document text (zero-filled when empty). */
-  private def cycled(body: Array[Byte], n: Int): Array[Byte] = {
+  /** `n` bytes cycling the document text from `off` (zero-filled when
+    * empty) — indexes in place, no per-frame array copies. */
+  private def cycled(body: Array[Byte], n: Int, off: Int = 0): Array[Byte] = {
     val out = new Array[Byte](n)
     if (body.nonEmpty) {
       var i = 0
-      while (i < n) { out(i) = body(i % body.length); i += 1 }
+      while (i < n) { out(i) = body((off + i) % body.length); i += 1 }
     }
     out
   }
@@ -67,8 +68,7 @@ object Multimodal {
             val w = (nChars % 16 + 1).toInt
             val h = (nChars % 12 + 1).toInt
             val nFrames = body.length / 64 + 1
-            val frames = (0 until nFrames).map(f =>
-              cycled(body.drop(f * 64), w * h * 3))
+            val frames = (0 until nFrames).map(f => cycled(body, w * h * 3, off = f * 64))
             MediaRow(id, "video", MediaCodec.encodeY4m(w, h, frames))
         }
     }
@@ -95,11 +95,12 @@ object Multimodal {
     else (0, 0, 0.0, false)
 
   /** Offset of the decoded payload body (BMP pixel array / WAV data chunk /
-    * Y4M first frame marker) — read from the PARSED headers, not assumed. */
+    * Y4M first frame marker) — read from the PARSED headers (header-only
+    * variants: no body scan on this path), not assumed. */
   def bodyOffset(payload: Array[Byte]): Int =
-    if (isBmp(payload)) MediaCodec.decodeBmp(payload).map(_.pixelOffset).getOrElse(payload.length)
-    else if (isWav(payload)) MediaCodec.decodeWav(payload).map(_.dataOffset).getOrElse(payload.length)
-    else if (isY4m(payload)) MediaCodec.decodeY4m(payload).map(_.headerLen).getOrElse(payload.length)
+    if (isBmp(payload)) MediaCodec.bmpHeaderInfo(payload).map(_.pixelOffset).getOrElse(payload.length)
+    else if (isWav(payload)) MediaCodec.wavHeaderInfo(payload).map(_.dataOffset).getOrElse(payload.length)
+    else if (isY4m(payload)) MediaCodec.y4mHeaderInfo(payload).map(_.headerLen).getOrElse(payload.length)
     else payload.length
 
   /** Batched feature extraction: one decode loop per partition (batch shape
@@ -123,21 +124,20 @@ object Multimodal {
       n_bytes_out: Int)
 
   /** Downsample by `factor`: BMP/Y4M → nearest-neighbor re-encode; WAV →
-    * every `factor`-th sample re-encoded. Unparseable payloads yield a
-    * zero row. */
+    * every `factor`-th sample re-encoded. The codecs report the output
+    * dims, so nothing is decoded twice. Unparseable payloads yield a zero
+    * row. */
   def resizePayload(payload: Array[Byte], factor: Int): (Int, Int, Array[Byte]) = {
     if (isBmp(payload))
-      MediaCodec.resizeBmp(payload, factor).flatMap { out =>
-        MediaCodec.decodeBmp(out).map(i => (i.width, i.height, out))
-      }.getOrElse((0, 0, Array.empty[Byte]))
+      MediaCodec.resizeBmp(payload, factor)
+        .getOrElse((0, 0, Array.empty[Byte]))
     else if (isWav(payload))
-      MediaCodec.downsampleWav(payload, factor).flatMap { out =>
-        MediaCodec.decodeWav(out).map(i => (i.nSamples, 1, out))
-      }.getOrElse((0, 0, Array.empty[Byte]))
+      MediaCodec.downsampleWav(payload, factor)
+        .map { case (n2, out) => (n2, 1, out) }
+        .getOrElse((0, 0, Array.empty[Byte]))
     else if (isY4m(payload))
-      MediaCodec.resizeY4m(payload, factor).flatMap { out =>
-        MediaCodec.decodeY4m(out).map(i => (i.width, i.height, out))
-      }.getOrElse((0, 0, Array.empty[Byte]))
+      MediaCodec.resizeY4m(payload, factor)
+        .getOrElse((0, 0, Array.empty[Byte]))
     else (0, 0, Array.empty[Byte])
   }
 
@@ -168,7 +168,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      MediaCodec.decodeY4m(m.payload) match {
+      MediaCodec.y4mHeaderInfo(m.payload) match {
         case Some(info) =>
           val kept = (info.nFrames + stride - 1) / stride
           FrameSample(m.doc_id, m.modality, info.nFrames, kept, kept * info.frameSize)

@@ -203,16 +203,22 @@ object Pipeline {
       .as[(String, Int, String, String)]
       .groupByKey(_._1)
       .cogroup(rules.groupByKey(_.conv_id)) { (cid, ts, rs) =>
-        val pages = ts.toVector.sortBy(_._2).map { t =>
-          val (ex, err) = Extractor.safeExtract(t._3, t._4)
-          if (err) errorCounter.foreach(_.add(1L))
-          ex.text
-        }
-        Demarcator.demarcate(pages, rs.map(toCoreRule).toSeq).iterator.map { r =>
-          ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber,
-            r.ToPageNumber, r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
-            r.UploadDataSheetId.getOrElse(0L), r.TotalNumberOfpages, r.NoOfPages,
-            r.Sequence.getOrElse(""), r.SessionId.getOrElse(""))
+        // an orphan rule (conv_id with no turns) emits NOTHING — identical
+        // to the turns-driven broadcast route, so segmentAuto's routing
+        // threshold can never change results
+        if (!ts.hasNext) Iterator.empty
+        else {
+          val pages = ts.toVector.sortBy(_._2).map { t =>
+            val (ex, err) = Extractor.safeExtract(t._3, t._4)
+            if (err) errorCounter.foreach(_.add(1L))
+            ex.text
+          }
+          Demarcator.demarcate(pages, rs.map(toCoreRule).toSeq).iterator.map { r =>
+            ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber,
+              r.ToPageNumber, r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
+              r.UploadDataSheetId.getOrElse(0L), r.TotalNumberOfpages, r.NoOfPages,
+              r.Sequence.getOrElse(""), r.SessionId.getOrElse(""))
+          }
         }
       }
   }
@@ -250,13 +256,18 @@ object Pipeline {
       .as[(String, Int, String)]
       .groupByKey(_._1)
       .cogroup(rules.groupByKey(_.conv_id)) { (cid, ts, rs) =>
-        val pages = ts.toVector.sortBy(_._2).map(_._3)
-        val coreRules = rs.map(toCoreRule).toSeq
-        Demarcator.demarcate(pages, coreRules).iterator.map { r =>
-          ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber,
-            r.ToPageNumber, r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
-            r.UploadDataSheetId.getOrElse(0L), r.TotalNumberOfpages, r.NoOfPages,
-            r.Sequence.getOrElse(""), r.SessionId.getOrElse(""))
+        // orphan rules (no turns for the conv) emit nothing — matches the
+        // broadcast routes (see segmentFusedCogroup)
+        if (!ts.hasNext) Iterator.empty
+        else {
+          val pages = ts.toVector.sortBy(_._2).map(_._3)
+          val coreRules = rs.map(toCoreRule).toSeq
+          Demarcator.demarcate(pages, coreRules).iterator.map { r =>
+            ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber,
+              r.ToPageNumber, r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
+              r.UploadDataSheetId.getOrElse(0L), r.TotalNumberOfpages, r.NoOfPages,
+              r.Sequence.getOrElse(""), r.SessionId.getOrElse(""))
+          }
         }
       }
   }

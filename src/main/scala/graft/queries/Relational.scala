@@ -170,19 +170,26 @@ object Relational {
       .repartitionByRange(p, col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
       .sortWithinPartitions("o_orderpriority", "o_totalprice", "o_orderkey")
       .persist()
-    val idx = parts.rdd.zipWithIndex.map { case (r, i) => (r.getString(0), r.getDouble(1), i) }
-    val idxDF = spark.createDataset(idx).toDF("o_orderpriority", "price", "gidx")
-    val stats = idxDF.groupBy("o_orderpriority")
-      .agg(min("gidx").as("start"), count(lit(1)).as("n"))
-    idxDF.join(broadcast(stats), "o_orderpriority")
-      .withColumn("rn", col("gidx") - col("start") + 1)
-      .where(col("rn") === expr("(n + 1) DIV 2") || col("rn") === expr("(n * 9 + 9) DIV 10"))
-      .groupBy("o_orderpriority")
-      .agg(
-        max(when(col("rn") === expr("(n + 1) DIV 2"), col("price"))).as("p50"),
-        max(when(col("rn") === expr("(n * 9 + 9) DIV 10"), col("price"))).as("p90"),
-        max("n").as("n"))
-      .orderBy("o_orderpriority")
+    try {
+      val idx = parts.rdd.zipWithIndex.map { case (r, i) => (r.getString(0), r.getDouble(1), i) }
+      val idxDF = spark.createDataset(idx).toDF("o_orderpriority", "price", "gidx")
+      val stats = idxDF.groupBy("o_orderpriority")
+        .agg(min("gidx").as("start"), count(lit(1)).as("n"))
+      val res = idxDF.join(broadcast(stats), "o_orderpriority")
+        .withColumn("rn", col("gidx") - col("start") + 1)
+        .where(col("rn") === expr("(n + 1) DIV 2") || col("rn") === expr("(n * 9 + 9) DIV 10"))
+        .groupBy("o_orderpriority")
+        .agg(
+          max(when(col("rn") === expr("(n + 1) DIV 2"), col("price"))).as("p50"),
+          max(when(col("rn") === expr("(n * 9 + 9) DIV 10"), col("price"))).as("p90"),
+          max("n").as("n"))
+        .orderBy("o_orderpriority")
+      // materialize the G-row result so the cached sort can be RELEASED
+      // here (repeated calls would otherwise accumulate cached copies for
+      // the session lifetime); G ≈ #groups, a handful of rows
+      val rows = res.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    } finally parts.unpersist(blocking = false)
   }
 
   /** Correlated-style aggregate: orders above their customer's average

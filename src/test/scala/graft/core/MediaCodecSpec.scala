@@ -104,7 +104,8 @@ class MediaCodecSpec extends AnyFunSuite {
 
   test("nearest-neighbor BMP resize halves dims and remains ImageIO-readable") {
     val (w, h) = (10, 7)
-    val out = MediaCodec.resizeBmp(MediaCodec.encodeBmp(w, h, pixels(w, h)), 2).get
+    val (w2, h2, out) = MediaCodec.resizeBmp(MediaCodec.encodeBmp(w, h, pixels(w, h)), 2).get
+    assert(w2 == 5 && h2 == 3)
     val info = MediaCodec.decodeBmp(out).get
     assert(info.width == 5 && info.height == 3)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
@@ -129,7 +130,8 @@ class MediaCodecSpec extends AnyFunSuite {
 
   test("Y4M resize halves dims per frame and keeps the frame count") {
     val frames = Seq.fill(3)(pixels(8, 6))
-    val out = MediaCodec.resizeY4m(MediaCodec.encodeY4m(8, 6, frames), 2).get
+    val (w2, h2, out) = MediaCodec.resizeY4m(MediaCodec.encodeY4m(8, 6, frames), 2).get
+    assert(w2 == 4 && h2 == 3)
     val info = MediaCodec.decodeY4m(out).get
     assert(info.width == 4 && info.height == 3 && info.nFrames == 3)
   }
@@ -147,13 +149,18 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodeY4m(badMarker).isEmpty)
     val c420 = new String(good, "ISO-8859-1").replace("C444", "C420")
     assert(MediaCodec.decodeY4m(c420.getBytes("ISO-8859-1")).isEmpty)
+    // crafted dims whose frame size would overflow Int must be rejected,
+    // not crash the frame walk
+    val huge = "YUV4MPEG2 W32768 H32768 F25:1 Ip A1:1 C444\nFRAME\n".getBytes("US-ASCII")
+    assert(MediaCodec.decodeY4m(huge).isEmpty)
   }
 
   test("WAV downsample keeps exactly every factor-th sample") {
     val samples = Array.tabulate(11)(i => (i + 1).toByte)
-    val out = MediaCodec.downsampleWav(MediaCodec.encodeWav(samples), 4).get
+    val (n2, out) = MediaCodec.downsampleWav(MediaCodec.encodeWav(samples), 4).get
+    assert(n2 == 3) // indices 0, 4, 8
     val info = MediaCodec.decodeWav(out).get
-    assert(info.nSamples == 3) // indices 0, 4, 8
+    assert(info.nSamples == 3)
     assert(out.slice(info.dataOffset, info.dataOffset + 3).toSeq == Seq[Byte](1, 5, 9))
   }
 }

@@ -124,6 +124,25 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(viaCogroup == want)
   }
 
+  test("orphan rules (conv_id with no turns) emit nothing on every route") {
+    import spark.implicits._
+    // rules exist for 5 conversations but turns only for 3: the routing
+    // threshold must never change results, so the cogroup routes drop the
+    // orphans exactly like the turns-driven broadcast route
+    val turns = SyntheticTranscripts.turns(spark, 3, Seed).as[Turn]
+    val rules5 = SyntheticTranscripts.rules(spark, 5, Seed)
+    val want = (0L until 3L).flatMap(oracleSegments).sortBy(s => (s.conv_id, s.Sequence.toInt))
+    val viaBroadcast = Pipeline.segmentAuto(turns, rules5, broadcastRuleLimit = 1000000L)
+      .collect().sortBy(s => (s.conv_id, s.Sequence.toInt)).toSeq
+    val viaFusedCogroup = Pipeline.segmentAuto(turns, rules5, broadcastRuleLimit = 0L)
+      .collect().sortBy(s => (s.conv_id, s.Sequence.toInt)).toSeq
+    val viaCogroup = Pipeline.segmentCogroup(Pipeline.extract(turns), rules5)
+      .collect().sortBy(s => (s.conv_id, s.Sequence.toInt)).toSeq
+    assert(viaBroadcast == want)
+    assert(viaFusedCogroup == want)
+    assert(viaCogroup == want)
+  }
+
   test("extraction lineage counts rows and isolates failures") {
     import spark.implicits._
     val good = SyntheticTranscripts.turns(spark, 5, Seed).as[Turn]
