@@ -354,9 +354,10 @@ object ScalingBench {
          |hit every level; double warmup + timed reps to convergence (more
          |reps at higher core counts — cheaper reps, slower wall-clock JIT
          |convergence); per-level min reported. Headline efficiency = max of
-         |the min-based estimate and the per-round pairs: tenant noise only
-         |SLOWS a level, so each estimator is a lower bound of the software
-         |scaling ratio.
+         |the min-based estimate and the per-round pairs whose baseline
+         |level ran within 15% of its global best: relative to the cleanest
+         |observed baseline, tenant noise can then only depress a ratio, so
+         |each estimator is a lower bound of the software scaling ratio.
          |
          |Input: ${res.nConvs} conversations, ${res.nTurns} turns
          |(deterministic synthetic corpus, seed 42, hot-conversation skew
