@@ -205,6 +205,9 @@ object Similarity {
       .as[(Long, Array[Double])]
       .collect().sortBy(_._1)
     require(cents.nonEmpty, s"annIvf: corpus has no vec_id < $nCells to seed cells")
+    require(cents.length.toLong * cents.map(_._2.length).max <= (1L << 18),
+      "annIvf: inlined centroid literals would exceed a sane expression size — " +
+        "for this many cells/dims switch assignment to a broadcast join + argmax window")
     def lit(d: Double) = s"CAST('$d' AS DOUBLE)"
     val simArray = cents.map { case (_, cv) =>
       val norm = math.sqrt(cv.map(x => x * x).sum)
