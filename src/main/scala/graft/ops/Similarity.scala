@@ -114,7 +114,11 @@ object Similarity {
     * accuracy as a first-class, oracle-checked query. Exact integer ppm so
     * the number is engine-reproducible. */
   def annRecall(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    // the truth set is nQueries·k rows but sits under five join/agg
+    // branches — materialize it once instead of recomputing brute-force
+    // kNN per branch
     val truth = knnBruteForce(embeddings, nQueries, k).select("query_id", "neighbor_id")
+      .localCheckpoint(true)
     def row(method: String, ann: DataFrame): DataFrame =
       truth.join(ann.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as("n_hits"))
