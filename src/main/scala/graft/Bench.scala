@@ -15,6 +15,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // 60k convs (~1.07M turns): large enough that fixed per-job overhead
+    // doesn't bias the high-core level; the alternating-burst protocol
+    // still fits ~6-8 burst pairs in the budget (noise robustness comes
+    // from sample count, warmup is paid once per level)
     val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "60000").toLong
 
     val spark = graft.bench.Scaling.session(cpus)
@@ -36,7 +40,7 @@ object Bench {
         @volatile var res: Option[graft.bench.Scaling.Result] = None
         val t = new Thread(() =>
           try res = Some(graft.bench.Scaling.run(scaleConvs, Seq(4, 16),
-            rounds = 2, reps = 2, maxReps = 4, timeBudgetMs = 250000L))
+            rounds = 2, reps = 2, maxReps = 4, timeBudgetMs = 260000L))
           catch { case e: Throwable => System.err.println(s"[bench] scaling: ${e.getMessage}") })
         t.setDaemon(true)
         t.start()
@@ -50,7 +54,7 @@ object Bench {
     val total = warm.values.sum
     val coldTotal = cold.values.sum
     val scalingJson = scaling.map(r =>
-      s""","scaling":${r.json},"scaling_note":"quick time-capped protocol; authoritative interleaved measurement in BENCH.md"""")
+      s""","scaling":${r.json},"scaling_note":"alternating-burst protocol, min over all bursts per level; see BENCH.md"""")
       .getOrElse("")
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":${f"$coldTotal%.3f"},"cpus":$cpus$scalingJson}""")

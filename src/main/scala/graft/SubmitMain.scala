@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.gen.SyntheticTranscripts
 import graft.io.SnapshotStore
-import graft.pipeline.Pipeline
+import graft.pipeline.{PartitionStatsAcc, Pipeline}
 import graft.schema.{ConvRule, Turn}
 
 /** spark-submit entry point — the production shape of the north rule:
@@ -14,7 +14,7 @@ import graft.schema.{ConvRule, Turn}
   *   --conf spark.sql.extensions=graft.functions.GraftExtensions \
   *   ocrspark.jar \
   *   --turns /data/transcripts.parquet --rules /data/rules.parquet \
-  *   --out /data/segments_store --buckets 4096 [--two-stage]
+  *   --out /data/segments_store --buckets 4096 [--two-stage | --catalyst]
   * }}}
   *
   * Or with the deterministic synthetic corpus (no external data):
@@ -22,14 +22,25 @@ import graft.schema.{ConvRule, Turn}
   *
   * Reads the turns table, segments per conversation, and commits TWO
   * snapshots to the output [[SnapshotStore]]: the segment rows and the
-  * per-partition lineage/metrics rows. The default is the fused
-  * single-shuffle path, with rules broadcast at or below
-  * `--broadcast-rule-limit` rules (default 1e6) and shuffle-cogrouped above
-  * it (`Pipeline.segmentAuto`); `--two-stage` selects the salted
-  * extraction + regroup path for monster-conversation corpora (a single
-  * conversation big enough to straggle one fused task). The lineage
-  * snapshot always derives from a salted extraction pass. Master/executors
-  * come from spark-submit; nothing here assumes local mode.
+  * per-partition lineage/metrics rows. Routes:
+  *
+  *  - default: the fused single-shuffle path, rules broadcast at or below
+  *    `--broadcast-rule-limit` rules (default 1e6) and shuffle-cogrouped
+  *    above it (`Pipeline.segmentAuto`);
+  *  - `--two-stage`: salted extraction + regroup for monster-conversation
+  *    corpora (a single conversation big enough to straggle one fused
+  *    task);
+  *  - `--catalyst`: the whole-operator Catalyst route
+  *    ([[graft.plans.SegmentPlans.segment]]) — the physical node DECLARES
+  *    `ClusteredDistribution(conv_id)` + `(conv_id, turn_idx)` ordering, so
+  *    on a turns table already bucketed+sorted by conv_id (the 10^12-turn
+  *    Iceberg layout) `EnsureRequirements` elides the shuffle entirely,
+  *    which the unconditional `repartition` of the fused path never can.
+  *
+  * Lineage derives from a [[PartitionStatsAcc]] filled INSIDE whichever
+  * single pass materialized the segments — no route runs extraction twice.
+  * Master/executors come from spark-submit; nothing here assumes local
+  * mode.
   */
 object SubmitMain {
 
@@ -70,19 +81,31 @@ object SubmitMain {
 
     val buckets = opts.get("buckets").map(_.toInt).getOrElse(0)
     val ruleLimit = opts.get("broadcast-rule-limit").map(_.toLong).getOrElse(1000000L)
-    val extracted = Pipeline.extract(turns, partitions = buckets)
-    val segments =
+    val stats = new PartitionStatsAcc
+    spark.sparkContext.register(stats, "graft.partition_lineage")
+    val (segments, stage) =
       if (opts.contains("two-stage"))
-        // salted per-turn extraction, then regroup — monster-conv regime
-        Pipeline.segmentCogroup(extracted, rules)
-      else
+        // salted per-turn extraction (stats filled there), then regroup
+        (Pipeline.segmentCogroup(
+          Pipeline.extract(turns, partitions = buckets, stats = Some(stats)), rules).toDF(),
+          "extract")
+      else if (opts.contains("catalyst")) {
+        // whole-operator Catalyst route; rules broadcast (the flag targets
+        // the bucketed-table regime, where rule corpora broadcast fine)
+        val ruleMap = rules.collect().groupBy(_.conv_id)
+          .map { case (k, v) => k -> v.toSeq.map(Pipeline.toCoreRule) }
+        val bc = spark.sparkContext.broadcast(ruleMap)
+        (graft.plans.SegmentPlans.segment(
+          turns, cid => bc.value.getOrElse(cid, Nil), Some(stats)), "segment")
+      } else
         // fused single-shuffle; broadcast vs cogroup by rule-corpus size
-        Pipeline.segmentAuto(turns, rules, buckets, ruleLimit)
+        (Pipeline.segmentAuto(turns, rules, buckets, ruleLimit, Some(stats)).toDF(), "segment")
 
     val store = new SnapshotStore(out)
-    val segSnap = store.append(segments.toDF(), Map("table" -> "segments"))
+    // the ONE pass over the turns: fills `stats` while writing segments
+    val segSnap = store.append(segments, Map("table" -> "segments"))
     val linSnap = store.append(
-      Pipeline.extractionLineage(extracted, snapshotId = segSnap).toDF(),
+      Pipeline.lineageFromStats(spark, stage, stats.value, snapshotId = segSnap).toDF(),
       Map("table" -> "lineage", "segments_snapshot" -> segSnap.toString))
     val nSegs = store.read(spark, segSnap).count()
     println(s"""{"segments_snapshot":$segSnap,"lineage_snapshot":$linSnap,"segments":$nSegs}""")

@@ -161,8 +161,13 @@ object MediaCodec {
       if (id == "fmt " && size >= 16) {
         val audioFormat = bb.getShort(off + 8).toInt
         if (audioFormat != 1) return None // PCM only
-        fmt = Some((bb.getInt(off + 12), bb.getShort(off + 10).toInt,
-          bb.getShort(off + 22).toInt))
+        val channels = bb.getShort(off + 10).toInt
+        val bits = bb.getShort(off + 22).toInt
+        // canonical 8-bit mono only (like the 24-bpp BMP contract): every
+        // downstream loop (meanSample, downsample stride) indexes one byte
+        // per sample, so other layouts would misreport rather than decode
+        if (channels != 1 || bits != 8) return None
+        fmt = Some((bb.getInt(off + 12), channels, bits))
       } else if (id == "data") {
         data = Some((off + 8, size))
       }

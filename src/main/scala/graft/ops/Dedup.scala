@@ -172,71 +172,124 @@ object Dedup {
           "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS simhash")
       .orderBy("doc_id")
 
-  /** Near-duplicate CLUSTERS: connected components over the n-gram-Jaccard
-    * edge set, by iterative min-label propagation (Pregel-style: each round
-    * every vertex takes the min component id among itself and its
-    * neighbors; rounds ≈ graph diameter). Every document gets a row —
-    * singletons form their own component; the canonical survivor is the min
-    * doc_id. This is the stage after pair-finding in a real dedup pipeline:
-    * pairs → clusters → keep one per cluster.
+  /** Connected components over an undirected Long edge list by ALTERNATING
+    * large-star / small-star contraction (Kiveris, Lattanzi, Mirrokni,
+    * Rastogi, Vassilvitskii: "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — O(log n) rounds, versus the O(diameter) of
+    * plain min-label propagation, so an adversarial chain topology
+    * converges in ~2·log₂(n) rounds instead of `diameter` driver-side
+    * Spark jobs. Each round:
     *
-    * Iteration state management: each round's labels are persisted as an
-    * RDD and the DataFrame is rebuilt from it, so the Catalyst plan never
-    * grows with iteration count; the superseded round's cache is explicitly
-    * freed. When `sparkContext.setCheckpointDir` is configured the round
-    * state is ALSO reliably checkpointed — the executor-loss-safe mode for
-    * real clusters (without it, losing an executor recomputes from the
-    * start, the `localCheckpoint` caveat). Non-convergence within
-    * `maxIters` (graph diameter > maxIters — adversarial chain topology)
-    * fails loudly instead of returning silently split components. */
-  def dedupClusters(documents: DataFrame, thresholdPpm: Long = 800000L,
-                    maxIters: Int = 20): DataFrame = {
-    val spark = documents.sparkSession
+    *  - '''large-star''': every node links its strictly-larger neighbors to
+    *    the minimum of its neighborhood (including itself);
+    *  - '''small-star''': every node links itself and its ≤ neighbors to
+    *    that minimum.
+    *
+    * The fixpoint is a union of stars, each rooted at its component's
+    * global minimum. Both half-rounds are one `reduceByKey` (map-side
+    * combined min) plus one shuffled join that streams/spills per key
+    * (`ExternalAppendOnlyMap`), so a giant component's root key is a
+    * straggler, never an OOM.
+    *
+    * Round state: each round's canonical edge set is persisted
+    * MEMORY_AND_DISK (reliably checkpointed too when
+    * `sparkContext.setCheckpointDir` is configured — the
+    * executor-loss-safe mode) and the superseded round is explicitly
+    * unpersisted, so neither plan nor cache grows with iteration count.
+    * Convergence is exact set equality between rounds; non-convergence
+    * within `maxIters` fails loudly instead of returning silently split
+    * components.
+    *
+    * Returns (labels `(doc_id, component)` — one row per node in `nodes`,
+    * singletons labeled with their own id — , rounds taken). The labels
+    * DataFrame is eagerly local-checkpointed and every internal RDD is
+    * unpersisted before returning: the one lineage-free copy backing the
+    * result is all that outlives the call. */
+  def connectedComponentsFromEdges(edgesDf: DataFrame, nodes: DataFrame,
+                                   maxIters: Int = 20): (DataFrame, Int) = {
+    val spark = edgesDf.sparkSession
     import spark.implicits._
-    val edges = ngramJaccard(documents, thresholdPpm).select("doc_a", "doc_b")
-    val sym = edges.unionByName(edges.selectExpr("doc_b AS doc_a", "doc_a AS doc_b"))
-      .localCheckpoint(true)
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    def materialize(df: DataFrame): org.apache.spark.rdd.RDD[(Long, Long)] = {
-      val rdd = df.as[(Long, Long)].rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      if (reliable) rdd.checkpoint()
-      rdd.count()
-      rdd
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val part = new org.apache.spark.HashPartitioner(nPart)
+    type E = org.apache.spark.rdd.RDD[(Long, Long)]
+
+    // canonical form: (larger, smaller), self-loops dropped, deduped —
+    // both half-rounds assume set-valued neighborhoods
+    def canon(e: E): E =
+      e.flatMap { case (u, v) =>
+        if (u == v) Iterator.empty
+        else Iterator((math.max(u, v), math.min(u, v)))
+      }.distinct(nPart)
+
+    def largeStar(e: E): E = {
+      val dir = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+      val mins = dir.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .map { case (u, m) => (u, math.min(u, m)) }
+      dir.filter { case (u, v) => v > u }
+        .join(mins, part)
+        .map { case (_, (v, m)) => (v, m) }
     }
-    var cur = materialize(documents.select(
-      col("doc_id").cast("long").as("doc_id"), col("doc_id").cast("long").as("component")))
-    // the persisted RDD backing `cur` — what unpersist must target
-    var curPersisted: org.apache.spark.rdd.RDD[_] = cur
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
-      val labels = spark.createDataset(cur).toDF("doc_id", "component")
-      val neighborMin = sym
-        .join(labels.withColumnRenamed("doc_id", "nbr"), col("doc_b") === col("nbr"))
-        .groupBy(col("doc_a").as("u"))
-        .agg(min("component").as("ncomp"))
-      val updated = labels
-        .join(neighborMin, labels("doc_id") === col("u"), "left")
-        .select(labels("doc_id"),
-          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"),
-          (col("ncomp").isNotNull && col("ncomp") < col("component")).as("changed"))
-      val next = updated.as[(Long, Long, Boolean)].rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      if (reliable) next.checkpoint()
-      // one job: counting changed rows scans (and therefore caches) every
-      // partition of `next` — full materialization before the previous
-      // round's cache is dropped, plus the convergence signal
-      converged = next.filter(_._3).count() == 0
-      curPersisted.unpersist(blocking = false)
-      curPersisted = next
-      cur = next.map(t => (t._1, t._2))
-      iter += 1
+
+    def smallStar(e: E): E = {
+      // key every edge by its LARGER endpoint; m = min of the ≤ neighbors
+      // (m is always one of them). Emit (v, m) per non-min neighbor and let
+      // the (u, m) self-link ride on the v == m record — no duplicates per u.
+      val dirS = e.map { case (u, v) => if (u >= v) (u, v) else (v, u) }
+      val mins = dirS.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      dirS.join(mins, part).flatMap { case (u, (v, m)) =>
+        if (v == m) Iterator((u, m)) else Iterator((v, m), (u, m))
+      }
+    }
+
+    def materialize(e: E): E = {
+      val r = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (reliable) r.checkpoint()
+      r
+    }
+
+    var cur = materialize(canon(
+      edgesDf.toDF("a", "b").select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].rdd))
+    var curCount = cur.count()
+    var rounds = 0
+    var converged = curCount == 0L // no edges → all singletons, nothing to fold
+    while (!converged && rounds < maxIters) {
+      val next = materialize(canon(smallStar(largeStar(cur))))
+      val nextCount = next.count()
+      // exact set equality: same size and next ∖ cur empty ⇒ next == cur
+      converged = nextCount == curCount && next.subtract(cur, nPart).isEmpty()
+      cur.unpersist(blocking = false)
+      cur = next
+      curCount = nextCount
+      rounds += 1
     }
     require(converged,
-      s"dedupClusters: min-label propagation did not converge in $maxIters rounds " +
-        "(component diameter exceeds maxIters) — raise maxIters")
-    val labels = spark.createDataset(cur).toDF("doc_id", "component")
+      s"connectedComponents: large-star/small-star did not converge in $maxIters rounds " +
+        "— raise maxIters (expected ~2*log2(n) rounds)")
+    // fixpoint edges are stars (node, component-min root); min() guards the
+    // theoretical impossibility of a residual double edge
+    val starDf = spark.createDataset(cur).toDF("doc_id", "root")
+      .groupBy("doc_id").agg(min("root").as("root"))
+    val labels = nodes.select(col("doc_id").cast("long").as("doc_id"))
+      .join(starDf, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("component"))
+      .localCheckpoint(true)
+    cur.unpersist(blocking = false)
+    (labels, rounds)
+  }
+
+  /** Near-duplicate CLUSTERS: connected components over the n-gram-Jaccard
+    * edge set (see [[connectedComponentsFromEdges]] for the algorithm and
+    * its O(log n) round bound). Every document gets a row — singletons form
+    * their own component; the canonical survivor is the min doc_id. This is
+    * the stage after pair-finding in a real dedup pipeline: pairs →
+    * clusters → keep one per cluster. */
+  def dedupClusters(documents: DataFrame, thresholdPpm: Long = 800000L,
+                    maxIters: Int = 20): DataFrame = {
+    val edges = ngramJaccard(documents, thresholdPpm).select("doc_a", "doc_b")
+    val (labels, _) = connectedComponentsFromEdges(
+      edges, documents.select(col("doc_id")), maxIters)
     val sizes = labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "component")
       .select(col("doc_id"), col("component"), col("cluster_size"),

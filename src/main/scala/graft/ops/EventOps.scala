@@ -128,14 +128,25 @@ object EventOps {
     * so every qualifying (event, interval) pair meets exactly once — no
     * dedup pass. Intervals are the sessions of the first `nUsers` users
     * (deterministic, derived from the same table); output counts events of
-    * ALL users inside each window. */
-  def intervalJoin(events: DataFrame, nUsers: Int = 10, binSeconds: Long = 3600L): DataFrame = {
+    * ALL users inside each window.
+    *
+    * Guard: one pathological interval spanning years would explode
+    * `sequence(s DIV bin, e DIV bin)` into millions of rows per interval,
+    * so any interval covering more than `maxBinsPerInterval` bins fails
+    * LOUDLY (pick a wider `binSeconds` for long-span interval sets) instead
+    * of silently materializing the blowup. */
+  def intervalJoin(events: DataFrame, nUsers: Int = 10, binSeconds: Long = 3600L,
+                   maxBinsPerInterval: Long = 10000L): DataFrame = {
     val iv = sessionize(events)
       .where(col("user_id") < nUsers)
       .selectExpr("user_id * 1000 + session_seq AS interval_id",
         "session_start_epoch AS s", "session_end_epoch AS e")
       .selectExpr("interval_id", "s", "e",
-        s"explode(sequence(s DIV $binSeconds, e DIV $binSeconds)) AS bin")
+        s"""explode(IF(e DIV $binSeconds - s DIV $binSeconds < $maxBinsPerInterval,
+           |  sequence(s DIV $binSeconds, e DIV $binSeconds),
+           |  CAST(raise_error(concat('intervalJoin: interval ', interval_id, ' spans ',
+           |    e DIV $binSeconds - s DIV $binSeconds + 1, ' bins (cap $maxBinsPerInterval) — ',
+           |    'use a wider binSeconds')) AS ARRAY<BIGINT>))) AS bin""".stripMargin)
     val ev = events
       .select(unix_timestamp(col("ts")).as("t"))
       .withColumn("bin", expr(s"t DIV $binSeconds"))

@@ -65,8 +65,9 @@ object Similarity {
     * task materializes at most TWO blocks (≈ 2·n/B vectors — bounded task
     * memory, nothing ever collected to the driver) and runs a tight JIT'd
     * dot-product loop over its pair. The O(n²) compute is the operator's
-    * contract; shuffle volume is (B+1)·corpus (each row feeds B+1 block
-    * pairs). At larger corpora raise `nBlocks` so 2·n·dim·8/B stays inside
+    * contract; shuffle volume is B·corpus (a row in block p is emitted
+    * B−p times on the left and p times on the right, i.e. exactly B
+    * copies). At larger corpora raise `nBlocks` so 2·n·dim·8/B stays inside
     * executor memory; [[annLsh]] remains the sub-quadratic path. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
                    nBlocks: Int = 16): DataFrame = {

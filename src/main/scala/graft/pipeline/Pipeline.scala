@@ -10,6 +10,35 @@ import graft.core.seg.{Demarcator, Rule}
 import graft.core.xml.SubDocXml
 import graft.schema._
 
+/** Per-partition (rows_in, rows_out, errors) metrics collected INSIDE a
+  * single pass of the pipeline — the mechanism that lets `SubmitMain` write
+  * the lineage snapshot without a second extraction pass (VERDICT r2 #1:
+  * the default path used to extract every turn twice). Executor tasks
+  * accumulate locally and flush once on task completion; the driver merges
+  * per successful task. Standard Spark accumulator caveat: updates from a
+  * re-executed stage (executor loss) can double-count — acceptable for
+  * lineage METRICS, and the segment data itself is exactly-once (written
+  * once, committed by manifest rename). */
+final class PartitionStatsAcc
+    extends org.apache.spark.util.AccumulatorV2[(Int, Long, Long, Long), Map[Int, (Long, Long, Long)]] {
+  private val m = scala.collection.mutable.Map.empty[Int, (Long, Long, Long)]
+  override def isZero: Boolean = m.isEmpty
+  override def copy(): PartitionStatsAcc = {
+    val c = new PartitionStatsAcc
+    m.foreach { case (k, v) => c.m(k) = v }
+    c
+  }
+  override def reset(): Unit = m.clear()
+  override def add(v: (Int, Long, Long, Long)): Unit = {
+    val (p, i, o, e) = v
+    val cur = m.getOrElse(p, (0L, 0L, 0L))
+    m(p) = (cur._1 + i, cur._2 + o, cur._3 + e)
+  }
+  override def merge(other: org.apache.spark.util.AccumulatorV2[(Int, Long, Long, Long), Map[Int, (Long, Long, Long)]]): Unit =
+    other.value.foreach { case (p, (i, o, e)) => add((p, i, o, e)) }
+  override def value: Map[Int, (Long, Long, Long)] = m.toMap
+}
+
 /** The end-to-end extraction + segmentation pipeline (SURVEY §3.1 "Spark
   * lifecycle we build"):
   *
@@ -29,8 +58,11 @@ import graft.schema._
 object Pipeline {
 
   /** Stage A: per-turn payload extraction. Salted repartition — partition key
-    * includes turn_idx so a hot conversation cannot straggle extraction. */
-  def extract(turns: Dataset[Turn], partitions: Int = 0): Dataset[ExtractedTurn] = {
+    * includes turn_idx so a hot conversation cannot straggle extraction.
+    * With `stats` set, per-partition (rows, rows, errors) are accumulated in
+    * THIS pass (task-completion flush) so lineage needs no second action. */
+  def extract(turns: Dataset[Turn], partitions: Int = 0,
+              stats: Option[PartitionStatsAcc] = None): Dataset[ExtractedTurn] = {
     val spark = turns.sparkSession
     import spark.implicits._
     val p = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
@@ -39,8 +71,14 @@ object Pipeline {
       .as[Turn]
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
+        var in = 0L
+        var errs = 0L
+        for (acc <- stats; tc <- Option(TaskContext.get()))
+          tc.addTaskCompletionListener[Unit](_ => acc.add((pid, in, in, errs)))
         it.map { t =>
+          in += 1
           val (ex, err) = Extractor.safeExtract(t.tool, t.text)
+          if (err) errs += 1
           ExtractedTurn(
             conv_id = t.conv_id,
             turn_idx = t.turn_idx,
@@ -166,7 +204,8 @@ object Pipeline {
       turns: Dataset[Turn],
       rules: Broadcast[Map[String, Seq[Rule]]],
       buckets: Int = 0,
-      errorCounter: Option[org.apache.spark.util.LongAccumulator] = None
+      errorCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+      stats: Option[PartitionStatsAcc] = None
   ): Dataset[ConvSegment] = {
     val spark = turns.sparkSession
     import spark.implicits._
@@ -176,13 +215,22 @@ object Pipeline {
       .repartition(b, $"conv_id")
       .sortWithinPartitions($"conv_id", $"turn_idx")
       .as[(String, Int, String, String)]
-      .mapPartitions(it =>
-        new GroupFold(it, cid => rules.value.getOrElse(cid, Nil),
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var in = 0L
+        var out = 0L
+        var errs = 0L
+        for (acc <- stats; tc <- Option(TaskContext.get()))
+          tc.addTaskCompletionListener[Unit](_ => acc.add((pid, in, out, errs)))
+        val src = if (stats.isEmpty) it else it.map { t => in += 1; t }
+        val fold = new GroupFold(src, cid => rules.value.getOrElse(cid, Nil),
           (tool, text) => {
             val (ex, err) = Extractor.safeExtract(tool, text)
-            if (err) errorCounter.foreach(_.add(1L))
+            if (err) { errorCounter.foreach(_.add(1L)); errs += 1 }
             ex.text
-          }))
+          })
+        if (stats.isEmpty) fold else fold.map { s => out += 1; s }
+      }
   }
 
   /** Fused cogroup path: raw turns cogrouped with the rules DATASET on
@@ -194,7 +242,8 @@ object Pipeline {
   def segmentFusedCogroup(
       turns: Dataset[Turn],
       rules: Dataset[ConvRule],
-      errorCounter: Option[org.apache.spark.util.LongAccumulator] = None
+      errorCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+      stats: Option[PartitionStatsAcc] = None
   ): Dataset[ConvSegment] = {
     val spark = turns.sparkSession
     import spark.implicits._
@@ -208,12 +257,18 @@ object Pipeline {
         // threshold can never change results
         if (!ts.hasNext) Iterator.empty
         else {
+          var errs = 0L
           val pages = ts.toVector.sortBy(_._2).map { t =>
             val (ex, err) = Extractor.safeExtract(t._3, t._4)
-            if (err) errorCounter.foreach(_.add(1L))
+            if (err) { errorCounter.foreach(_.add(1L)); errs += 1 }
             ex.text
           }
-          Demarcator.demarcate(pages, rs.map(toCoreRule).toSeq).iterator.map { r =>
+          val rows = Demarcator.demarcate(pages, rs.map(toCoreRule).toSeq)
+          // per-group accumulator add (locally merged until task end): the
+          // demarcation output is materialized, so counts are final here
+          stats.foreach(_.add((TaskContext.getPartitionId(), pages.size.toLong,
+            rows.size.toLong, errs)))
+          rows.iterator.map { r =>
             ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber,
               r.ToPageNumber, r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
               r.UploadDataSheetId.getOrElse(0L), r.TotalNumberOfpages, r.NoOfPages,
@@ -233,14 +288,15 @@ object Pipeline {
       turns: Dataset[Turn],
       rules: Dataset[ConvRule],
       buckets: Int = 0,
-      broadcastRuleLimit: Long = 1000000L
+      broadcastRuleLimit: Long = 1000000L,
+      stats: Option[PartitionStatsAcc] = None
   ): Dataset[ConvSegment] = {
     if (rules.count() <= broadcastRuleLimit) {
       val spark = turns.sparkSession
       val ruleMap = rules.collect().groupBy(_.conv_id)
         .map { case (k, v) => k -> v.toSeq.map(toCoreRule) }
-      segmentFused(turns, spark.sparkContext.broadcast(ruleMap), buckets)
-    } else segmentFusedCogroup(turns, rules)
+      segmentFused(turns, spark.sparkContext.broadcast(ruleMap), buckets, stats = stats)
+    } else segmentFusedCogroup(turns, rules, stats = stats)
   }
 
   /** Rules-as-dataset variant: shuffle-cogroup on conv_id — the scale path
@@ -288,6 +344,22 @@ object Pipeline {
         $"rows".as("rows_out"),
         $"errs".as("errors"))
       .as[PartitionLineage]
+  }
+
+  /** Lineage rows from a [[PartitionStatsAcc]] filled during a SINGLE pass
+    * of the pipeline (the accumulator is registered by the caller and
+    * populated by whichever action materialized the segments) — replaces
+    * the second extraction pass `SubmitMain` used to run just for lineage.
+    * The handful of (part_id → counters) entries is driver-resident by
+    * construction (it IS the accumulator value), so `createDataset` here is
+    * not a collect — sized by partition count, not data. */
+  def lineageFromStats(spark: SparkSession, stage: String,
+                       stats: Map[Int, (Long, Long, Long)],
+                       snapshotId: Long): Dataset[PartitionLineage] = {
+    import spark.implicits._
+    spark.createDataset(stats.toSeq.sortBy(_._1).map { case (p, (in, out, errs)) =>
+      PartitionLineage(stage, p, snapshotId, in, out, errs)
+    })
   }
 
   /** Debug consolidation view — the reference's artifact consolidator

@@ -49,16 +49,19 @@ object SegmentPlans {
 
   /** Dataset-API entry: project the needed columns, wrap the child plan in
     * the logical operator, ensure the strategy is registered, and rebuild a
-    * DataFrame. */
+    * DataFrame. With `stats` set, per-partition (turns in, segments out,
+    * extraction errors) accumulate inside the operator's single pass —
+    * same lineage contract as [[Pipeline.segmentFused]]. */
   def segment(turns: org.apache.spark.sql.Dataset[Turn],
-              rulesFor: String => Seq[Rule]): org.apache.spark.sql.DataFrame = {
+              rulesFor: String => Seq[Rule],
+              stats: Option[graft.pipeline.PartitionStatsAcc] = None): org.apache.spark.sql.DataFrame = {
     val spark = turns.sparkSession
     if (!spark.experimental.extraStrategies.contains(SegmentStrategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ SegmentStrategy
     val child = turns.select("conv_id", "turn_idx", "tool", "text")
       .queryExecution.analyzed
     org.apache.spark.sql.classic.GraftDatasetBridge.ofRows(
-      spark, SegmentConversations(child, rulesFor))
+      spark, SegmentConversations(child, rulesFor, stats))
   }
 }
 
@@ -67,6 +70,7 @@ object SegmentPlans {
 final case class SegmentConversations(
     child: LogicalPlan,
     rulesFor: String => Seq[Rule],
+    lineageStats: Option[graft.pipeline.PartitionStatsAcc] = None,
     output: Seq[Attribute] = SegmentPlans.segmentOutput()
 ) extends UnaryNode {
   // the node GENERATES its output (it is not derived from child attrs) —
@@ -81,7 +85,7 @@ final case class SegmentConversations(
 object SegmentStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case s: SegmentConversations =>
-      SegmentExec(s.output, s.rulesFor, planLater(s.child)) :: Nil
+      SegmentExec(s.output, s.rulesFor, s.lineageStats, planLater(s.child)) :: Nil
     case _ => Nil
   }
 }
@@ -92,6 +96,7 @@ object SegmentStrategy extends SparkStrategy {
 final case class SegmentExec(
     output: Seq[Attribute],
     rulesFor: String => Seq[Rule],
+    lineageStats: Option[graft.pipeline.PartitionStatsAcc],
     child: SparkPlan
 ) extends UnaryExecNode {
 
@@ -110,19 +115,32 @@ final case class SegmentExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val (ci, ti, to, te) = (ord("conv_id"), ord("turn_idx"), ord("tool"), ord("text"))
     val rules = rulesFor
+    val acc = lineageStats
     val types = output.map(_.dataType).toArray
     child.execute().mapPartitions { it =>
       // downstream consumers require UnsafeRow; the projection is created
       // per partition (codegen'd, not serializable)
       val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(types)
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var in = 0L
+      var out = 0L
+      var errs = 0L
+      for (a <- acc; tc <- Option(org.apache.spark.TaskContext.get()))
+        tc.addTaskCompletionListener[Unit](_ => a.add((pid, in, out, errs)))
       // copy out of the reused UnsafeRow before buffering
       val tuples = it.map { row =>
+        in += 1
         (row.getUTF8String(ci).toString, row.getInt(ti),
           row.getUTF8String(to).toString, row.getUTF8String(te).toString)
       }
       new Pipeline.GroupFold(tuples, rules,
-        (tool, text) => Extractor.safeExtract(tool, text)._1.text)
+        (tool, text) => {
+          val (ex, err) = Extractor.safeExtract(tool, text)
+          if (err) errs += 1
+          ex.text
+        })
         .map { s: ConvSegment =>
+          out += 1
           toUnsafe(new GenericInternalRow(Array[Any](
             UTF8String.fromString(s.conv_id), s.DocReceivedId, s.FromPageNumber,
             s.ToPageNumber, UTF8String.fromString(s.FileNumber),

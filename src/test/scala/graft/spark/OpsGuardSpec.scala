@@ -2,7 +2,7 @@ package graft.spark
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, EventOps, Similarity}
 
 /** The scale guards must FAIL LOUDLY, not degrade silently — these tests
   * drive each guard to its trip point. */
@@ -10,8 +10,8 @@ class OpsGuardSpec extends AnyFunSuite with SparkFixture {
 
   test("dedupClusters refuses to return silently split components past maxIters") {
     import spark.implicits._
-    // a 6-doc chain: doc i near-dups doc i+1 only → component diameter 5.
-    // Min-label propagation moves the min id one hop per round, so
+    // a 7-doc chain: doc i near-dups doc i+1 only → component diameter 6.
+    // Alternating large-star/small-star needs ~2·log2(7) ≈ 4 rounds, so
     // maxIters = 2 cannot converge and must throw, not return split labels.
     val texts = (0 to 6).map { i =>
       // 19 tokens, 14 shared with each neighbor → shingle Jaccard ≈ 0.55;
@@ -27,6 +27,38 @@ class OpsGuardSpec extends AnyFunSuite with SparkFixture {
     val ok = Dedup.dedupClusters(docs, thresholdPpm = 300000L, maxIters = 20)
       .select("component").distinct().collect()
     assert(ok.length == 1)
+  }
+
+  test("connected components converge on a long chain in ~2·log2(n) rounds, not diameter") {
+    import spark.implicits._
+    // 200-node chain (diameter 199 ≫ the old min-label-propagation budget)
+    // plus one isolated node; large-star/small-star must finish in
+    // O(log n) rounds with every chain node labeled 0
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = ((0L to 199L) :+ 999L).toDF("doc_id")
+    val (labels, rounds) = Dedup.connectedComponentsFromEdges(edges, nodes, maxIters = 20)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 199L).forall(got(_) == 0L), "chain must collapse to component 0")
+    assert(got(999L) == 999L, "isolated node labels itself")
+    assert(rounds <= 2 * 8 + 2, s"expected ~2*log2(200)=16 rounds, took $rounds")
+  }
+
+  test("intervalJoin fails loudly when one interval explodes into too many bins") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // one session of user 0 spanning 100s; binSeconds=1 → 101 bins > cap 10
+    val events = (0 until 3).map { i =>
+      (i.toLong, new Timestamp(1767225600000L + i * 50000L), 0L, "view", "1.0", "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val e = intercept[Exception] {
+      EventOps.intervalJoin(events, binSeconds = 1L, maxBinsPerInterval = 10L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("use a wider binSeconds")), e.toString)
+    // the same data passes with a sane bin width
+    val ok = EventOps.intervalJoin(events, binSeconds = 3600L).collect()
+    assert(ok.length == 1 && ok.head.getAs[Long]("n_events") == 3L)
   }
 
   test("annLsh fails loudly on embeddings wider than the precomputed hyperplanes") {

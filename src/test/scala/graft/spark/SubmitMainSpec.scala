@@ -33,8 +33,16 @@ class SubmitMainSpec extends AnyFunSuite with SparkFixture {
     }.sum
     assert(segs.count() == wantSegs.toLong)
 
+    // lineage derives from the SINGLE fused pass (stage "segment"):
+    // rows_in = turns consumed, rows_out = segments emitted. The old
+    // two-pass shape (a second salted extraction just for lineage) could
+    // only ever report rows_out == rows_in == turns, so rows_out == the
+    // segment count is the proof extraction ran once.
     val totalTurns = (0L until 12L).map(ci => SyntheticTranscripts.turnsFor(42L, ci).size).sum
+    assert(lineage.select("stage").distinct().collect().map(_.getString(0)).toSeq == Seq("segment"))
     assert(lineage.selectExpr("sum(rows_in)").collect()(0).getLong(0) == totalTurns.toLong)
+    assert(lineage.selectExpr("sum(rows_out)").collect()(0).getLong(0) == wantSegs.toLong)
+    assert(lineage.selectExpr("sum(errors)").collect()(0).getLong(0) == 0L)
   }
 
   test("two-stage flag produces identical segments") {
@@ -46,5 +54,26 @@ class SubmitMainSpec extends AnyFunSuite with SparkFixture {
     val a = new SnapshotStore(out1).read(spark, 1L).orderBy("conv_id", "Sequence").collect()
     val b = new SnapshotStore(out2).read(spark, 1L).orderBy("conv_id", "Sequence").collect()
     assert(a.toSeq == b.toSeq)
+    // two-stage lineage covers the salted extraction stage, one pass too
+    val lin = new SnapshotStore(out2).read(spark, 2L)
+    assert(lin.select("stage").distinct().collect().map(_.getString(0)).toSeq == Seq("extract"))
+    val totalTurns = (0L until 8L).map(ci => SyntheticTranscripts.turnsFor(42L, ci).size).sum
+    assert(lin.selectExpr("sum(rows_in)").collect()(0).getLong(0) == totalTurns.toLong)
+  }
+
+  test("catalyst flag runs the whole-operator route end-to-end with equal output") {
+    spark
+    val out1 = Files.createTempDirectory("graft-submit-d").toString
+    val out2 = Files.createTempDirectory("graft-submit-c").toString
+    SubmitMain.main(Array("--synthetic-convs", "8", "--out", out1))
+    SubmitMain.main(Array("--synthetic-convs", "8", "--out", out2, "--catalyst"))
+    val a = new SnapshotStore(out1).read(spark, 1L).orderBy("conv_id", "Sequence").collect()
+    val b = new SnapshotStore(out2).read(spark, 1L).orderBy("conv_id", "Sequence").collect()
+    assert(a.toSeq == b.toSeq)
+    // the operator's internal stats feed the same single-pass lineage shape
+    val lin = new SnapshotStore(out2).read(spark, 2L)
+    val totalTurns = (0L until 8L).map(ci => SyntheticTranscripts.turnsFor(42L, ci).size).sum
+    assert(lin.selectExpr("sum(rows_in)").collect()(0).getLong(0) == totalTurns.toLong)
+    assert(lin.selectExpr("sum(rows_out)").collect()(0).getLong(0) == a.length.toLong)
   }
 }
