@@ -69,6 +69,11 @@ object SparkEntry {
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
     "d_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    // deterministic event times spread over 36 min (< the 1h watermark
+    // horizon), so the streaming and batch first-occurrence semantics
+    // coincide — StreamingSpec asserts that equality on the real stream
+    "d_stream_dedup" -> ((s, d) => Dedup.streamDedupTwin(docs(s, d).selectExpr(
+      "doc_id", "text", "CAST(1767225600 + (doc_id % 37) * 60 AS BIGINT) AS epoch"))),
     "d_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d))),
     // embeddings: similarity
     "e_knn" -> ((s, d) => Similarity.knnBruteForce(embs(s, d))),
@@ -90,6 +95,20 @@ object SparkEntry {
       Pipeline.extract(graft.gen.SyntheticTranscripts.turns(s, n)).toDF()
         .selectExpr("conv_id", "turn_idx", "role", "tool", "text",
           "size(span_starts) AS n_spans", "error")
+    }),
+    // passthrough subset of the extraction output — reference semantics are
+    // IDENTITY with one full-payload span (Extractor.scala:28, mirroring
+    // the reference's per-page text artifacts, main.py:201-207), which
+    // DuckDB verifies against the _raw_turns fixture dump; only the two
+    // parser kernels (html/pdf) stay sbt-test-only
+    "t_extract_passthrough" -> ((s, d) => {
+      val n = graft.gen.SyntheticTranscripts.convsForSfDir(d)
+      Pipeline.extract(graft.gen.SyntheticTranscripts.turns(s, n)).toDF()
+        .where("tool NOT IN ('html', 'pdf')")
+        .selectExpr("conv_id", "turn_idx", "tool", "text",
+          "size(span_starts) AS n_spans",
+          "span_starts[0] AS span_start", "span_ends[0] AS span_end", "error")
+        .orderBy("conv_id", "turn_idx")
     }),
     "t_segment" -> ((s, d) =>
       Pipeline.run(s, graft.gen.SyntheticTranscripts.convsForSfDir(d)).toDF()),
@@ -377,6 +396,15 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN error THEN 1 ELSE 0 END) AS BIGINT) AS errors
         |FROM read_parquet('__VERIFY_OUT__/t_extract/*.parquet')""".stripMargin,
     "t_xml" -> xmlOracle,
+    "t_extract_passthrough" ->
+      """SELECT conv_id, turn_idx, tool, text,
+        |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE 1 END AS INT) AS n_spans,
+        |  CAST(CASE WHEN length(text) = 0 THEN NULL ELSE 0 END AS INT) AS span_start,
+        |  CAST(CASE WHEN length(text) = 0 THEN NULL ELSE length(text) END AS INT) AS span_end,
+        |  FALSE AS error
+        |FROM read_parquet('__VERIFY_OUT__/_raw_turns/*.parquet')
+        |WHERE tool NOT IN ('html', 'pdf')
+        |ORDER BY conv_id, turn_idx""".stripMargin,
     "d_langid_trigram" -> trigramOracle,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -656,6 +684,14 @@ object SparkEntry {
          |  l.doc_id = l.component AS is_canonical
          |FROM lab l JOIN sz USING (component) ORDER BY l.doc_id""".stripMargin,
     "d_minhash_lsh" -> minhashOracle,
+    "d_stream_dedup" ->
+      """WITH t AS (SELECT doc_id, md5(text) AS content_hash,
+        |    CAST(1767225600 + (doc_id % 37) * 60 AS BIGINT) AS epoch
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY content_hash
+        |        ORDER BY epoch, doc_id) AS rn FROM t)
+        |SELECT doc_id, content_hash, epoch FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "d_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM simt ORDER BY doc_id""".stripMargin,

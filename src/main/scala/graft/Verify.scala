@@ -4,6 +4,16 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Fixture dumps written alongside the query dumps (underscore prefix =
+    * not a query): inputs the oracles need that exist only as deterministic
+    * in-JVM generator output. `_raw_turns` is the synthetic transcript
+    * input itself — it lets DuckDB verify the passthrough subset of the
+    * extraction output (text identity + full-payload span) that it cannot
+    * re-derive any other way. ContractSpec pins oracle dump references to
+    * this set ∪ the registered queries. */
+  def fixtureDumps: Set[String] = Set("_raw_turns")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -15,6 +25,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // the _raw_turns fixture: same generator, same conv count as t_extract
+    graft.gen.SyntheticTranscripts
+      .turns(spark, graft.gen.SyntheticTranscripts.convsForSfDir(sfDir))
+      .toDF().select("conv_id", "turn_idx", "role", "tool", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_raw_turns")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

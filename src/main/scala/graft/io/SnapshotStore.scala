@@ -91,6 +91,19 @@ final class SnapshotStore(val root: String) {
   */
 object ResumableJob {
 
+  /** Outcome of one [[run]]: `completed` chunks committed this run,
+    * `failed` chunks that threw but remain retryable (bucket → error —
+    * callers CAN distinguish a complete run from a partial one), and
+    * `quarantinedNow` chunks whose failure this run reached `maxAttempts`
+    * and were durably quarantined. A fully-successful run over `n` pending
+    * buckets has `completed.size == n` and the other two empty. */
+  final case class RunReport(
+      completed: Seq[Int],
+      failed: Seq[(Int, String)],
+      quarantinedNow: Seq[Int]) {
+    def allSucceeded: Boolean = failed.isEmpty && quarantinedNow.isEmpty
+  }
+
   private def markerPath(workRoot: String, bucket: Int): Path =
     Paths.get(workRoot, "_done", s"bucket-$bucket.done")
 
@@ -131,7 +144,11 @@ object ResumableJob {
     * chunks; `failAfter` aborts after that many newly-completed chunks (test
     * hook simulating a mid-job crash); `poisonBuckets` makes those buckets
     * throw deterministically (test hook simulating an unparseable
-    * conversation). Returns ids of chunks this run completed. */
+    * conversation). Returns a [[RunReport]] — failed-but-retryable buckets
+    * are surfaced, not swallowed, so a caller (or operator) can distinguish
+    * a partial run from a complete one and can reset the attempt counter of
+    * a bucket whose failures were transient infrastructure rather than a
+    * poison conversation. */
   def run(
       spark: SparkSession,
       nConvs: Long,
@@ -141,12 +158,14 @@ object ResumableJob {
       failAfter: Option[Int] = None,
       poisonBuckets: Set[Int] = Set.empty,
       maxAttempts: Int = 3
-  ): Seq[Int] = {
+  ): RunReport = {
     import graft.gen.SyntheticTranscripts
     import graft.pipeline.Pipeline
     val done = completedBuckets(workRoot, buckets)
     val quarantined = quarantinedBuckets(workRoot, buckets)
     val completedNow = Vector.newBuilder[Int]
+    val failedNow = Vector.newBuilder[(Int, String)]
+    val quarantinedNow = Vector.newBuilder[Int]
     var newlyDone = 0
     val per = math.max(1L, (nConvs + buckets - 1) / buckets)
     for (b <- 0 until buckets if !done.contains(b) && !quarantined.contains(b)) {
@@ -187,11 +206,13 @@ object ResumableJob {
             }
             atomicWrite(quarantinePath(workRoot, b),
               s"""{"bucket": $b, "convs": [$lo, $hi), "attempts": $n, "error": "$msg"}""")
-          }
-        // incomplete, not quarantined → the next run retries it
+            quarantinedNow += b
+          } else
+            // incomplete, not quarantined → the next run retries it
+            failedNow += (b -> Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
-    completedNow.result()
+    RunReport(completedNow.result(), failedNow.result(), quarantinedNow.result())
   }
 
   def readSegments(spark: SparkSession, workRoot: String): DataFrame =

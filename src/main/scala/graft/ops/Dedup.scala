@@ -297,6 +297,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Batch twin of the streaming bounded-state dedup
+    * ([[graft.streaming.StreamingSegmenter.dedupDocs]], built on
+    * `dropDuplicatesWithinWatermark`): on a closed input whose duplicates
+    * of any content hash all land within one watermark horizon, the
+    * streaming operator keeps exactly the first (event-time, doc_id)
+    * occurrence per hash — which is this one window-rank query.
+    * StreamingSpec asserts the equality against the real streaming path on
+    * the same rows, giving the streaming semantics a DuckDB-oracle-visible
+    * twin. Input columns: (doc_id, text, epoch). */
+  def streamDedupTwin(docsWithEpoch: DataFrame): DataFrame =
+    docsWithEpoch
+      .selectExpr("doc_id", "md5(text) AS content_hash", "epoch")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("content_hash").orderBy("epoch", "doc_id")))
+      .where("rn = 1")
+      .select("doc_id", "content_hash", "epoch")
+      .orderBy("doc_id")
+
   /** Grouped-votes SimHash derivation (same integer sketch as [[simhash]],
     * different plan shape): explode token hashes × bit positions into a
     * two-level codegen'd hash aggregate. Cheaper than the per-row fold when

@@ -19,15 +19,16 @@ class ContractSpec extends AnyFunSuite {
       s"unexpected rows-only queries: ${q -- o -- Set("t_extract", "t_segment")}")
   }
 
-  test("dump-reading oracles only reference dumps of rows-only queries that exist") {
+  test("dump-reading oracles only reference dumps that Verify actually writes") {
+    val known = graft.SparkEntry.queries.keySet ++ graft.Verify.fixtureDumps
     val refs = graft.SparkEntry.oracleSql.collect {
       case (k, sql) if sql.contains("__VERIFY_OUT__") =>
         k -> "__VERIFY_OUT__/([a-z_0-9]+)/".r.findAllMatchIn(sql).map(_.group(1)).toSet
     }
     refs.foreach { case (k, dumps) =>
       assert(dumps.nonEmpty, s"$k carries the placeholder but references no dump")
-      dumps.foreach(d => assert(graft.SparkEntry.queries.contains(d),
-        s"oracle $k reads dump of unknown query $d"))
+      dumps.foreach(d => assert(known.contains(d),
+        s"oracle $k reads dump of unknown query/fixture $d"))
     }
   }
 }

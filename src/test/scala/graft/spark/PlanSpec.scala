@@ -44,6 +44,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p9.contains("SortMergeJoin"), p9)
   }
 
+  test("q3: top-k plans as TakeOrderedAndProject, never a global sort") {
+    // orderBy(...).limit(k) must stay the per-partition-heap + merge plan;
+    // a refactor regressing it to Sort+GlobalLimit would sort the whole
+    // table at scale for 10 rows
+    val p = formatted(Relational.q3TopK(spark, Sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("\\(\\d+\\) Sort\\b".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("q1: aggregate is partial (map-side combine) before the exchange") {
     val p = formatted(Relational.q1Agg(spark, Sf))
     val firstAgg = p.indexOf("HashAggregate")

@@ -45,7 +45,7 @@ class ResumeSpec extends AnyFunSuite with SparkFixture {
 
     // resume: only the remaining chunks run
     val resumed = ResumableJob.run(spark, nConvs, crashRoot, buckets)
-    assert(resumed.size == buckets - 2)
+    assert(resumed.completed.size == buckets - 2 && resumed.allSucceeded)
     assert(ResumableJob.completedBuckets(crashRoot, buckets).size == buckets)
 
     val got = ResumableJob.readSegments(spark, crashRoot)
@@ -58,15 +58,20 @@ class ResumeSpec extends AnyFunSuite with SparkFixture {
     val buckets = 5
     val root = Files.createTempDirectory("resume_poison").toString
 
-    // run 1: bucket 2 fails (attempt 1), every other bucket completes
+    // run 1: bucket 2 fails (attempt 1) and is REPORTED as retryable —
+    // callers can tell this partial run from a complete one
     val run1 = ResumableJob.run(spark, nConvs, root, buckets, poisonBuckets = Set(2))
-    assert(run1 == Seq(0, 1, 3, 4))
+    assert(run1.completed == Seq(0, 1, 3, 4))
+    assert(run1.failed.map(_._1) == Seq(2) && run1.failed.head._2.contains("poisoned"))
+    assert(run1.quarantinedNow.isEmpty && !run1.allSucceeded)
     assert(ResumableJob.attempts(root, 2) == 1)
     assert(ResumableJob.quarantinedBuckets(root, buckets).isEmpty)
 
     // runs 2..3: retries — the redelivery analog — then quarantine at maxAttempts
-    assert(ResumableJob.run(spark, nConvs, root, buckets, poisonBuckets = Set(2)).isEmpty)
-    assert(ResumableJob.run(spark, nConvs, root, buckets, poisonBuckets = Set(2)).isEmpty)
+    val run2 = ResumableJob.run(spark, nConvs, root, buckets, poisonBuckets = Set(2))
+    assert(run2.completed.isEmpty && run2.failed.map(_._1) == Seq(2))
+    val run3 = ResumableJob.run(spark, nConvs, root, buckets, poisonBuckets = Set(2))
+    assert(run3.completed.isEmpty && run3.failed.isEmpty && run3.quarantinedNow == Seq(2))
     assert(ResumableJob.attempts(root, 2) == 3)
     assert(ResumableJob.quarantinedBuckets(root, buckets) == Set(2))
     val q = ResumableJob.readQuarantine(root, buckets)
@@ -74,7 +79,8 @@ class ResumeSpec extends AnyFunSuite with SparkFixture {
 
     // run 4: quarantined bucket is skipped — no exception, no new attempts,
     // even when the poison hook is gone (the decision is durable)
-    assert(ResumableJob.run(spark, nConvs, root, buckets).isEmpty)
+    val run4 = ResumableJob.run(spark, nConvs, root, buckets)
+    assert(run4.completed.isEmpty && run4.allSucceeded)
     assert(ResumableJob.attempts(root, 2) == 3)
     assert(ResumableJob.completedBuckets(root, buckets) == Set(0, 1, 3, 4))
 

@@ -116,4 +116,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(ids == Seq(1L, 3L, 5L, 6L), s"got $ids")
   }
 
+  test("batch twin equals the streaming dedup on a closed within-horizon input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSegmenter.StreamDoc
+    // duplicates spread over < the 1h horizon, same epoch formula as the
+    // d_stream_dedup query (epoch = base + (doc_id % 37) * 60)
+    val texts = Vector("alpha", "beta", "alpha", "gamma", "beta", "alpha", "delta", "gamma")
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      StreamDoc(i.toLong, t, new Timestamp((1767225600L + (i % 37) * 60L) * 1000L))
+    }
+    val input = MemoryStream[StreamDoc]
+    val out = StreamingSegmenter.dedupDocs(input.toDS(), watermark = "1 hour")
+    val query = out.writeStream.format("memory").queryName("stream_dedup_twin")
+      .outputMode("append").start()
+    // arrival in (event-time, doc_id) order — the order the batch twin ranks
+    input.addData(docs.sortBy(d => (d.ts.getTime, d.doc_id)))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("stream_dedup_twin")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val twin = graft.ops.Dedup.streamDedupTwin(
+      docs.toDF().selectExpr("doc_id", "text", "CAST(ts AS BIGINT) AS epoch"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed == twin, s"streaming $streamed != batch twin $twin")
+  }
+
 }
