@@ -344,7 +344,8 @@ object SparkEntry {
     * argmax assignment and probe ranking with the same smaller-id
     * tie-break, exact rerank — all cosines the same left-fold arithmetic. */
   private def annIvfOracle: String = {
-    val (nCells, nProbe, nQ, k) = (16, 4, 20, 5)
+    // constants mirror Similarity.annIvf's defaults (32 cells, 3 probes)
+    val (nCells, nProbe, nQ, k) = (32, 3, 20, 5)
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id < $nCells),
        |simsq AS (SELECT b.vec_id, c.cent_id, ${dCos("b.v", "c.cv")} AS csim

