@@ -134,7 +134,10 @@ object Scaling {
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
   }
 
-  /** Generate and write the fixed input corpus once; returns (dir, nTurns). */
+  /** Generate and write the fixed input corpus once; returns (dir, nTurns).
+    * Runs in THIS JVM — callers that already hold a live SparkContext must
+    * use [[materializeInChild]] instead (a second context cannot coexist,
+    * and this method stops the context it used). */
   def materialize(nConvs: Long, seed: Long, genCpus: Int): (String, Long) = {
     val dir = Files.createTempDirectory(scratchRoot, "graft-scaling").toString
     val spark = session(genCpus, Some(s"$dir/shuffle-gen"))
@@ -143,6 +146,34 @@ object Scaling {
         .write.mode("overwrite").parquet(s"$dir/turns")
       (dir, spark.read.parquet(s"$dir/turns").count())
     } finally spark.stop()
+  }
+
+  private[bench] def childJvmCmd(mainClass: String, gcThreads: Int, args: Seq[String]): Seq[String] = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+        a.startsWith("java.base/"))
+    Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx16g", "-XX:+UseParallelGC", s"-XX:ParallelGCThreads=$gcThreads",
+      "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      mainClass) ++ args
+  }
+
+  /** [[materialize]] in a fresh child JVM — safe while the calling JVM
+    * holds a live SparkContext of its own. */
+  def materializeInChild(nConvs: Long, seed: Long, genCpus: Int): (String, Long) = {
+    val dir = Files.createTempDirectory(scratchRoot, "graft-scaling").toString
+    val pb = new ProcessBuilder(childJvmCmd("graft.bench.MaterializeRunner", genCpus,
+      Seq(dir, nConvs.toString, seed.toString, genCpus.toString)): _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    proc.waitFor()
+    val n = out.linesIterator.find(_.startsWith("TURNS ")).map(_.drop(6).trim.toLong)
+      .getOrElse(sys.error(s"materialize child produced no TURNS line (exit ${proc.exitValue()})"))
+    (dir, n)
   }
 
   /** Occupancy ballast: `n` pure-ALU spinner threads (no memory traffic,
@@ -266,78 +297,177 @@ object Scaling {
 
   private def spawnBurstChild(cpus: Int, dir: String, nConvs: Long, seed: Long,
                               ballastTo: Int): BurstChild = {
-    val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filter(a =>
-        a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
-        a.startsWith("java.base/"))
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      // throughput collector; GC threads proportional to task threads
-      "-Xmx16g", "-XX:+UseParallelGC", s"-XX:ParallelGCThreads=$cpus",
-      "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.bench.BurstLevelRunner",
-      cpus.toString, dir, nConvs.toString, seed.toString, ballastTo.toString)
-    val pb = new ProcessBuilder(cmd: _*)
+    // throughput collector; GC threads proportional to task threads
+    val pb = new ProcessBuilder(childJvmCmd("graft.bench.BurstLevelRunner", cpus,
+      Seq(cpus.toString, dir, nConvs.toString, seed.toString, ballastTo.toString)): _*)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     new BurstChild(cpus, pb.start())
   }
 
-  /** Budget-adaptive alternating-burst measurement of `cpusLevels` (see
-    * the object scaladoc for the protocol). `minBurstPairs` pairs always
-    * run regardless of budget (a measured pair beats a timed-out nothing);
-    * afterwards pairs keep alternating while the budget fits another and
-    * the per-level minima are still improving (stops early once both are
-    * stable within 1% for 3 consecutive pairs, 16 pairs max). Falls back
-    * to the in-process single-shot levels if children cannot be spawned. */
+  /** Single-threaded ~128 MB streaming-sum probe: its time is stable on a
+    * quiet socket and degrades under exactly the interference that poisons
+    * the timed reps (co-tenant memory-bandwidth pressure). Compared against
+    * its own best-of-run to gate bursts into clean windows. */
+  final class NoiseProbe {
+    private val arr: Array[Long] = Array.tabulate(16 << 20)(_.toLong) // 128 MB
+    var bestMs: Double = Double.MaxValue
+    private def once(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      var s = 0L
+      while (i < arr.length) { s += arr(i); i += 1 }
+      if (s == 42L) System.err.println("") // blackhole
+      (System.nanoTime() - t0) / 1e6
+    }
+    /** Best of two passes; updates the run's best. */
+    def measure(): Double = {
+      val m = math.min(once(), once())
+      if (m < bestMs) bestMs = m
+      m
+    }
+    /** True when the current window is within `tol`× of the cleanest
+      * observed probe time. */
+    def windowClean(tol: Double = 1.15): Boolean = measure() <= bestMs * tol
+
+    (0 until 3).foreach(_ => once()) // JIT the loop before first use
+  }
+
+  /** Incremental alternating-burst session: `prepare()` materializes the
+    * input, spawns one child JVM per level, and warms them up; each
+    * `pulse()` runs ONE alternating burst pair (noise-probe gated). A
+    * caller with other work (graft.Bench's query passes) interleaves
+    * pulses between its own steps, so the sampling horizon for catching a
+    * clean host window becomes the caller's WHOLE run — not one dedicated
+    * slot at its end — while bursts stay strictly serialized with the
+    * caller's work (no self-contention). `budgetMs` bounds the total time
+    * spent inside `pulse()`. */
+  final class BurstSession(nConvs: Long, cpusLevels: Seq[Int], seed: Long = 42L,
+                           reps: Int = 2, frequencyPinned: Boolean = true,
+                           budgetMs: Long = 0L) {
+    private val ballastTo = if (frequencyPinned) cpusLevels.max else 0
+    private var dir: String = null
+    private var nTurns = 0L
+    private var children: Vector[BurstChild] = Vector.empty
+    private val pairResults = scala.collection.mutable.ArrayBuffer.empty[Vector[Level]]
+    private var pair = 0
+    private var stablePairs = 0
+    private var minPairMs = Double.MaxValue
+    private var spentMs = 0.0
+    private var probe: NoiseProbe = null
+    @volatile private var readyFlag = false
+    @volatile private var dead = false
+
+    def isReady: Boolean = readyFlag
+
+    /** Materialize + spawn + warm up; idempotent; false if unusable. */
+    def prepare(): Boolean = synchronized {
+      if (readyFlag || dead) return readyFlag
+      try {
+        // child-JVM materialization: the caller may hold a live
+        // SparkContext of its own (graft.Bench's query session)
+        val (d, n) = materializeInChild(nConvs, seed, genCpus = cpusLevels.max)
+        dir = d
+        nTurns = n
+        children = cpusLevels.toVector.map(c => spawnBurstChild(c, dir, nConvs, seed, ballastTo))
+        require(children.forall(_.awaitReady(240000L)), "burst child never became READY")
+        probe = new NoiseProbe
+        readyFlag = true
+      } catch { case e: Throwable =>
+        System.err.println(s"[scaling] burst session failed to prepare: ${e.getMessage}")
+        dead = true
+        close()
+      }
+      readyFlag
+    }
+
+    // the FIRST burst runs more reps to settle JIT/GC; later bursts shrink
+    // to 1 rep at the low level (2 at the high) — finer alternation means
+    // more, shorter bursts, so the baseline level samples many distinct
+    // noise windows and its min has a real chance to catch a clean one
+    private def burstReps(c: BurstChild, pairIdx: Int): Int = {
+      val first = math.max(reps, reps * math.min(2, c.cpus / cpusLevels.min))
+      if (pairIdx == 0) first else math.max(1, first / 2)
+    }
+
+    // wait (bounded) for the interference probe to read clean before
+    // spending timed reps; proceed regardless once the wait is up
+    private def awaitCleanWindow(maxWaitMs: Long): Unit = {
+      val deadline = System.nanoTime() + maxWaitMs * 1000000L
+      var waited = false
+      while (!probe.windowClean() && System.nanoTime() < deadline) {
+        waited = true
+        Thread.sleep(2000)
+      }
+      if (waited)
+        System.err.println(f"[scaling] noise probe: waited for a clean window (best ${probe.bestMs}%.1fms)")
+    }
+
+    /** Another pulse is still useful and fits the budget: minima not yet
+      * stable for 3 pairs, under the 16-pair cap, and (after the 2-pair
+      * minimum) the budget fits another pair at steady-state cost. */
+    def wantMore: Boolean = readyFlag && !dead && pair < 16 && stablePairs < 3 &&
+      (pair < 2 || budgetMs == 0L ||
+        spentMs + (if (minPairMs == Double.MaxValue) 0.0 else minPairMs) * 1.1 < budgetMs)
+
+    /** One alternating burst pair across the levels. */
+    def pulse(): Unit = synchronized {
+      if (!readyFlag || dead) return
+      val ps = System.nanoTime()
+      try {
+        val prevBests = children.map(_.best)
+        children.foreach { c =>
+          if (pair > 0) awaitCleanWindow(maxWaitMs = 15000L)
+          c.burst(burstReps(c, pair))
+        }
+        pairResults += children.map(_.level(nTurns))
+        pair += 1
+        // steady-state pair cost = fastest pair seen; estimating from the
+        // last pair would let one noise-inflated pair end the run early
+        minPairMs = math.min(minPairMs, (System.nanoTime() - ps) / 1e6)
+        val improved = children.zip(prevBests).exists { case (c, pb) => c.best < pb * 0.99 }
+        stablePairs = if (improved) 0 else stablePairs + 1
+      } catch { case e: Throwable =>
+        System.err.println(s"[scaling] burst pair failed: ${e.getMessage}")
+        dead = true
+      } finally spentMs += (System.nanoTime() - ps) / 1e6
+    }
+
+    /** Result from the pairs measured so far (None if none completed).
+      * Valid after `close()` — levels snapshot from the last pair. */
+    def result(): Option[Result] =
+      pairResults.lastOption.map(levels =>
+        Result(nConvs, nTurns, levels, ballastTo, pairResults.toVector))
+
+    def close(): Unit = synchronized {
+      children.foreach(c => try c.close() catch { case _: Throwable => })
+      children = Vector.empty
+      if (dir != null) deleteRecursively(new java.io.File(dir))
+      dir = null
+    }
+  }
+
+  /** One-shot entry (ScalingBench): burst session pulsed back-to-back
+    * under the budget, with an in-process single-shot fallback when child
+    * JVMs cannot be spawned. */
   def run(nConvs: Long, cpusLevels: Seq[Int], seed: Long = 42L,
           rounds: Int = 2, reps: Int = 2, maxReps: Int = 0,
           timeBudgetMs: Long = 0L, frequencyPinned: Boolean = true): Result = {
+    val session = new BurstSession(nConvs, cpusLevels, seed, reps, frequencyPinned, timeBudgetMs)
+    try {
+      if (session.prepare()) {
+        while (session.wantMore) session.pulse()
+        session.result() match {
+          case Some(r) => return r
+          case None =>
+        }
+      }
+    } finally session.close()
+    // in-process fallback: interleaved single-shot rounds (old protocol)
     val ballastTo = if (frequencyPinned) cpusLevels.max else 0
     val t0 = System.nanoTime()
     def elapsedMs: Double = (System.nanoTime() - t0) / 1e6
     val (dir, nTurns) = materialize(nConvs, seed, genCpus = cpusLevels.max)
     try {
-      val children =
-        try cpusLevels.toVector.map(c => spawnBurstChild(c, dir, nConvs, seed, ballastTo))
-        catch { case e: Throwable =>
-          System.err.println(s"[scaling] burst children failed to spawn (${e.getMessage}); in-process fallback")
-          Vector.empty[BurstChild]
-        }
-      if (children.nonEmpty) {
-        try {
-          require(children.forall(_.awaitReady(180000L)), "burst child never became READY")
-          val pairResults = scala.collection.mutable.ArrayBuffer.empty[Vector[Level]]
-          // reps per burst: more at higher core counts — cheaper reps, and
-          // wall-clock JIT/GC convergence is slower there
-          def burstReps(c: BurstChild): Int =
-            math.max(reps, reps * math.min(2, c.cpus / cpusLevels.min))
-          var stablePairs = 0
-          var pair = 0
-          // cost of the NEXT pair ≈ fastest pair seen (warm steady state);
-          // estimating from the last pair would let one noise-inflated pair
-          // end the run prematurely — the exact failure mode being fixed
-          var minPairMs = Double.MaxValue
-          var continue = true
-          while (continue) {
-            val ps = System.nanoTime()
-            val prevBests = children.map(_.best)
-            children.foreach(c => c.burst(burstReps(c)))
-            pairResults += children.map(_.level(nTurns))
-            pair += 1
-            minPairMs = math.min(minPairMs, (System.nanoTime() - ps) / 1e6)
-            val improved = children.zip(prevBests).exists { case (c, pb) => c.best < pb * 0.99 }
-            stablePairs = if (improved) 0 else stablePairs + 1
-            continue =
-              if (pair < rounds) true // minimum pairs regardless of budget
-              else pair < 16 && stablePairs < 3 &&
-                (timeBudgetMs == 0L || elapsedMs + minPairMs * 1.1 < timeBudgetMs)
-          }
-          val levels = children.map(_.level(nTurns))
-          return Result(nConvs, nTurns, levels, ballastTo, pairResults.toVector)
-        } finally children.foreach(_.close())
-      }
-      // in-process fallback: interleaved single-shot rounds (old protocol)
       val roundResults = scala.collection.mutable.ArrayBuffer.empty[Vector[Level]]
       var r = 0
       var continue = true
@@ -368,6 +498,20 @@ object Scaling {
   }
 }
 
+/** Child-JVM entry that generates and writes the scaling input corpus
+  * (see [[Scaling.materializeInChild]]). Prints `TURNS <count>`. */
+object MaterializeRunner {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, nConvs, seed, cpus) = args
+    val spark = Scaling.session(cpus.toInt, Some(s"$dir/shuffle-gen"))
+    try {
+      SyntheticTranscripts.turns(spark, nConvs.toLong, seed.toLong)
+        .write.mode("overwrite").parquet(s"$dir/turns")
+      println("TURNS " + spark.read.parquet(s"$dir/turns").count())
+    } finally spark.stop()
+  }
+}
+
 /** Child-JVM entry for one scaling level under the alternating-burst
   * protocol (see [[Scaling]]): set up the session + broadcast rules + JIT
   * warmup ONCE, then serve timed bursts on demand. Ballast spinners engage
@@ -393,12 +537,16 @@ object BurstLevelRunner {
       }
       def gcMs: Long = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
-      // double warmup under ballast (same occupancy as the timed reps)
+      // warmup under ballast (same occupancy as the timed reps): a small
+      // pass to JIT the kernels cheaply, then a half-size pass so the heap
+      // and GC ergonomics expand to realistic allocation rates BEFORE the
+      // first timed rep (a 4k-conv-only warmup left rep1 paying tens of
+      // seconds of heap growth + full-size JIT on a noisy host)
       ballast.engage()
       Pipeline.segmentFused(
         SyntheticTranscripts.turns(spark, math.min(4000L, nConvs), seed), bc).count()
       Pipeline.segmentFused(
-        SyntheticTranscripts.turns(spark, math.min(4000L, nConvs), seed), bc).count()
+        SyntheticTranscripts.turns(spark, math.min(30000L, nConvs), seed), bc).count()
       ballast.disengage()
       stdout.println("READY")
       val stdin = new java.io.BufferedReader(new java.io.InputStreamReader(System.in, "UTF-8"))
