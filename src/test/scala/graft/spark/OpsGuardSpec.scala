@@ -43,6 +43,29 @@ class OpsGuardSpec extends AnyFunSuite with SparkFixture {
     assert(rounds <= 2 * 8 + 2, s"expected ~2*log2(200)=16 rounds, took $rounds")
   }
 
+  test("connected components match a sequential union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 2) {
+      val n = 60 + rnd.nextInt(60)
+      val edges = Seq.fill(rnd.nextInt(2 * n))((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // union-find oracle; linking the larger root beneath the smaller keeps
+      // every final root = its component's minimum node id
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val (labels, _) = Dedup.connectedComponentsFromEdges(
+        edges.toDF("a", "b"), (0L until n.toLong).toDF("doc_id"), maxIters = 30)
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"n=$n edges=${edges.size}")
+    }
+  }
+
   test("intervalJoin fails loudly when one interval explodes into too many bins") {
     import java.sql.Timestamp
     import spark.implicits._
