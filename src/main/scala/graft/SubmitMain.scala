@@ -14,7 +14,8 @@ import graft.schema.{ConvRule, Turn}
   *   --conf spark.sql.extensions=graft.functions.GraftExtensions \
   *   ocrspark.jar \
   *   --turns /data/transcripts.parquet --rules /data/rules.parquet \
-  *   --out /data/segments_store --buckets 4096 [--two-stage | --catalyst]
+  *   --out /data/segments_store --buckets 4096 [--two-stage | --catalyst] \
+  *   [--format parquet|json|csv]
   * }}}
   *
   * Or with the deterministic synthetic corpus (no external data):
@@ -68,11 +69,24 @@ object SubmitMain {
     val spark = builder.getOrCreate()
     import spark.implicits._
 
+    // --format parquet|json|csv (default parquet). Schemas are DECLARED
+    // from the case-class encoders, never inferred — schema inference is a
+    // full extra read of the input, unaffordable at 10^12 rows.
+    val fmt = opts.getOrElse("format", "parquet")
+    def readAs[T: org.apache.spark.sql.Encoder](path: String): org.apache.spark.sql.Dataset[T] = {
+      val schema = implicitly[org.apache.spark.sql.Encoder[T]].schema
+      (fmt match {
+        case "parquet" => spark.read.schema(schema).parquet(path)
+        case "json" => spark.read.schema(schema).json(path)
+        case "csv" => spark.read.schema(schema).option("header", "true").csv(path)
+        case other => sys.error(s"unknown --format $other (parquet|json|csv)")
+      }).as[T]
+    }
     val (turns, rules): (org.apache.spark.sql.Dataset[Turn], org.apache.spark.sql.Dataset[ConvRule]) =
       (opts.get("turns"), opts.get("synthetic-convs")) match {
         case (Some(path), _) =>
           val r = opts.getOrElse("rules", sys.error("--rules required with --turns"))
-          (spark.read.parquet(path).as[Turn], spark.read.parquet(r).as[ConvRule])
+          (readAs[Turn](path), readAs[ConvRule](r))
         case (None, Some(n)) =>
           (SyntheticTranscripts.turns(spark, n.toLong, seed),
             SyntheticTranscripts.rules(spark, n.toLong, seed))

@@ -305,15 +305,22 @@ object Dedup {
     * occurrence per hash — which is this one window-rank query.
     * StreamingSpec asserts the equality against the real streaming path on
     * the same rows, giving the streaming semantics a DuckDB-oracle-visible
-    * twin. Input columns: (doc_id, text, epoch). */
+    * twin. Input columns: (doc_id, text, epoch).
+    *
+    * Plan shape: first-occurrence is `min(struct(epoch, doc_id))` per hash
+    * — one aggregate with map-side PARTIAL combine (a struct-min buffer
+    * plans as SortAggregate, but each task still collapses its local
+    * duplicates to one row per hash before the shuffle), not a window
+    * rank, which would ship every duplicate row through the exchange and
+    * sort full partitions. PlanSpec asserts the partial pair and that no
+    * Window survives. */
   def streamDedupTwin(docsWithEpoch: DataFrame): DataFrame =
     docsWithEpoch
-      .selectExpr("doc_id", "md5(text) AS content_hash", "epoch")
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("content_hash").orderBy("epoch", "doc_id")))
-      .where("rn = 1")
-      .select("doc_id", "content_hash", "epoch")
+      .selectExpr("md5(text) AS content_hash", "epoch", "doc_id")
+      .groupBy("content_hash")
+      .agg(min(struct(col("epoch"), col("doc_id"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"), col("content_hash"),
+        col("first.epoch").as("epoch"))
       .orderBy("doc_id")
 
   /** Grouped-votes SimHash derivation (same integer sketch as [[simhash]],

@@ -53,6 +53,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert("\\(\\d+\\) Sort\\b".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("stream-dedup twin: partial-aggregating agg pair, no window rank") {
+    import spark.implicits._
+    val docs = Seq((0L, "a", 5L), (1L, "a", 3L), (2L, "b", 1L))
+      .toDF("doc_id", "text", "epoch")
+    val p = formatted(graft.ops.Dedup.streamDedupTwin(docs))
+    // a window rank would ship EVERY duplicate row through the shuffle;
+    // the agg must combine map-side (partial + final pair — SortAggregate
+    // here: a struct-min buffer is not hash-agg-able, but the partial
+    // still collapses local duplicates before the exchange)
+    assert(!p.contains("Window"), p)
+    assert("(?:Sort|Hash)Aggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q1: aggregate is partial (map-side combine) before the exchange") {
     val p = formatted(Relational.q1Agg(spark, Sf))
     val firstAgg = p.indexOf("HashAggregate")
