@@ -70,7 +70,14 @@ object Bench {
       val wallCap = System.nanoTime() + scaleBudget * 1000000L
       while (s.isReady && s.wantMore && System.nanoTime() < wallCap) s.pulse()
       val r = s.result()
-      s.close()
+      // bounded teardown: a still-running prepare() holds the session
+      // monitor, so close on a daemon thread and print the JSON regardless
+      // (abandon() makes a late-finishing prepare release its children)
+      s.abandon()
+      val closer = new Thread(() => s.close())
+      closer.setDaemon(true)
+      closer.start()
+      closer.join(30000L)
       r
     }
 

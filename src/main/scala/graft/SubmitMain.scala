@@ -73,12 +73,23 @@ object SubmitMain {
     // from the case-class encoders, never inferred — schema inference is a
     // full extra read of the input, unaffordable at 10^12 rows.
     val fmt = opts.getOrElse("format", "parquet")
+    // FAILFAST: a malformed record must abort the job, not silently become
+    // a null/shifted row that corrupts the committed segments downstream.
+    // csv needs multiLine + escape because transcript text payloads
+    // routinely contain embedded newlines and quotes.
     def readAs[T: org.apache.spark.sql.Encoder](path: String): org.apache.spark.sql.Dataset[T] = {
       val schema = implicitly[org.apache.spark.sql.Encoder[T]].schema
       (fmt match {
         case "parquet" => spark.read.schema(schema).parquet(path)
-        case "json" => spark.read.schema(schema).json(path)
-        case "csv" => spark.read.schema(schema).option("header", "true").csv(path)
+        case "json" => spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+        case "csv" => spark.read.schema(schema)
+          .option("header", "true").option("mode", "FAILFAST")
+          .option("multiLine", "true").option("escape", "\"")
+          // default nullValue is the empty string — that would silently
+          // turn every empty tool/identifier column into null (and " " is
+          // a MEANINGFUL rule value, so a NUL sentinel marks true nulls)
+          .option("nullValue", "\u0000")
+          .csv(path)
         case other => sys.error(s"unknown --format $other (parquet|json|csv)")
       }).as[T]
     }

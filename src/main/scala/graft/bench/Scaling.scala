@@ -77,9 +77,11 @@ object Scaling {
         (hi.turnsPerSec / lo.turnsPerSec) / (hi.cpus.toDouble / lo.cpus)
       }
 
-    /** Raw per-burst paired ratios — DIAGNOSTIC ONLY (a noise-slowed
-      * baseline draw inflates a pair's ratio, so these are not lower
-      * bounds; the headline is [[efficiencyMinBased]]). */
+    /** Running-min TRAJECTORY: entry k is the min-based ratio using each
+      * level's best draw over bursts 1..k (each burst snapshots the
+      * children's cumulative minima), converging to the headline by
+      * construction. Diagnostic — shows how quickly clean windows were
+      * caught, not independent per-burst draws. */
     def efficiencyByRound: Vector[Double] =
       rounds.flatMap { ls =>
         val lo = ls.minBy(_.cpus)
@@ -98,7 +100,7 @@ object Scaling {
       val byRound = efficiencyByRound.map(e => f"$e%.3f").mkString("[", ",", "]")
       s"""{"n_convs":$nConvs,"n_turns":$nTurns,"levels":$ls,"efficiency":${f"$efficiency%.3f"},""" +
         s""""efficiency_min_based":${f"$efficiencyMinBased%.3f"},"bursts":${rounds.length},""" +
-        s""""efficiency_by_burst_pair":$byRound,""" +
+        s""""efficiency_trajectory":$byRound,""" +
         s""""occupancy_pinned_to_cores":$pinnedTo}"""
     }
   }
@@ -249,7 +251,10 @@ object Scaling {
 
   /** Handle to one long-lived per-level child JVM speaking the burst
     * protocol: parent writes `GO <reps>` / `EXIT`, child answers each rep
-    * with `REP <seconds> <segments>` then `BURST_DONE`. */
+    * with `REP <seconds> <segments>` then `BURST_DONE`. Every read is
+    * DEADLINE-BOUNDED by polling `ready()` — a live-but-wedged child (hung
+    * session startup, stalled Spark job) surfaces as a timeout instead of
+    * blocking the parent on `readLine()` forever. */
   private final class BurstChild(val cpus: Int, proc: Process) {
     private val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
@@ -258,31 +263,49 @@ object Scaling {
     var best: Double = Double.MaxValue
     var segments: Long = 0L
 
-    /** Blocks until the child finished its session setup + warmup. */
-    def awaitReady(timeoutMs: Long): Boolean = {
-      val deadline = System.nanoTime() + timeoutMs * 1000000L
-      var line = ""
-      while (line != null && line != "READY" && System.nanoTime() < deadline)
-        line = in.readLine()
-      line == "READY"
+    /** Next line, or None on EOF (dead child); IOException past `deadline`
+      * (wedged child). The child writes whole lines with auto-flush, so
+      * once `ready()` turns true a line completes promptly. */
+    private def readLineWithin(deadlineNanos: Long): Option[String] = {
+      while (!in.ready()) {
+        if (!proc.isAlive && !in.ready()) return None
+        if (System.nanoTime() > deadlineNanos)
+          throw new java.io.IOException(s"burst child local[$cpus] unresponsive past deadline")
+        Thread.sleep(50)
+      }
+      Option(in.readLine())
     }
 
-    /** Runs one burst of `reps` timed reps; returns per-rep seconds. */
+    /** Waits (bounded) until the child finished its session setup + warmup. */
+    def awaitReady(timeoutMs: Long): Boolean = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      try {
+        var line: Option[String] = Some("")
+        while (line.isDefined && !line.contains("READY"))
+          line = readLineWithin(deadline)
+        line.contains("READY")
+      } catch { case _: java.io.IOException => false }
+    }
+
+    /** Runs one burst of `reps` timed reps; returns per-rep seconds. A rep
+      * is a bounded Spark job, so 15 minutes of silence means a wedged
+      * child, not a slow one. */
     def burst(reps: Int): Seq[Double] = {
       out.println(s"GO $reps")
+      val deadline = System.nanoTime() + 15L * 60 * 1000000000L
       val times = Vector.newBuilder[Double]
-      var line = in.readLine()
-      while (line != null && line != "BURST_DONE") {
-        if (line.startsWith("REP ")) {
-          val Array(_, s, segs) = line.split(" ")
+      var line = readLineWithin(deadline)
+      while (line.isDefined && !line.contains("BURST_DONE")) {
+        line.filter(_.startsWith("REP ")).foreach { l =>
+          val Array(_, s, segs) = l.split(" ")
           val sec = s.toDouble
           times += sec
           if (sec < best) best = sec
           segments = segs.toLong
         }
-        line = in.readLine()
+        line = readLineWithin(deadline)
       }
-      if (line == null) throw new java.io.IOException(s"burst child local[$cpus] died")
+      if (line.isEmpty) throw new java.io.IOException(s"burst child local[$cpus] died")
       times.result()
     }
 
@@ -356,8 +379,14 @@ object Scaling {
     private var probe: NoiseProbe = null
     @volatile private var readyFlag = false
     @volatile private var dead = false
+    @volatile private var abandonedFlag = false
 
     def isReady: Boolean = readyFlag
+
+    /** Signals that the owner stopped waiting on prepare(): if prepare
+      * completes later it releases its children immediately instead of
+      * leaving two idle 16g JVMs behind. */
+    def abandon(): Unit = abandonedFlag = true
 
     /** Materialize + spawn + warm up; idempotent; false if unusable. */
     def prepare(): Boolean = synchronized {
@@ -368,10 +397,14 @@ object Scaling {
         val (d, n) = materializeInChild(nConvs, seed, genCpus = cpusLevels.max)
         dir = d
         nTurns = n
-        children = cpusLevels.toVector.map(c => spawnBurstChild(c, dir, nConvs, seed, ballastTo))
+        // register each child AS IT SPAWNS so a failure mid-way still
+        // closes the ones already running (no leaked 16g JVMs)
+        cpusLevels.foreach(c =>
+          children = children :+ spawnBurstChild(c, dir, nConvs, seed, ballastTo))
         require(children.forall(_.awaitReady(240000L)), "burst child never became READY")
         probe = new NoiseProbe
         readyFlag = true
+        if (abandonedFlag) { readyFlag = false; dead = true; close() }
       } catch { case e: Throwable =>
         System.err.println(s"[scaling] burst session failed to prepare: ${e.getMessage}")
         dead = true
@@ -563,7 +596,10 @@ object BurstLevelRunner {
             val segs = job()
             val s = (System.nanoTime() - t0) / 1e9
             System.err.println(f"[scaling] local[$cpus] rep$rep: $s%.2fs gc=${gcMs - g0}ms")
-            stdout.println(f"REP $s%.4f $segs")
+            // Double.toString is locale-proof; an %f interpolation would
+            // comma-separate decimals under e.g. LANG=de_DE and poison
+            // the parent's parse
+            stdout.println("REP " + s + " " + segs)
           }
           ballast.disengage()
           stdout.println("BURST_DONE")

@@ -299,13 +299,17 @@ object Dedup {
 
   /** Batch twin of the streaming bounded-state dedup
     * ([[graft.streaming.StreamingSegmenter.dedupDocs]], built on
-    * `dropDuplicatesWithinWatermark`): on a closed input whose duplicates
-    * of any content hash all land within one watermark horizon, the
-    * streaming operator keeps exactly the first (event-time, doc_id)
-    * occurrence per hash — which is this one window-rank query.
-    * StreamingSpec asserts the equality against the real streaming path on
-    * the same rows, giving the streaming semantics a DuckDB-oracle-visible
-    * twin. Input columns: (doc_id, text, epoch).
+    * `dropDuplicatesWithinWatermark`). The streaming operator keeps the
+    * first-ARRIVING row per content hash; this query keeps the first
+    * (event-time, doc_id) row. The two coincide exactly when (a) each
+    * hash's duplicates land within one watermark horizon and (b) rows
+    * arrive in (event-time, doc_id) order — the replay-from-a-sorted-log
+    * case; under out-of-order arrival the streaming side keeps whichever
+    * duplicate arrived first (that tolerance is what the watermark buys),
+    * while this twin stays deterministic. StreamingSpec asserts the
+    * equality against the real streaming path on such an ordered closed
+    * input, giving the streaming semantics a DuckDB-oracle-visible twin.
+    * Input columns: (doc_id, text, epoch).
     *
     * Plan shape: first-occurrence is `min(struct(epoch, doc_id))` per hash
     * — one aggregate with map-side PARTIAL combine (a struct-min buffer

@@ -116,7 +116,10 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(ids == Seq(1L, 3L, 5L, 6L), s"got $ids")
   }
 
-  test("batch twin equals the streaming dedup on a closed within-horizon input") {
+  // the twin's contract holds for ORDERED arrival (see streamDedupTwin
+  // scaladoc): out-of-order duplicates keep first-ARRIVING in the stream
+  // but first-event-time in the twin, so the test replays a sorted log
+  test("batch twin equals the streaming dedup on an ordered within-horizon input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import StreamingSegmenter.StreamDoc

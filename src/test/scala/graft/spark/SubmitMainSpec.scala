@@ -61,20 +61,30 @@ class SubmitMainSpec extends AnyFunSuite with SparkFixture {
     assert(lin.selectExpr("sum(rows_in)").collect()(0).getLong(0) == totalTurns.toLong)
   }
 
-  test("json-format turns+rules input produces identical segments to synthetic") {
-    val s = spark
-    import s.implicits._
-    val dataRoot = Files.createTempDirectory("graft-submit-json-in").toString
-    SyntheticTranscripts.turns(spark, 8).toDF().write.json(s"$dataRoot/turns")
-    SyntheticTranscripts.rules(spark, 8).toDF().write.json(s"$dataRoot/rules")
+  test("json and csv format turns+rules input produce identical segments to synthetic") {
+    spark
     val out1 = Files.createTempDirectory("graft-submit-syn").toString
-    val out2 = Files.createTempDirectory("graft-submit-json").toString
     SubmitMain.main(Array("--synthetic-convs", "8", "--out", out1))
-    SubmitMain.main(Array("--turns", s"$dataRoot/turns", "--rules", s"$dataRoot/rules",
-      "--format", "json", "--out", out2))
     val a = new SnapshotStore(out1).read(spark, 1L).orderBy("conv_id", "Sequence").collect()
-    val b = new SnapshotStore(out2).read(spark, 1L).orderBy("conv_id", "Sequence").collect()
-    assert(a.toSeq == b.toSeq)
+    for (fmt <- Seq("json", "csv")) {
+      val dataRoot = Files.createTempDirectory(s"graft-submit-$fmt-in").toString
+      // pdf/html payloads carry embedded newlines and quotes — exactly what
+      // the csv multiLine/escape options exist for
+      val tw = SyntheticTranscripts.turns(spark, 8).toDF().write
+      val rw = SyntheticTranscripts.rules(spark, 8).toDF().write
+      if (fmt == "csv") {
+        tw.option("header", "true").option("escape", "\"").csv(s"$dataRoot/turns")
+        rw.option("header", "true").option("escape", "\"").csv(s"$dataRoot/rules")
+      } else {
+        tw.json(s"$dataRoot/turns")
+        rw.json(s"$dataRoot/rules")
+      }
+      val out2 = Files.createTempDirectory(s"graft-submit-$fmt").toString
+      SubmitMain.main(Array("--turns", s"$dataRoot/turns", "--rules", s"$dataRoot/rules",
+        "--format", fmt, "--out", out2))
+      val b = new SnapshotStore(out2).read(spark, 1L).orderBy("conv_id", "Sequence").collect()
+      assert(a.toSeq == b.toSeq, s"format $fmt diverged")
+    }
   }
 
   test("catalyst flag runs the whole-operator route end-to-end with equal output") {
