@@ -59,6 +59,7 @@ object SparkEntry {
     // documents: dedup + text analysis
     "d_exact_dedup" -> ((s, d) => Dedup.exact(docs(s, d))),
     "d_token_stats" -> ((s, d) => DocTextOps.tokenStats(docs(s, d))),
+    "d_token_bpe" -> ((s, d) => DocTextOps.tokenBpe(docs(s, d))),
     "d_quality" -> ((s, d) => DocTextOps.qualityScore(docs(s, d))),
     "d_quality_filter" -> ((s, d) => DocTextOps.qualityFilter(docs(s, d))),
     "d_sample" -> ((s, d) => DocTextOps.stratifiedSample(docs(s, d))),
@@ -607,6 +608,16 @@ object SparkEntry {
         |    [CAST(1 + length(w) // 6 AS BIGINT) for w in string_split(text, ' ')]),
         |    (acc, x) -> acc + x) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_token_bpe" -> {
+      val pat = "'" + graft.ops.DocTextOps.BpePattern.replace("'", "''") + "'"
+      val spice = "' it''s 42nd-place!  --  don''t'"
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, $pat, 0)) AS n_bpe_tokens,
+         |  len(list_distinct(regexp_extract_all(text, $pat, 0))) AS n_bpe_distinct,
+         |  list_max([length(x) for x in regexp_extract_all(text, $pat, 0)]) AS max_token_len,
+         |  len(regexp_extract_all(concat(text, $spice), $pat, 0)) AS n_bpe_tokens_spiced
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "d_quality" ->
       """WITH d AS (SELECT doc_id, text, concat(' ', text, ' ') AS pt FROM documents)
         |SELECT doc_id, length(text) AS n_chars_actual,

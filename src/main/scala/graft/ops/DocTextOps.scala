@@ -32,6 +32,38 @@ object DocTextOps {
       "aggregate(split(text, ' '), CAST(0 AS BIGINT), (acc, w) -> acc + 1 + length(w) DIV 6) AS n_subwords"
     ).orderBy("doc_id")
 
+  /** GPT-2-style BPE pre-tokenizer pattern, lookahead-free so it means the
+    * same thing under Java regex (Spark) and RE2 (DuckDB): contraction
+    * suffixes, optional-space letter runs, digit runs, punctuation runs,
+    * residual space runs. Leftmost-first alternation — probed identical
+    * across both engines on contraction/digit/punctuation/multi-space
+    * vectors (TokenBpeSpec pins the counts). */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** Regex-based BPE-ish token counting — the pre-tokenization pass every
+    * BPE vocabulary trainer runs before merges; pure codegen'd column
+    * algebra, one scan, no shuffle. The synthetic corpus is single-space
+    * lowercase ASCII, so alongside the honest per-document counts the query
+    * also tokenizes a spiced twin (text + a fixed suffix with contractions,
+    * digits, punctuation runs, multi-space) so the cross-engine oracle
+    * exercises EVERY alternation branch, not just the word path. */
+  def tokenBpe(documents: DataFrame): DataFrame = {
+    val pat = "'" + BpePattern.replace("'", "''") + "'"
+    val spice = "' it''s 42nd-place!  --  don''t'"
+    documents
+      .selectExpr("doc_id",
+        s"regexp_extract_all(text, $pat, 0) AS toks",
+        s"regexp_extract_all(concat(text, $spice), $pat, 0) AS toks_spiced")
+      .selectExpr(
+        "doc_id",
+        "CAST(size(toks) AS BIGINT) AS n_bpe_tokens",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS n_bpe_distinct",
+        "CAST(array_max(transform(toks, x -> length(x))) AS BIGINT) AS max_token_len",
+        "CAST(size(toks_spiced) AS BIGINT) AS n_bpe_tokens_spiced")
+      .orderBy("doc_id")
+  }
+
   /** Quality signals: length, stopword ratio, lexical diversity, mean word
     * length — the standard pretraining quality-filter features. */
   def qualityScore(documents: DataFrame): DataFrame = {
