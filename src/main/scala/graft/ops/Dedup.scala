@@ -211,18 +211,17 @@ object Dedup {
     import spark.implicits._
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     val nPart = spark.sessionState.conf.numShufflePartitions
-    val part = new org.apache.spark.HashPartitioner(nPart)
     type E = org.apache.spark.rdd.RDD[(Long, Long)]
 
     // canonical form: (larger, smaller), self-loops dropped, deduped —
     // both half-rounds assume set-valued neighborhoods
-    def canon(e: E): E =
+    def canon(e: E, p: Int): E =
       e.flatMap { case (u, v) =>
         if (u == v) Iterator.empty
         else Iterator((math.max(u, v), math.min(u, v)))
-      }.distinct(nPart)
+      }.distinct(p)
 
-    def largeStar(e: E): E = {
+    def largeStar(e: E, part: org.apache.spark.HashPartitioner): E = {
       val dir = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
       val mins = dir.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
         .map { case (u, m) => (u, math.min(u, m)) }
@@ -231,7 +230,7 @@ object Dedup {
         .map { case (_, (v, m)) => (v, m) }
     }
 
-    def smallStar(e: E): E = {
+    def smallStar(e: E, part: org.apache.spark.HashPartitioner): E = {
       // key every edge by its LARGER endpoint; m = min of the ≤ neighbors
       // (m is always one of them). Emit (v, m) per non-min neighbor and let
       // the (u, m) self-link ride on the v == m record — no duplicates per u.
@@ -250,15 +249,24 @@ object Dedup {
 
     var cur = materialize(canon(
       edgesDf.toDF("a", "b").select(col("a").cast("long"), col("b").cast("long"))
-        .as[(Long, Long)].rdd))
+        .as[(Long, Long)].rdd, nPart))
     var curCount = cur.count()
+    // RDD stages get no AQE coalescing, so size the per-round partitioner to
+    // the MEASURED canonical edge count (~6 shuffle stages per round; at 500k
+    // edges/partition each task holds a few tens of MB). A tiny edge set runs
+    // its rounds in a handful of tasks instead of paying nPart-tasks-per-stage
+    // scheduling overhead × O(log n) rounds; a 100 TB edge set saturates the
+    // configured parallelism exactly as before. Star contraction only ever
+    // shrinks the edge set, so the round-0 count is the safe high-water mark.
+    val roundParts = math.max(1L, math.min(nPart.toLong, curCount / 500000L + 1L)).toInt
+    val part = new org.apache.spark.HashPartitioner(roundParts)
     var rounds = 0
     var converged = curCount == 0L // no edges → all singletons, nothing to fold
     while (!converged && rounds < maxIters) {
-      val next = materialize(canon(smallStar(largeStar(cur))))
+      val next = materialize(canon(smallStar(largeStar(cur, part), part), roundParts))
       val nextCount = next.count()
       // exact set equality: same size and next ∖ cur empty ⇒ next == cur
-      converged = nextCount == curCount && next.subtract(cur, nPart).isEmpty()
+      converged = nextCount == curCount && next.subtract(cur, roundParts).isEmpty()
       cur.unpersist(blocking = false)
       cur = next
       curCount = nextCount
