@@ -66,6 +66,7 @@ object SparkEntry {
     "d_langid_stopword" -> ((s, d) => DocTextOps.langIdStopword(docs(s, d))),
     "d_langid_trigram" -> ((s, d) => DocTextOps.langIdTrigram(docs(s, d))),
     "d_fingerprint" -> ((s, d) => DocTextOps.fingerprint(docs(s, d))),
+    "d_tfidf" -> ((s, d) => DocTextOps.tfidfTopTerms(docs(s, d))),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
@@ -675,6 +676,19 @@ object SparkEntry {
          |  list_min([${dh32("s")} for s in shs]) AS fp_shingle_min,
          |  list_max([${dh32("s")} for s in shs]) AS fp_shingle_max
          |FROM docs d JOIN sh ON d.doc_id = sh.doc_id ORDER BY d.doc_id""".stripMargin,
+    "d_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfp AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, term, tf, df,
+        |  tf * 1000000 * n_docs // df AS score_ppm
+        |  FROM tf JOIN dfp USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, tf, df, score_ppm,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tf, df, score_ppm FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "d_ngram_jaccard" ->
       s"""WITH $dShingleDocs,
          |${dJaccard(Some(graft.ops.Dedup.DefaultDfCap))}

@@ -155,6 +155,41 @@ object DocTextOps {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF keyword extraction: top-k terms per document, scored by term
+    * frequency × a linear inverse document frequency (`tf · N / df`, scaled
+    * to ppm and kept in exact integer arithmetic so the DuckDB oracle
+    * reproduces every score bit-for-bit — a log-idf would ride on libm and
+    * differ in the last ulp across engines; the RANKING the two idf shapes
+    * induce is the same monotone order in df for fixed tf).
+    *
+    * Shape at 100 TB: tf is one hash aggregation keyed (doc_id, term); df
+    * reuses tf's output with a second aggregation keyed term (vocabulary
+    * sized — too big to broadcast, so the score join is a plain equi-join
+    * on term); the corpus size N is a 1-row broadcast. Top-k restores
+    * doc_id partitioning with a row_number window over a HIGH-cardinality
+    * key (bounded rows per partition = terms per doc), never a global sort.
+    * Ties break on term ascending — fully deterministic. */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.selectExpr("doc_id", s"explode(${Shingles.ws}) AS term")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfTbl, "term")
+      .crossJoin(broadcast(n))
+      // exact integer score; overflows Long only past ~10^7 docs × 10^5 tf —
+      // at real corpus scale switch the literal to log-idf doubles (ranking
+      // unchanged; only the cross-engine-exact test contract needs integers)
+      .selectExpr("doc_id", "term", "tf", "df",
+        "tf * 1000000L * n_docs DIV df AS score_ppm")
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score_ppm").desc, col("term"))))
+      .where(s"rank <= $k")
+      .selectExpr("doc_id", "CAST(rank AS BIGINT) AS rank", "term", "tf", "df", "score_ppm")
+      .orderBy("doc_id", "rank")
+  }
+
   /** Document fingerprints: full-text polynomial rolling hash plus min/max
     * 3-token shingle hashes (a 3-value sketch). Fold is left-to-right with
     * explicit zero seed → engine-independent. */
