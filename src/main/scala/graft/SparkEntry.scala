@@ -67,6 +67,7 @@ object SparkEntry {
     "d_langid_trigram" -> ((s, d) => DocTextOps.langIdTrigram(docs(s, d))),
     "d_fingerprint" -> ((s, d) => DocTextOps.fingerprint(docs(s, d))),
     "d_tfidf" -> ((s, d) => DocTextOps.tfidfTopTerms(docs(s, d))),
+    "d_redact" -> ((s, d) => DocTextOps.piiRedact(docs(s, d))),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
@@ -689,6 +690,24 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, rank, term, tf, df, score_ppm FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "d_redact" -> {
+      val e = graft.ops.DocTextOps.EmailRe
+      val p = graft.ops.DocTextOps.PhoneRe
+      val ip = graft.ops.DocTextOps.IpRe
+      val spice = " contact bob.smith+spam@mail-host.example.com or ADMIN@site.org, call 555-123-4567 ext 9, host 10.0.255.1 end"
+      s"""WITH t AS (SELECT doc_id, concat(text, '$spice') AS t FROM documents),
+         |r AS (SELECT doc_id, t,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$e', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$p', '<PHONE>', 'g') AS red
+         |  FROM t)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$e', 0)) AS n_emails,
+         |  len(regexp_extract_all(t, '$p', 0)) AS n_phones,
+         |  len(regexp_extract_all(t, '$ip', 0)) AS n_ips,
+         |  CAST(length(red) AS BIGINT) AS redacted_len,
+         |  md5(red) AS redacted_md5
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
     "d_ngram_jaccard" ->
       s"""WITH $dShingleDocs,
          |${dJaccard(Some(graft.ops.Dedup.DefaultDfCap))}

@@ -190,6 +190,43 @@ object DocTextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** PII patterns shared by the Spark query and the DuckDB oracle. Kept
+    * RE2-safe (no lookaround, no backrefs) so Java regex (Spark) and RE2
+    * (DuckDB) agree; all-ASCII classes so word semantics can't diverge. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+  val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII scrub — the privacy pass a pretraining pipeline runs before any
+    * text ships: redact emails, phone numbers, and IPv4 literals, count
+    * each category. Pure per-row `regexp_replace` column algebra: no
+    * shuffle, whole-stage codegen'd, scales linearly with scan bandwidth.
+    *
+    * The synthetic corpus is PII-free, so alongside the honest counts the
+    * query also scrubs a spiced twin (text + a fixed suffix carrying two
+    * emails, a phone, an IPv4) and pins the redacted result by md5 — the
+    * cross-engine oracle then exercises every pattern, not just the
+    * no-match path. Redaction order is email → ip → phone in both engines
+    * (replacement tokens contain no digits, so later passes can't match
+    * inside earlier redactions). */
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val spice = " contact bob.smith+spam@mail-host.example.com or ADMIN@site.org, call 555-123-4567 ext 9, host 10.0.255.1 end"
+    documents
+      .select(col("doc_id"), concat(col("text"), lit(spice)).as("t"))
+      .withColumn("n_emails", size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("n_ips", size(regexp_extract_all(col("t"), lit(IpRe), lit(0))).cast("long"))
+      .withColumn("red",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+            IpRe, "<IP>"),
+          PhoneRe, "<PHONE>"))
+      .selectExpr("doc_id", "n_emails", "n_phones", "n_ips",
+        "CAST(length(red) AS BIGINT) AS redacted_len", "md5(red) AS redacted_md5")
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: full-text polynomial rolling hash plus min/max
     * 3-token shingle hashes (a 3-value sketch). Fold is left-to-right with
     * explicit zero seed → engine-independent. */
