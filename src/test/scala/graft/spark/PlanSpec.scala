@@ -212,6 +212,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     } finally spark.sql("DROP TABLE IF EXISTS turns_b")
   }
 
+  test("d_redact: scan-parallel scrub — only the output-order exchange") {
+    val docs = Relational.tbl(spark, Sf, "documents")
+    val plan = graft.ops.DocTextOps.piiRedact(docs)
+    // one range exchange for the deterministic output ordering; the
+    // redaction itself must stay map-side (no aggregation, no join)
+    assert(shuffleCount(plan) === 1, formatted(plan))
+    val p = formatted(plan)
+    assert(!p.contains("Join"), "PII scrub must not plan a join")
+  }
+
+  test("d_tfidf: corpus-size factor broadcasts; top-k window keys on doc_id") {
+    val docs = Relational.tbl(spark, Sf, "documents")
+    val p = formatted(graft.ops.DocTextOps.tfidfTopTerms(docs))
+    // the 1-row N-docs aggregate joins via broadcast, never a shuffled cross
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the rank window partitions by the high-cardinality doc_id (bounded
+    // rows per partition), not by a global or low-cardinality key
+    assert(p.contains("Window"), p)
+    assert("Window.*doc_id".r.findFirstIn(p).isDefined || p.contains("[doc_id"), p)
+  }
+
   test("q13 quantiles: no window over the low-cardinality group key") {
     val df = Relational.q13Quantiles(spark, Sf)
     val p = formatted(df)
