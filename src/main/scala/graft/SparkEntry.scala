@@ -68,6 +68,7 @@ object SparkEntry {
     "d_fingerprint" -> ((s, d) => DocTextOps.fingerprint(docs(s, d))),
     "d_tfidf" -> ((s, d) => DocTextOps.tfidfTopTerms(docs(s, d))),
     "d_redact" -> ((s, d) => DocTextOps.piiRedact(docs(s, d))),
+    "d_kmv_distinct" -> ((s, d) => DocTextOps.kmvDistinct(docs(s, d))),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
@@ -708,6 +709,25 @@ object SparkEntry {
          |  md5(red) AS redacted_md5
          |FROM r ORDER BY doc_id""".stripMargin
     },
+    "d_kmv_distinct" ->
+      s"""WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents
+         |              WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (SELECT doc_id, lang,
+         |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |                        for i in range(1, len(ws) - 1)]) AS shs
+         |       FROM docs),
+         |hh AS (SELECT lang, unnest([${dh32("s")} for s in shs]) AS h FROM sh),
+         |dh AS (SELECT DISTINCT lang, h FROM hh),
+         |ex AS (SELECT lang, count(*) AS n_exact FROM dh GROUP BY 1),
+         |kk AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM dh),
+         |hkt AS (SELECT lang, CASE WHEN count(*) = 64 THEN max(h) END AS hk
+         |        FROM kk WHERE rn <= 64 GROUP BY 1),
+         |j AS (SELECT ex.lang, n_exact, hk,
+         |        CASE WHEN hk IS NULL THEN n_exact ELSE 63 * 4294967296 // hk END AS n_est
+         |      FROM ex JOIN hkt USING (lang))
+         |SELECT lang, n_exact, hk, n_est,
+         |  abs(n_est - n_exact) * 1000000 // n_exact AS err_ppm
+         |FROM j ORDER BY lang""".stripMargin,
     "d_ngram_jaccard" ->
       s"""WITH $dShingleDocs,
          |${dJaccard(Some(graft.ops.Dedup.DefaultDfCap))}

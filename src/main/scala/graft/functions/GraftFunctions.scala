@@ -73,6 +73,83 @@ case class PyCountOccurrences(left: Expression, right: Expression)
   override def prettyName: String = "py_count_occurrences"
 }
 
+/** `kmv_kth(h, k)` — the k-th smallest DISTINCT value of a 64-bit hash
+  * column, the state of a KMV (k-minimum-values) distinct-count sketch
+  * [Bar-Yossef et al. 2002]. Implemented as a `TypedImperativeAggregate`:
+  * the ≤k-element sorted buffer is mergeable, so Spark plans it as
+  * partial (map-side) + final aggregation — each of 10^12 rows touches a
+  * bounded local buffer and only ≤k longs per partition cross the wire.
+  * Returns NULL when fewer than k distinct values exist (caller falls
+  * back to the exact small count). Unlike HLL++ the result is exactly
+  * reproducible in any engine (`ORDER BY h LIMIT k`), so the sketch state
+  * itself is cross-engine oracle-checkable. */
+case class KmvKthSmallest(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with ImplicitCastInputTypes
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  require(k >= 1, s"kmv_kth: k must be >= 1, got $k")
+
+  override def inputTypes = Seq(org.apache.spark.sql.types.LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def trim(buf: java.util.TreeSet[java.lang.Long]): Unit =
+    while (buf.size > k) buf.pollLast()
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val l = v.asInstanceOf[Long]
+      // skip values already above the current k-th minimum
+      if (buf.size < k || l < buf.last()) { buf.add(l); trim(buf) }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    buf.addAll(other); trim(buf); buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) null else buf.last().longValue()
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvKthSmallest =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvKthSmallest =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvKthSmallest =
+    copy(child = newChild)
+  override def prettyName: String = "kmv_kth"
+}
+
 /** Function registration, two ways:
   *  - spark-submit: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
   *  - existing session (tests, notebooks): `GraftFunctions.register(spark)`
@@ -99,7 +176,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => PyLower(args.head)),
     ("py_count_occurrences",
       new ExpressionInfo(classOf[PyCountOccurrences].getName, "py_count_occurrences"),
-      (args: Seq[Expression]) => PyCountOccurrences(args(0), args(1))))
+      (args: Seq[Expression]) => PyCountOccurrences(args(0), args(1))),
+    ("kmv_kth",
+      new ExpressionInfo(classOf[KmvKthSmallest].getName, "kmv_kth"),
+      (args: Seq[Expression]) => KmvKthSmallest(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -227,6 +227,38 @@ object DocTextOps {
       .orderBy("doc_id")
   }
 
+  /** Approximate distinct-shingle counting per language via the KMV
+    * (k-minimum-values) sketch — the cardinality-estimation primitive for
+    * corpus statistics at 100 TB, where exact `count(DISTINCT ...)` over
+    * 10^12 shingles is a full shuffle of the universe. The sketch state
+    * (k-th smallest distinct hash, [[graft.functions.KmvKthSmallest]])
+    * aggregates partially map-side: ≤k longs per partition cross the
+    * shuffle, independent of input size.
+    *
+    * Like `e_ann_recall`, this is a self-validating query: it carries the
+    * EXACT distinct count next to the estimate and reports the error in
+    * ppm — and because KMV (unlike HLL++) is deterministic given the hash,
+    * the DuckDB oracle reproduces estimate, sketch state, and error
+    * bit-for-bit. Estimator: `(k-1) · 2^32 / h_k` [Bar-Yossef et al. 2002];
+    * fewer than k distinct values → the sketch holds them all, fall back
+    * to its exact size (= n_exact). */
+  def kmvDistinct(documents: DataFrame, k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .where("size(split(text, ' ')) >= 3")
+      .selectExpr("lang", s"${Shingles.ws} AS ws")
+      .selectExpr("lang", s"explode(transform(${Shingles.shingles}, s -> ${Shingles.h32("s")})) AS h")
+      .groupBy("lang")
+      .agg(
+        count_distinct(col("h")).as("n_exact"),
+        expr(s"kmv_kth(h, $k)").as("hk"))
+      .selectExpr("lang", "CAST(n_exact AS BIGINT) AS n_exact", "hk",
+        s"IF(hk IS NULL, n_exact, ($k - 1) * 4294967296L DIV hk) AS n_est")
+      .selectExpr("lang", "n_exact", "hk", "n_est",
+        "abs(n_est - n_exact) * 1000000 DIV n_exact AS err_ppm")
+      .orderBy("lang")
+  }
+
   /** Document fingerprints: full-text polynomial rolling hash plus min/max
     * 3-token shingle hashes (a 3-value sketch). Fold is left-to-right with
     * explicit zero seed → engine-independent. */
