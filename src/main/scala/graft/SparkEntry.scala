@@ -48,6 +48,7 @@ object SparkEntry {
     "q13_quantiles" -> ((s, d) => Relational.q13Quantiles(s, d)),
     "q14_validate" -> ((s, d) =>
       graft.ops.EnvelopeOps.validateEnvelope(graft.ops.EnvelopeOps.synthesizeEnvelopes(docs(s, d)))),
+    "q15_pivot" -> ((s, d) => Relational.q15Pivot(s, d)),
     // event analytics
     "ev_tumbling" -> ((s, d) => EventOps.tumblingCounts(events(s, d))),
     "ev_sessionize" -> ((s, d) => EventOps.sessionize(events(s, d))),
@@ -532,6 +533,11 @@ object SparkEntry {
         |    CASE WHEN doc_received_id IS NULL THEN 'DocReceivedId' END,
         |    CASE WHEN batch_id IS NULL THEN 'BatchId' END) AS missing_warn
         |FROM x ORDER BY doc_id""".stripMargin,
+    "q15_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,

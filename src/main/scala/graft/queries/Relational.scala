@@ -160,6 +160,20 @@ object Relational {
     * global position − group start, where group starts come from a tiny
     * G-row broadcast aggregate. No task ever holds more than one partition
     * of one group's slice. */
+  /** Pivot (wide conditional aggregation): quantity by return flag spread
+    * across line-status columns — the `groupBy().pivot()` API surface.
+    * Pivot values are EXPLICIT, so no extra distinct-values job runs before
+    * planning (the implicit form collects the value set to the driver —
+    * wrong at 100 TB) and the schema is static. Plans as ONE hash aggregate
+    * with map-side partials, same cost shape as q1. */
+  def q15Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    tbl(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(decSum("l_quantity"))
+      .selectExpr("l_returnflag", "`F` AS qty_f", "`O` AS qty_o")
+      .orderBy("l_returnflag")
+
   def q13Quantiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val p = spark.sessionState.conf.numShufflePartitions
