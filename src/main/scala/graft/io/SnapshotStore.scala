@@ -24,7 +24,7 @@ final class SnapshotStore(val root: String) {
   private def dataDir(id: Long): Path = Paths.get(root, "data", s"snap=$id")
   private def manifestDir: Path = Paths.get(root, "_manifests")
 
-  def snapshots: Seq[Long] = {
+  private def manifestIds: Seq[Long] = {
     val d = manifestDir
     if (!Files.exists(d)) Nil
     else {
@@ -38,13 +38,55 @@ final class SnapshotStore(val root: String) {
     }
   }
 
+  private val ReplacesRe = """"replaces": "([0-9,]*)"""".r
+
+  /** Every committed manifest with its `replaces` list (empty for plain
+    * appends). Tolerates a concurrent cleanup deleting a file mid-walk. */
+  private def manifestReplaces: Seq[(Long, Seq[Long])] =
+    manifestIds.flatMap { id =>
+      val m = manifestDir.resolve(s"$id.json")
+      if (!Files.exists(m)) None // raced with cleanup
+      else Some(id -> ReplacesRe.findFirstMatchIn(
+        new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+        .toSeq.flatMap(_.group(1).split(',').filter(_.nonEmpty).map(_.toLong)))
+    }
+
+  /** Ids retired by a committed compaction (union over every manifest's
+    * `replaces` list — a replaced id never becomes live again, so stale
+    * manifests awaiting cleanup can't resurrect one). */
+  private def retiredIds: Set[Long] = manifestReplaces.flatMap(_._2).toSet
+
+  /** Live snapshots: committed manifests minus compaction-retired ids. */
+  def snapshots: Seq[Long] = {
+    val retired = retiredIds
+    manifestIds.filterNot(retired.contains)
+  }
+
+  /** The id of the newest committed COMPACTED snapshot (0 if none). The
+    * compacted snapshot rewrites older data under a NEWER id, so any
+    * incremental checkpoint below this id (other than 0 = full read)
+    * would re-see rewritten rows and cannot be served exactly any more —
+    * see [[readRange]]. */
+  def compactionWatermark: Long =
+    manifestReplaces.collect { case (id, r) if r.nonEmpty => id }
+      .foldLeft(0L)(math.max)
+
   def latest: Option[Long] = snapshots.lastOption
 
   /** Append `df` as the next snapshot; returns its id. Visible only after
     * the manifest rename commits. */
   def append(df: DataFrame, meta: Map[String, String] = Map.empty): Long = {
-    val id = latest.getOrElse(0L) + 1L
+    // allocate above every manifest ever committed (incl. retired ones
+    // still awaiting cleanup) so ids never collide after a compaction
+    val id = manifestIds.lastOption.getOrElse(0L) + 1L
     df.write.mode("overwrite").parquet(dataDir(id).toString)
+    commitManifest(id, meta)
+    id
+  }
+
+  /** Publish snapshot `id`: temp-file write + atomic rename of the
+    * manifest JSON — the commit point for [[append]] and [[compact]]. */
+  private def commitManifest(id: Long, meta: Map[String, String]): Unit = {
     Files.createDirectories(manifestDir)
     val json = {
       val kv = (meta ++ Map("snapshot_id" -> id.toString, "rows" -> "")).map {
@@ -56,7 +98,6 @@ final class SnapshotStore(val root: String) {
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestDir.resolve(s"$id.json"),
       StandardCopyOption.ATOMIC_MOVE)
-    id
   }
 
   /** Read one snapshot. */
@@ -65,12 +106,63 @@ final class SnapshotStore(val root: String) {
     spark.read.parquet(dataDir(id).toString)
   }
 
-  /** Incremental read of snapshots in (fromExclusive, toInclusive]. */
+  /** Incremental read of snapshots in (fromExclusive, toInclusive].
+    *
+    * A checkpoint strictly inside a compacted range cannot be served
+    * exactly (the compacted snapshot holds the WHOLE retired prefix, so
+    * the reader would re-see rows it already processed) — that read fails
+    * loudly instead of silently duplicating; `fromExclusive = 0` (a full
+    * read from the beginning) stays valid across compactions, as does any
+    * checkpoint at or above the watermark. Same contract as expiring
+    * snapshots under an Iceberg incremental scan. */
   def readRange(spark: SparkSession, fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val wm = compactionWatermark
+    require(fromExclusive == 0L || fromExclusive >= wm,
+      s"checkpoint $fromExclusive predates the compaction watermark $wm: " +
+        "the retired snapshots were rewritten; restart from a full read (from=0)")
     val ids = snapshots.filter(id => id > fromExclusive && id <= toInclusive)
     require(ids.nonEmpty, s"no snapshots in ($fromExclusive, $toInclusive]")
     ids.map(id => spark.read.parquet(dataDir(id).toString)).reduce(_ unionAll _)
   }
+
+  /** Compact every live snapshot with id ≤ `upToInclusive` into ONE new
+    * snapshot — the small-files maintenance action a high-frequency append
+    * stream needs at scale (10^5 incremental commits of a 100 TB table
+    * would otherwise each be read as their own file listing forever).
+    *
+    * Crash-safe by the same manifest rule as [[append]]: the new data
+    * files land first, then a single manifest rename commits a snapshot
+    * whose `replaces` list retires the inputs — readers either see the old
+    * set or the new one, never both, and never a partial state. Physical
+    * deletion of retired data is the SEPARATE, idempotent, lazily-safe
+    * [[expireRetired]] step (run here unless `cleanup = false`): a crash
+    * between commit and cleanup leaves stale files that no reader lists.
+    *
+    * Returns the compacted snapshot id. */
+  def compact(spark: SparkSession, upToInclusive: Long, cleanup: Boolean = true): Long = {
+    val inputs = snapshots.filter(_ <= upToInclusive)
+    require(inputs.size >= 2,
+      s"compaction needs >= 2 live snapshots <= $upToInclusive, found ${inputs.size}")
+    val merged = spark.read.parquet(inputs.map(id => dataDir(id).toString): _*)
+    val id = manifestIds.lastOption.getOrElse(0L) + 1L
+    merged.write.mode("overwrite").parquet(dataDir(id).toString)
+    commitManifest(id, Map("replaces" -> inputs.mkString(",")))
+    if (cleanup) expireRetired()
+    id
+  }
+
+  /** Delete data + manifests of compaction-retired snapshots. Idempotent,
+    * safe to run (or re-run after a crash) any time after the compacted
+    * manifest committed — retired ids are invisible to readers already. */
+  def expireRetired(): Unit =
+    retiredIds.foreach { id =>
+      val d = dataDir(id)
+      if (Files.exists(d)) {
+        val it = Files.walk(d).sorted(java.util.Comparator.reverseOrder[Path]()).iterator()
+        while (it.hasNext) Files.deleteIfExists(it.next())
+      }
+      Files.deleteIfExists(manifestDir.resolve(s"$id.json"))
+    }
 }
 
 /** Checkpoint-resumable run of the extraction+segmentation pipeline:
