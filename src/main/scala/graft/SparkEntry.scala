@@ -70,6 +70,7 @@ object SparkEntry {
     "d_tfidf" -> ((s, d) => DocTextOps.tfidfTopTerms(docs(s, d))),
     "d_redact" -> ((s, d) => DocTextOps.piiRedact(docs(s, d))),
     "d_kmv_distinct" -> ((s, d) => DocTextOps.kmvDistinct(docs(s, d))),
+    "d_downselect" -> ((s, d) => DocTextOps.downselect(docs(s, d))),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
@@ -734,6 +735,26 @@ object SparkEntry {
          |SELECT lang, n_exact, hk, n_est,
          |  abs(n_est - n_exact) * 1000000 // n_exact AS err_ppm
          |FROM j ORDER BY lang""".stripMargin,
+    "d_downselect" ->
+      s"""WITH d AS (SELECT doc_id, text, concat(' ', text, ' ') AS pt FROM documents),
+         |q AS (SELECT doc_id,
+         |  (length(text) >= 80 AND len(string_split(text, ' ')) >= 16 AND
+         |   CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5 AS BIGINT)
+         |     + CAST((length(pt) - length(replace(pt, ' a ', ''))) / 3 AS BIGINT)
+         |     + CAST((length(pt) - length(replace(pt, ' of ', ''))) / 4 AS BIGINT) >= 1 AND
+         |   (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000) // len(string_split(text, ' ')) >= 300000 AND
+         |   (CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) * 1000000) // len(string_split(text, ' ')) BETWEEN 2000000 AND 12000000) AS q_keep
+         |FROM d),
+         |f AS (SELECT doc.doc_id, doc.lang, q.q_keep, md5(doc.text) AS content_hash,
+         |  ${dh32("CAST(doc.doc_id AS VARCHAR)")} % 100 AS bucket,
+         |  CAST(CASE WHEN doc.lang = 'en' THEN 50 WHEN doc.lang IN ('de','es','fr') THEN 80
+         |            ELSE 10 END AS BIGINT) AS rate
+         |  FROM documents doc JOIN q ON doc.doc_id = q.doc_id),
+         |c AS (SELECT content_hash, min(doc_id) AS keep_doc_id FROM f WHERE q_keep GROUP BY 1)
+         |SELECT f.doc_id, f.lang, f.q_keep,
+         |  f.q_keep AND f.doc_id = c.keep_doc_id AS is_canonical,
+         |  (f.q_keep AND f.doc_id = c.keep_doc_id) AND f.bucket < f.rate AS sampled
+         |FROM f LEFT JOIN c USING (content_hash) ORDER BY f.doc_id""".stripMargin,
     "d_ngram_jaccard" ->
       s"""WITH $dShingleDocs,
          |${dJaccard(Some(graft.ops.Dedup.DefaultDfCap))}

@@ -139,6 +139,35 @@ object DocTextOps {
       .orderBy("doc_id")
   }
 
+  /** The composed pretraining downselect — the pipeline a corpus actually
+    * runs end-to-end, as ONE dataflow: quality filter → exact dedup (keep
+    * the minimum-id canonical per content hash AMONG quality survivors) →
+    * deterministic stratified sample. Emits one row per input document
+    * with each stage's verdict, so the oracle checks the whole composition,
+    * not just the stages in isolation (and lineage of WHY a doc dropped is
+    * free: the first false flag names the stage).
+    *
+    * Shape at 100 TB: quality flags are scan-parallel column algebra; the
+    * canonical choice is one hash aggregation on the content digest joined
+    * back on the same key (both sides partitioned by content_hash — the
+    * join rides the aggregation's exchange); sampling is hash arithmetic.
+    * No windows, no driver-side state. */
+  def downselect(documents: DataFrame): DataFrame = {
+    val q = qualityFilter(documents).select(col("doc_id"), col("keep").as("q_keep"))
+    val flags = documents.join(q, "doc_id")
+      .selectExpr("doc_id", "lang", "q_keep", "md5(text) AS content_hash",
+        s"${Shingles.h32("CAST(doc_id AS STRING)")} % 100 AS bucket",
+        "CAST(CASE WHEN lang = 'en' THEN 50 WHEN lang IN ('de','es','fr') THEN 80 " +
+          "ELSE 10 END AS BIGINT) AS rate")
+    val canon = flags.where("q_keep")
+      .groupBy("content_hash").agg(min("doc_id").as("keep_doc_id"))
+    flags.join(canon, Seq("content_hash"), "left")
+      .selectExpr("doc_id", "lang", "q_keep",
+        "q_keep AND doc_id = keep_doc_id AS is_canonical",
+        "(q_keep AND doc_id = keep_doc_id) AND bucket < rate AS sampled")
+      .orderBy("doc_id")
+  }
+
   /** Character-trigram language ID (Cavnar–Trenkle rank distance) as a
     * per-row kernel over `mapPartitions` — the richer, non-SQL-expressible
     * companion to [[langIdStopword]] (rows-only checked; its unit oracle is
