@@ -74,13 +74,32 @@ final class SnapshotStore(val root: String) {
   def latest: Option[Long] = snapshots.lastOption
 
   /** Append `df` as the next snapshot; returns its id. Visible only after
-    * the manifest rename commits. */
-  def append(df: DataFrame, meta: Map[String, String] = Map.empty): Long = {
+    * the manifest rename commits.
+    *
+    * `statsCol` (optional) records that LONG column's min/max in the
+    * manifest — the snapshot-level analog of Iceberg manifest column
+    * stats. Costs one extra aggregation job at write time; buys
+    * [[readRangePruned]] the right to skip entire snapshots whose range
+    * can't match a predicate, without opening their files. */
+  def append(
+      df: DataFrame,
+      meta: Map[String, String] = Map.empty,
+      statsCol: Option[String] = None): Long = {
     // allocate above every manifest ever committed (incl. retired ones
     // still awaiting cleanup) so ids never collide after a compaction
     val id = manifestIds.lastOption.getOrElse(0L) + 1L
     df.write.mode("overwrite").parquet(dataDir(id).toString)
-    commitManifest(id, meta)
+    val stats = statsCol.toSeq.flatMap { c =>
+      // read back the landed files: stats must describe exactly what readers see
+      val r = df.sparkSession.read.parquet(dataDir(id).toString)
+        .selectExpr(s"CAST(min($c) AS LONG) AS mn", s"CAST(max($c) AS LONG) AS mx")
+        .head()
+      if (r.isNullAt(0)) Nil
+      else Seq("stats_col" -> c,
+        "stats_min" -> r.getLong(0).toString,
+        "stats_max" -> r.getLong(1).toString)
+    }
+    commitManifest(id, meta ++ stats)
     id
   }
 
@@ -125,6 +144,57 @@ final class SnapshotStore(val root: String) {
     ids.map(id => spark.read.parquet(dataDir(id).toString)).reduce(_ unionAll _)
   }
 
+  /** Column stats recorded for snapshot `id` at append time:
+    * (column, min, max), if any. */
+  def snapshotStats(id: Long): Option[(String, Long, Long)] = {
+    val m = manifestDir.resolve(s"$id.json")
+    if (!Files.exists(m)) None
+    else {
+      val s = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+      def f(k: String) = (s""""$k": "([^"]*)"""").r.findFirstMatchIn(s).map(_.group(1))
+      for { c <- f("stats_col"); mn <- f("stats_min"); mx <- f("stats_max") }
+        yield (c, mn.toLong, mx.toLong)
+    }
+  }
+
+  /** Split the live snapshots of (fromExclusive, toInclusive] into
+    * (kept, skipped) for a `col BETWEEN lo AND hi` predicate using the
+    * manifest stats: a snapshot is skipped iff its recorded [min,max] for
+    * exactly `col` cannot intersect [lo,hi]. Snapshots without stats for
+    * that column are conservatively kept — stats only ever PRUNE. */
+  def pruneSnapshots(fromExclusive: Long, toInclusive: Long,
+      col: String, lo: Long, hi: Long): (Seq[Long], Seq[Long]) =
+    snapshots.filter(id => id > fromExclusive && id <= toInclusive)
+      .partition { id =>
+        snapshotStats(id) match {
+          case Some((c, mn, mx)) if c == col => mx >= lo && mn <= hi
+          case _ => true
+        }
+      }
+
+  /** [[readRange]] plus snapshot-level predicate pruning — the manifest
+    * analog of Iceberg's file skipping: snapshots whose recorded stats
+    * range for `col` cannot match `[lo, hi]` are never opened (no footer
+    * read, no task). The residual `BETWEEN` filter still applies to the
+    * kept snapshots (and pushes down into their parquet scans), so stats
+    * accelerate, never decide, membership. */
+  def readRangePruned(spark: SparkSession, fromExclusive: Long, toInclusive: Long,
+      col: String, lo: Long, hi: Long): DataFrame = {
+    val wm = compactionWatermark
+    require(fromExclusive == 0L || fromExclusive >= wm,
+      s"checkpoint $fromExclusive predates the compaction watermark $wm: " +
+        "the retired snapshots were rewritten; restart from a full read (from=0)")
+    val (kept, _) = pruneSnapshots(fromExclusive, toInclusive, col, lo, hi)
+    val all = snapshots.filter(id => id > fromExclusive && id <= toInclusive)
+    require(all.nonEmpty, s"no snapshots in ($fromExclusive, $toInclusive]")
+    val base =
+      if (kept.nonEmpty) spark.read.parquet(kept.map(id => dataDir(id).toString): _*)
+      else // every snapshot pruned: empty result with the table's schema
+        spark.read.parquet(dataDir(all.head).toString)
+          .where(org.apache.spark.sql.functions.lit(false))
+    base.where(s"$col BETWEEN $lo AND $hi")
+  }
+
   /** Compact every live snapshot with id ≤ `upToInclusive` into ONE new
     * snapshot — the small-files maintenance action a high-frequency append
     * stream needs at scale (10^5 incremental commits of a 100 TB table
@@ -146,7 +216,16 @@ final class SnapshotStore(val root: String) {
     val merged = spark.read.parquet(inputs.map(id => dataDir(id).toString): _*)
     val id = manifestIds.lastOption.getOrElse(0L) + 1L
     merged.write.mode("overwrite").parquet(dataDir(id).toString)
-    commitManifest(id, Map("replaces" -> inputs.mkString(",")))
+    // stats survive compaction when every input carries them for the same
+    // column: merged range = [min of mins, max of maxes] — no extra job
+    val inStats = inputs.map(snapshotStats)
+    val stats =
+      if (inStats.forall(_.isDefined) && inStats.flatten.map(_._1).distinct.size == 1)
+        Seq("stats_col" -> inStats.flatten.head._1,
+          "stats_min" -> inStats.flatten.map(_._2).min.toString,
+          "stats_max" -> inStats.flatten.map(_._3).max.toString)
+      else Nil
+    commitManifest(id, Map("replaces" -> inputs.mkString(",")) ++ stats)
     if (cleanup) expireRetired()
     id
   }

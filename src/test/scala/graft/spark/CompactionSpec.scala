@@ -69,6 +69,36 @@ class CompactionSpec extends AnyFunSuite with SparkFixture {
     assert(store.readRange(spark, 4L, 5L).collect().map(_.getLong(0)).toSeq === Seq(9L))
   }
 
+  test("manifest stats prune whole snapshots; stats-less snapshots stay conservative") {
+    import spark.implicits._
+    val store = freshStore("stats")
+    store.append(Seq(1L, 5L).toDF("id"), statsCol = Some("id"))    // [1,5]
+    store.append(Seq(10L, 20L).toDF("id"), statsCol = Some("id"))  // [10,20]
+    store.append(Seq(100L).toDF("id"), statsCol = Some("id"))      // [100,100]
+    store.append(Seq(7L).toDF("id"))                               // no stats
+
+    assert(store.snapshotStats(1L) === Some(("id", 1L, 5L)))
+    assert(store.snapshotStats(4L) === None)
+
+    // predicate [6,30]: snapshot 2 matches, 1 and 3 prune away, 4 has no
+    // stats → conservatively kept (and then filtered by the residual)
+    val (kept, skipped) = store.pruneSnapshots(0L, 4L, "id", 6L, 30L)
+    assert(kept === Seq(2L, 4L) && skipped === Seq(1L, 3L))
+    assert(store.readRangePruned(spark, 0L, 4L, "id", 6L, 30L)
+      .collect().map(_.getLong(0)).toSeq.sorted === Seq(7L, 10L, 20L))
+
+    // all snapshots pruned → empty result, schema intact
+    val none = store.readRangePruned(spark, 0L, 4L, "id", 1000L, 2000L)
+    assert(none.columns.toSeq === Seq("id") && none.count() === 0L)
+
+    // compaction merges the stats range when every input carries them
+    val store2 = freshStore("stats2")
+    store2.append(Seq(1L, 5L).toDF("id"), statsCol = Some("id"))
+    store2.append(Seq(10L, 20L).toDF("id"), statsCol = Some("id"))
+    val cid = store2.compact(spark, upToInclusive = 2L)
+    assert(store2.snapshotStats(cid) === Some(("id", 1L, 20L)))
+  }
+
   test("crash window between commit and cleanup: consistent view, cleanup idempotent") {
     import spark.implicits._
     val store = freshStore("crash")
