@@ -57,6 +57,7 @@ object SparkEntry {
     "ev_asof" -> ((s, d) => EventOps.asofViewBeforePurchase(events(s, d))),
     "ev_funnel" -> ((s, d) => EventOps.funnel(events(s, d))),
     "ev_interval_join" -> ((s, d) => EventOps.intervalJoin(events(s, d))),
+    "ev_retention" -> ((s, d) => EventOps.retention(events(s, d))),
     // documents: dedup + text analysis
     "d_exact_dedup" -> ((s, d) => Dedup.exact(docs(s, d))),
     "d_token_stats" -> ((s, d) => DocTextOps.tokenStats(docs(s, d))),
@@ -601,6 +602,13 @@ object SparkEntry {
         |SELECT interval_id, iv.s AS s, iv.e AS e, count(*) AS n_events
         |FROM iv JOIN e ON e.epoch BETWEEN iv.s AND iv.e
         |GROUP BY 1, 2, 3 ORDER BY interval_id""".stripMargin,
+    "ev_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY 1)
+        |SELECT c.cohort_wk, wk.wk - c.cohort_wk AS week_offset,
+        |  COUNT(DISTINCT wk.user_id) AS n_users
+        |FROM wk JOIN c ON wk.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_prop_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,

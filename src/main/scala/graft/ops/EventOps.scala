@@ -157,6 +157,27 @@ object EventOps {
       .orderBy("interval_id")
   }
 
+  /** Cohort retention matrix — the standard growth-analytics operator:
+    * users are grouped into the UNIX week of their first event, then each
+    * (cohort, weeks-since-cohort) cell counts the distinct users still
+    * active. Weeks are integer epoch arithmetic (`epoch DIV 604800`), not
+    * calendar truncation, so every engine agrees on the bucket edges.
+    *
+    * Shape at scale: one distinct on (user_id, week), a per-user min
+    * (rides the user_id partitioning), a join back on user_id, one
+    * aggregation on the (cohort, offset) pair — every stage keyed,
+    * nothing windowed, nothing collected. */
+  def retention(events: DataFrame): DataFrame = {
+    val wk = events
+      .selectExpr("user_id", "CAST(unix_timestamp(ts) AS BIGINT) DIV 604800 AS wk")
+      .distinct()
+    val cohort = wk.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    wk.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct("user_id").cast("long").as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
   /** JSON prop extraction + conditional aggregation (`from_json` /
     * `get_json_object` surface). */
   def propExtract(events: DataFrame): DataFrame =

@@ -1,0 +1,30 @@
+package graft.spark
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.EventOps
+
+class EventOpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("retention buckets users by first-activity week and counts survivors per offset") {
+    import spark.implicits._
+    val week = 604800L * 1000L
+    // epoch week boundary: t0 is an exact multiple of 604800s
+    val t0 = 1767225600L / 604800L * 604800L * 1000L
+    def ts(w: Long, off: Long = 1000L) = new Timestamp(t0 + w * week + off)
+    // user 0: weeks 0,1,3 (cohort 0); user 1: weeks 0,1 (cohort 0);
+    // user 2: weeks 1,1 (dup within week — must count once; cohort 1)
+    val events = Seq(
+      (0L, ts(0), 0L), (1L, ts(1), 0L), (2L, ts(3), 0L),
+      (3L, ts(0), 1L), (4L, ts(1), 1L),
+      (5L, ts(1), 2L), (6L, ts(1, 2000L), 2L)
+    ).map { case (id, t, u) => (id, t, u, "view", "1.0", "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val base = t0 / 1000L / 604800L
+    val rows = EventOps.retention(events).collect()
+      .map(r => (r.getLong(0) - base, r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((0L, 0L, 2L), (0L, 1L, 2L), (0L, 3L, 1L), (1L, 0L, 1L)), s"got $rows")
+  }
+}
