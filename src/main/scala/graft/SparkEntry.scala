@@ -72,6 +72,9 @@ object SparkEntry {
     "d_redact" -> ((s, d) => DocTextOps.piiRedact(docs(s, d))),
     "d_kmv_distinct" -> ((s, d) => DocTextOps.kmvDistinct(docs(s, d))),
     "d_downselect" -> ((s, d) => DocTextOps.downselect(docs(s, d))),
+    "d_decontaminate" -> ((s, d) => DocTextOps.decontaminate(docs(s, d))),
+    "d_repetition" -> ((s, d) => DocTextOps.repetitionSignals(docs(s, d))),
+    "d_cms_freq" -> ((s, d) => DocTextOps.cmsFreq(docs(s, d))),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
@@ -763,6 +766,46 @@ object SparkEntry {
          |  f.q_keep AND f.doc_id = c.keep_doc_id AS is_canonical,
          |  (f.q_keep AND f.doc_id = c.keep_doc_id) AND f.bucket < f.rate AS sampled
          |FROM f LEFT JOIN c USING (content_hash) ORDER BY f.doc_id""".stripMargin,
+    "d_decontaminate" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') ws FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 4),
+        |g AS (SELECT doc_id,
+        |        unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+        |                              for i in range(1, len(ws) - 2)])) AS g
+        |      FROM docs),
+        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+        |SELECT d.doc_id, count(b.g)::BIGINT AS n_contaminated_ngrams,
+        |  count(b.g) > 0 AS contaminated
+        |FROM g d LEFT JOIN bench b USING (g)
+        |WHERE d.doc_id % 97 != 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_repetition" ->
+      """WITH base AS (SELECT doc_id, CAST(length(text) AS BIGINT) nc, string_split(text, ' ') ws
+        |              FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |gg AS (
+        |  SELECT doc_id, nc, 2 AS w, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g FROM base
+        |  UNION ALL
+        |  SELECT doc_id, nc, 3 AS w, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) AS g FROM base),
+        |tf AS (SELECT doc_id, nc, w, g, count(*) AS c FROM gg GROUP BY 1, 2, 3, 4),
+        |agg AS (SELECT doc_id, nc, max(CASE WHEN w = 2 THEN (c, g) END) AS m2,
+        |          COALESCE(SUM(CASE WHEN w = 3 AND c >= 2 THEN c * length(g) ELSE 0 END), 0)::BIGINT AS dup3
+        |        FROM tf GROUP BY 1, 2)
+        |SELECT doc_id, m2[1]::BIGINT AS top_bigram_cnt, m2[2] AS top_bigram,
+        |  m2[1] * length(m2[2]) * 1000000 // nc AS top_bigram_char_ppm,
+        |  dup3 AS dup_trigram_chars, dup3 * 1000000 // nc AS dup_trigram_char_ppm
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "d_cms_freq" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |probes AS (SELECT w, count(*)::BIGINT AS n_exact FROM toks
+         |           GROUP BY 1 ORDER BY n_exact DESC, w LIMIT 8),
+         |cells AS (SELECT r, ${dh32("concat('cms', r, ':', w)")} % 32 AS c, count(*)::BIGINT AS v
+         |          FROM toks, range(0, 4) t(r) GROUP BY 1, 2),
+         |pc AS (SELECT w, n_exact, r, ${dh32("concat('cms', r, ':', w)")} % 32 AS c
+         |       FROM probes, range(0, 4) t(r))
+         |SELECT pc.w AS term, pc.n_exact, min(cells.v) AS n_est,
+         |  (min(cells.v) - pc.n_exact) * 1000000 // pc.n_exact AS overest_ppm
+         |FROM pc JOIN cells ON pc.r = cells.r AND pc.c = cells.c
+         |GROUP BY 1, 2 ORDER BY 2 DESC, 1""".stripMargin,
     "d_ngram_jaccard" ->
       s"""WITH $dShingleDocs,
          |${dJaccard(Some(graft.ops.Dedup.DefaultDfCap))}

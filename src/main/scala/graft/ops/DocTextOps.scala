@@ -288,6 +288,97 @@ object DocTextOps {
       .orderBy("lang")
   }
 
+  /** Benchmark decontamination — the eval-integrity pass every pretraining
+    * corpus needs: flag any training document sharing a token n-gram with
+    * the held-out benchmark set, so eval questions can't leak into the
+    * training mix. The benchmark here is a deterministic slice of the
+    * corpus itself (`doc_id % benchMod = 0` — no external data in this
+    * sandbox); in production it is the actual eval suites.
+    *
+    * Shape at 100 TB: benchmark n-gram sets are MB-scale (eval suites,
+    * not corpora) → broadcast hash join against the exploded training
+    * n-grams, so the corpus is never shuffled; the only aggregation is
+    * the per-document hit count, which rides the scan partitioning after
+    * the map-side join. Width 4 mirrors real decon pipelines' 8–13-gram
+    * windows scaled to this corpus's 10–99-token documents. */
+  def decontaminate(documents: DataFrame, n: Int = 4, benchMod: Long = 97L): DataFrame = {
+    val grams = documents.where(s"size(split(text, ' ')) >= $n")
+      .selectExpr("doc_id", s"${Shingles.ws} AS ws")
+      .selectExpr("doc_id", s"explode(${Shingles.grams(n)}) AS g")
+    val bench = grams.where(s"doc_id % $benchMod = 0")
+      .select("g").distinct().withColumn("hit", lit(1L))
+    grams.where(s"doc_id % $benchMod != 0")
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_contaminated_ngrams"))
+      .selectExpr("doc_id", "n_contaminated_ngrams",
+        "n_contaminated_ngrams > 0 AS contaminated")
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition quality signals: the character share of the
+    * single most frequent bigram, and of all duplicated trigrams — the
+    * standard signals for machine-generated/boilerplate text. Both gram
+    * widths ride ONE explode + one aggregation keyed (doc_id, width, gram)
+    * — high-cardinality keys, bounded rows per doc, no windows. Tie-break
+    * for the top bigram is the (count, gram) struct max: largest count,
+    * then lexicographically largest gram — deterministic in any engine.
+    * Integer ppm arithmetic end-to-end. */
+  def repetitionSignals(documents: DataFrame): DataFrame = {
+    val g = documents.where("size(split(text, ' ')) >= 3")
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS nc", s"${Shingles.ws} AS ws")
+      .selectExpr("doc_id", "nc",
+        s"""explode(concat(
+           |  transform(${Shingles.grams(2, distinct = false)}, x -> struct(2 AS w, x AS g)),
+           |  transform(${Shingles.grams(3, distinct = false)}, x -> struct(3 AS w, x AS g)))) AS t""".stripMargin)
+      .selectExpr("doc_id", "nc", "t.w AS w", "t.g AS g")
+      .groupBy("doc_id", "nc", "w", "g").agg(count(lit(1)).as("c"))
+    g.groupBy("doc_id", "nc")
+      .agg(
+        max(when(col("w") === 2, struct(col("c"), col("g")))).as("m2"),
+        sum(when(col("w") === 3 && col("c") >= 2, col("c") * length(col("g"))))
+          .as("dup3"))
+      .selectExpr("doc_id",
+        "m2.c AS top_bigram_cnt", "m2.g AS top_bigram",
+        "m2.c * length(m2.g) * 1000000 DIV nc AS top_bigram_char_ppm",
+        "CAST(coalesce(dup3, 0) AS BIGINT) AS dup_trigram_chars",
+        "CAST(coalesce(dup3, 0) AS BIGINT) * 1000000 DIV nc AS dup_trigram_char_ppm")
+      .orderBy("doc_id")
+  }
+
+  /** Count-min-sketch token frequency — the OTHER mergeable sketch next to
+    * [[kmvDistinct]]: a depth×width counter matrix whose cells are plain
+    * sums, so partial aggregation is map-side and only `depth·width`
+    * counters ever cross the shuffle, independent of corpus size. Point
+    * estimate = min over the depth rows; always ≥ the true count.
+    *
+    * Self-validating like `e_ann_recall`/`d_kmv_distinct`: probes are the
+    * top-k exact tokens (deterministic tie-break), reported next to the
+    * sketch estimate with the overestimate in ppm. The default width (32)
+    * is deliberately near this corpus's vocabulary so hash collisions —
+    * the whole point of the min-over-rows — actually occur and are pinned
+    * by the oracle; at real scale width is 2^20+. Deterministic given the
+    * md5 cell hash, so DuckDB reproduces every cell bit-for-bit. */
+  def cmsFreq(documents: DataFrame, depth: Int = 4, width: Int = 32, k: Int = 8): DataFrame = {
+    val toks = documents.selectExpr(s"explode(${Shingles.ws}) AS w")
+    val cell = Shingles.h32("concat('cms', r, ':', w)") + s" % $width"
+    val cells = toks
+      .selectExpr("w", s"explode(sequence(0, ${depth - 1})) AS r")
+      .selectExpr("r", s"$cell AS c")
+      .groupBy("r", "c").agg(count(lit(1)).as("v"))
+    val probes = toks.groupBy("w").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w")).limit(k)
+    probes
+      .selectExpr("w", "n_exact", s"explode(sequence(0, ${depth - 1})) AS r")
+      .selectExpr("w", "n_exact", "r", s"$cell AS c")
+      .join(cells, Seq("r", "c"))
+      .groupBy("w", "n_exact").agg(min("v").as("n_est"))
+      .selectExpr("w AS term", "CAST(n_exact AS BIGINT) AS n_exact",
+        "CAST(n_est AS BIGINT) AS n_est",
+        "(n_est - n_exact) * 1000000 DIV n_exact AS overest_ppm")
+      .orderBy(col("n_exact").desc, col("term"))
+  }
+
   /** Document fingerprints: full-text polynomial rolling hash plus min/max
     * 3-token shingle hashes (a 3-value sketch). Fold is left-to-right with
     * explicit zero seed → engine-independent. */
@@ -316,6 +407,16 @@ object DocTextOps {
 object Shingles {
   /** Token array — project exactly once, then feed the fragments below. */
   val ws: String = "split(text, ' ')"
+
+  /** Width-`n` token n-grams over the pre-split `ws` column; `distinct`
+    * controls whether repeats survive (counting wants them, set semantics
+    * don't). Requires `size(ws) >= n`. */
+  def grams(n: Int, distinct: Boolean = true): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "ws[i]" else s"ws[i+$j]").mkString(", ")
+    val t = s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', $parts))"
+    if (distinct) s"array_distinct($t)" else t
+  }
 
   /** Distinct 3-token shingles over the pre-split `ws` column (≥3 tokens). */
   val shingles: String =

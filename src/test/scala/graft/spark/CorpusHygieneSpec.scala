@@ -1,0 +1,65 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.DocTextOps
+
+/** Decontamination, repetition signals, and the count-min sketch on
+  * hand-computed corpora (the DuckDB oracle covers the full synthetic
+  * table; these pin the semantics on minimal cases). */
+class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+  }
+
+  test("decontaminate flags docs sharing a 4-gram with the benchmark slice") {
+    // doc 0 is the benchmark (0 % 97 = 0); doc 1 repeats one of its
+    // 4-grams verbatim, doc 2 shares only shorter overlaps
+    val d = docs(
+      0L -> "alpha beta gamma delta epsilon",
+      1L -> "x alpha beta gamma delta y",
+      2L -> "alpha beta zeta gamma delta")
+    val got = DocTextOps.decontaminate(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toList
+    assert(got == List((1L, 1L, true), (2L, 0L, false)))
+    val plan = DocTextOps.decontaminate(d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark join must broadcast, got:\n$plan")
+  }
+
+  test("repetitionSignals computes top-bigram and duplicated-trigram char shares") {
+    // "a b a b a b": bigrams a·b ×3, b·a ×2 → top ("a b", 3);
+    // trigrams "a b a" ×2, "b a b" ×2 → dup chars = 2*5 + 2*5 = 20
+    val d = docs(5L -> "a b a b a b")
+    val r = DocTextOps.repetitionSignals(d).collect().head
+    assert(r.getLong(1) == 3L && r.getString(2) == "a b")
+    assert(r.getLong(3) == 3L * 3 * 1000000L / 11) // top covers 9 of 11 chars
+    assert(r.getLong(4) == 20L)
+    assert(r.getLong(5) == 20L * 1000000L / 11)
+  }
+
+  test("repetitionSignals tie-breaks the top bigram to the lexicographically largest") {
+    val r = DocTextOps.repetitionSignals(docs(7L -> "p q r s")).collect().head
+    // all bigrams occur once -> max struct picks "r s"
+    assert(r.getLong(1) == 1L && r.getString(2) == "r s")
+  }
+
+  test("cmsFreq estimates are exact counts when the width has no collisions, and never under") {
+    val d = docs(
+      0L -> "cat dog cat bird cat",
+      1L -> "dog bird fish dog cat")
+    // width 1024 >> 4 tokens -> no collisions: est == exact for all probes
+    val wide = DocTextOps.cmsFreq(d, width = 1024, k = 4).collect()
+    assert(wide.length == 4)
+    wide.foreach(r => assert(r.getLong(1) == r.getLong(2) && r.getLong(3) == 0L, r.toString))
+    assert(wide.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("cat" -> 4L, "dog" -> 3L, "bird" -> 2L, "fish" -> 1L))
+    // width 1 -> every token lands in one cell: est = total tokens, never under
+    val tight = DocTextOps.cmsFreq(d, width = 1, k = 4).collect()
+    tight.foreach(r => assert(r.getLong(2) == 10L && r.getLong(2) >= r.getLong(1)))
+  }
+}
