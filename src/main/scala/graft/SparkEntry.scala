@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
 
-import graft.ops.{Dedup, DocTextOps, EventOps, Multimodal, Similarity}
+import graft.ops.{Dedup, DocTextOps, EventOps, GraphOps, Multimodal, Similarity}
 import graft.queries.Relational
 import graft.pipeline.Pipeline
 
@@ -92,6 +92,8 @@ object SparkEntry {
     "e_ann_ivf" -> ((s, d) => Similarity.annIvf(embs(s, d))),
     "e_ann_recall" -> ((s, d) => Similarity.annRecall(embs(s, d))),
     "e_centroids" -> ((s, d) => Similarity.labelCentroids(embs(s, d))),
+    "e_kmeans" -> ((s, d) => Similarity.kmeans(embs(s, d))),
+    "d_pagerank" -> ((s, d) => GraphOps.pagerank(docs(s, d))),
     // multimodal plumbing
     "m_features" -> ((s, d) => Multimodal.features(docs(s, d)).drop("mean_byte")),
     "m_feature_summary" -> ((s, d) => Multimodal.featureSummary(docs(s, d))),
@@ -221,6 +223,62 @@ object SparkEntry {
 
   /** 60-bit hash: first 15 md5 hex chars (sign-safe in every engine). */
   private def dh60(col: String) = s"(('0x' || substr(md5($col), 1, 15))::BIGINT)"
+
+  /** Replays every Lloyd round of [[Similarity.kmeans]] on the same 2^-20
+    * integer grid with the same truncating division — engine-exact, so the
+    * hash matches bit-for-bit (a float k-means could not be oracled). */
+  private def kmeansOracle: String = {
+    val k = 8; val iters = 3; val dim = 64
+    def dist(x: String, m: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), [($x[i]-$m[i])*($x[i]-$m[i]) for i in range(1, ${dim + 1})]), (a,b) -> a+b)"
+    val sb = new StringBuilder
+    sb ++= "WITH x AS (SELECT CAST(vec_id AS BIGINT) vec_id, [CAST(floor(v::DOUBLE * 1048576) AS BIGINT) for v in embedding] AS x FROM embeddings),\n"
+    sb ++= s"c0 AS (SELECT CAST(vec_id AS BIGINT) cl, x AS m FROM x WHERE vec_id < $k)"
+    var prev = "c0"
+    for (it <- 1 to iters) {
+      sb ++= s""",
+                |a$it AS (SELECT vec_id, x, min((d, cl))[2] AS cl, min(d) AS d FROM (
+                |  SELECT x.vec_id, x.x, c.cl, ${dist("x.x", "c.m")} AS d FROM x, $prev c) GROUP BY 1, 2)""".stripMargin
+      if (it < iters) {
+        sb ++= s""",
+                  |c$it AS (SELECT cl, list(s // n ORDER BY pos) AS m FROM (
+                  |  SELECT cl, i AS pos, sum(x[i]) AS s, count(*) AS n
+                  |  FROM a$it, range(1, ${dim + 1}) r(i) GROUP BY 1, 2) GROUP BY cl)""".stripMargin
+        prev = s"c$it"
+      }
+    }
+    sb ++= s"""
+              |SELECT cl AS cluster, count(*)::BIGINT AS n_members, min(vec_id) AS min_vec_id,
+              |  sum(d)::BIGINT AS inertia
+              |FROM a$iters GROUP BY 1 ORDER BY 1""".stripMargin
+    sb.toString
+  }
+
+  /** Replays [[GraphOps.pagerank]]'s integer rank flow (ppb ranks, 85/100
+    * damping, truncating division) over the same deterministic citation
+    * overlay — engine-exact across all rounds. */
+  private def pagerankOracle: String = {
+    def it(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT nodes.id, (CAST(150000000 AS BIGINT) // (SELECT n FROM nn)) + 85 * COALESCE(c.s, CAST(0 AS BIGINT)) // 100 AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS id, sum(x.r // d.outdeg) AS s
+         |    FROM $prev x JOIN deg d ON x.id = d.src JOIN e ON e.src = x.id
+         |    GROUP BY 1) c ON nodes.id = c.id)""".stripMargin
+    s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |nodes AS (SELECT doc_id AS id FROM documents),
+       |e AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+       |  UNION ALL SELECT doc_id, doc_id // 3 FROM documents
+       |  UNION ALL SELECT doc_id, (doc_id * 131 + 17) % (SELECT n FROM nn) FROM documents
+       |) WHERE src != dst),
+       |deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) // (SELECT n FROM nn) AS r FROM nodes),
+       |${it("r0", "r1")},
+       |${it("r1", "r2")},
+       |${it("r2", "r3")}
+       |SELECT id AS doc_id, r AS rank_ppb FROM r3 ORDER BY r DESC, id LIMIT 20""".stripMargin
+  }
 
   // BMP arithmetic mirrored from graft.core.media.MediaCodec: 24-bpp,
   // 54-byte headers, rows padded to 4 bytes; dims derived as in
@@ -881,6 +939,8 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e_kmeans" -> kmeansOracle,
+    "d_pagerank" -> pagerankOracle,
     "m_features" ->
       s"""SELECT doc_id, $dModality AS modality,
          |  CAST(CASE WHEN doc_id % 3 = 0 THEN $dBmpBytes

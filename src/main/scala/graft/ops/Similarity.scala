@@ -145,6 +145,72 @@ object Similarity {
       .agg(expr("SUM(sv)").as("sum_scaled"), count(lit(1)).as("n"))
       .orderBy("label", "pos")
 
+  /** K-means via Lloyd iterations, engine-exact: vectors are quantized to
+    * the 2^-20 fixed-point grid (float→double and ×2^20 are exact), so
+    * distances are BIGINT sums ((2·2^20)² · 64 dims ≈ 2^48 — no overflow,
+    * no float-summation order sensitivity) and centroid updates are
+    * `SUM DIV COUNT` integer truncation — every iteration is bit-identical
+    * in any engine, which is what lets DuckDB replay all three rounds and
+    * hash-match. Seeds are the first `k` vectors by id; ties in assignment
+    * break toward the smaller cluster id; a cluster that loses all members
+    * dies (standard Lloyd), mirrored by the oracle.
+    *
+    * Shape at 100 TB: assignment is ONE codegen'd scan against inlined
+    * centroid literals (no shuffle, no K× row blowup — the [[annIvf]]
+    * pattern, same ≤2^18 literal guard); the update is one hash aggregation
+    * keyed (cluster, pos) with map-side partials, so k·dim longs cross the
+    * shuffle per iteration and the driver holds k·dim longs — nothing
+    * scales with the corpus. Output: per-cluster size, min member id, and
+    * total inertia under the final centroids. */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val xs = embeddings.selectExpr(
+      "CAST(vec_id AS BIGINT) AS vec_id",
+      s"transform(${asDouble("embedding")}, v -> CAST(floor(v * 1048576) AS BIGINT)) AS x")
+    var cents: Array[(Long, Array[Long])] = xs.where(s"vec_id < $k")
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+    require(cents.length == k, s"kmeans: need vec_ids 0..${k - 1} as seeds, found ${cents.length}")
+    require(k.toLong * cents.map(_._2.length).max <= (1L << 18),
+      "kmeans: inlined centroid literals would exceed a sane expression size — " +
+        "switch assignment to a broadcast join + argmin window for this k·dim")
+
+    def assign(prev: Array[(Long, Array[Long])]): DataFrame = {
+      val sorted = prev.sortBy(_._1)
+      val ds = sorted.map { case (_, m) =>
+        val lit = m.mkString("array(", "L,", "L)")
+        s"aggregate(zip_with(x, $lit, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (p, q) -> p + q)"
+      }.mkString("array(", ",", ")")
+      val ids = sorted.map(_._1).mkString("array(", "L,", "L)")
+      xs.selectExpr("vec_id", "x", s"$ds AS dists")
+        // first occurrence of the min = smallest index = smallest cluster id
+        .selectExpr("vec_id", "x",
+          s"element_at($ids, CAST(array_position(dists, array_min(dists)) AS INT)) AS cl",
+          "array_min(dists) AS d")
+    }
+
+    var a: DataFrame = null
+    for (it <- 1 to iters) {
+      a = assign(cents)
+      if (it < iters) {
+        val rows = a.selectExpr("cl", "posexplode(x) AS (pos, xv)")
+          .groupBy("cl", "pos").agg(expr("SUM(xv) DIV COUNT(*)").as("m"))
+          .collect()
+        cents = rows.groupBy(_.getLong(0)).toArray.sortBy(_._1).map { case (cl, rs) =>
+          val m = new Array[Long](cents.head._2.length)
+          rs.foreach(r => m(r.getInt(1)) = r.getLong(2))
+          (cl, m)
+        }
+      }
+    }
+    a.groupBy("cl")
+      .agg(count(lit(1)).as("n_members"), min("vec_id").as("min_vec_id"),
+        sum("d").as("inertia"))
+      .selectExpr("cl AS cluster", "CAST(n_members AS BIGINT) AS n_members",
+        "min_vec_id", "inertia")
+      .orderBy("cluster")
+  }
+
   val AnnPlanes = 8
 
   /** Max embedding dimensionality the literal hyperplane arrays cover. */
