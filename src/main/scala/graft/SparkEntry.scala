@@ -58,6 +58,9 @@ object SparkEntry {
     "ev_funnel" -> ((s, d) => EventOps.funnel(events(s, d))),
     "ev_interval_join" -> ((s, d) => EventOps.intervalJoin(events(s, d))),
     "ev_retention" -> ((s, d) => EventOps.retention(events(s, d))),
+    "ev_hopping" -> ((s, d) => EventOps.hoppingCounts(events(s, d))),
+    "ev_skew_join" -> ((s, d) => EventOps.skewJoinProfile(events(s, d))),
+    "d_inverted_index" -> ((s, d) => DocTextOps.invertedIndex(docs(s, d))),
     // documents: dedup + text analysis
     "d_exact_dedup" -> ((s, d) => Dedup.exact(docs(s, d))),
     "d_token_stats" -> ((s, d) => DocTextOps.tokenStats(docs(s, d))),
@@ -670,6 +673,29 @@ object SparkEntry {
         |  COUNT(DISTINCT wk.user_id) AS n_users
         |FROM wk JOIN c ON wk.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_hopping" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800 - h) * 1800 AS win_start_epoch,
+        |  event_type, count(*) AS n_events
+        |FROM events, range(0, 2) t(h)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_skew_join" ->
+      """WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS epoch FROM events),
+        |b AS (SELECT *, CASE WHEN prev_epoch IS NULL OR epoch - prev_epoch > 1800 THEN 1 ELSE 0 END AS is_break
+        |      FROM (SELECT *, lag(epoch) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_epoch FROM e)),
+        |s AS (SELECT *, SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM b),
+        |sess AS (SELECT user_id, session_seq FROM s GROUP BY 1, 2),
+        |prof AS (SELECT user_id, COUNT(*) AS n_sessions FROM sess GROUP BY 1)
+        |SELECT ev.event_type, COUNT(*) AS n_events,
+        |  SUM(CASE WHEN prof.n_sessions >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_from_heavy_users,
+        |  CAST(SUM(CASE WHEN prof.n_sessions >= 3 THEN CAST(ev.value AS DECIMAL(18,3)) END) AS DOUBLE) AS heavy_user_value
+        |FROM events ev JOIN prof ON ev.user_id = prof.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_inverted_index" ->
+      """SELECT term, count(*)::BIGINT AS df,
+        |  array_to_string(list_sort(list(doc_id))[1:100], ',') AS postings
+        |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_prop_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,

@@ -379,6 +379,24 @@ object DocTextOps {
       .orderBy(col("n_exact").desc, col("term"))
   }
 
+  /** Inverted-index build — the search-side workload over the corpus: one
+    * posting list (sorted doc ids) per term plus document frequency. The
+    * shape is one distinct-terms explode and one aggregation keyed by term;
+    * posting lists are CAPPED at `maxPostings` ids per term (df is emitted
+    * uncapped, so truncation is visible, never silent) because an unbounded
+    * `collect_list` on a stopword-frequency term at 10^12 docs is a
+    * single-row OOM — a production index shards hot terms into posting
+    * blocks instead. Postings surface as a comma-joined string: engine-
+    * neutral, and the sort makes it deterministic. */
+  def invertedIndex(documents: DataFrame, maxPostings: Int = 100): DataFrame =
+    documents
+      .selectExpr(s"explode(array_distinct(${Shingles.ws})) AS term", "doc_id")
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), collect_list("doc_id").as("ids"))
+      .selectExpr("term", "CAST(df AS BIGINT) AS df",
+        s"concat_ws(',', slice(array_sort(ids), 1, $maxPostings)) AS postings")
+      .orderBy("term")
+
   /** Document fingerprints: full-text polynomial rolling hash plus min/max
     * 3-token shingle hashes (a 3-value sketch). Fold is left-to-right with
     * explicit zero seed → engine-independent. */

@@ -27,6 +27,62 @@ object EventOps {
       .drop("approx_users") // oracle-visible columns only; sketch exercised above
       .orderBy("window_start", "event_type")
 
+  /** Hopping (sliding) windows: length `windowMinutes`, advancing every
+    * `hopMinutes` — each event lands in `window/hop` overlapping windows,
+    * materialized by an explode over hop offsets (the batch equivalent of
+    * `window($"ts", "1 hour", "30 minutes")`, kept in integer epoch
+    * arithmetic so every engine agrees on the edges; by construction
+    * `(epoch DIV hop − h)·hop` enumerates exactly the covering starts, no
+    * post-filter). Scale shape: the explode multiplies rows by the small
+    * overlap factor BEFORE one keyed aggregation — map-side partials
+    * absorb the blowup. */
+  def hoppingCounts(events: DataFrame, windowMinutes: Int = 60, hopMinutes: Int = 30): DataFrame = {
+    require(windowMinutes % hopMinutes == 0, "window must be a multiple of hop")
+    val hop = hopMinutes * 60L
+    val nHops = windowMinutes / hopMinutes
+    events
+      .selectExpr("event_type", "CAST(unix_timestamp(ts) AS BIGINT) AS epoch")
+      .selectExpr("event_type", "epoch", s"explode(sequence(0, ${nHops - 1})) AS h")
+      .selectExpr("event_type", s"(epoch DIV $hop - h) * $hop AS win_start_epoch")
+      .groupBy("win_start_epoch", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("win_start_epoch", "event_type")
+  }
+
+  /** Salted equi-join for skewed keys, as a PUBLIC generic operator (the
+    * segmentation pipeline salts internally; this exposes the pattern for
+    * any fact/dim pair). The fact side gets a deterministic salt from a
+    * high-cardinality tiebreaker column; the dim side is replicated
+    * `salts`× by an explode — so one hot key's rows spread over `salts`
+    * shuffle partitions instead of hot-spotting one reducer. Semantics are
+    * exactly the plain inner equi-join (the salt rides the join key and is
+    * dropped); at 100 TB pick `salts` ≈ the hot key's row count / target
+    * partition rows, or route on AQE's skew stats. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, saltBy: String,
+                 salts: Int = 8): DataFrame = {
+    val f = fact.withColumn("_salt", expr(s"pmod(hash($saltBy), $salts)"))
+    val d = dim.withColumn("_salt", explode(expr(s"sequence(0, ${salts - 1})")))
+    f.join(d, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Skew-safe enrichment: every event joined to its user's session profile
+    * via [[saltedJoin]] (events are user-skewed by construction), rolled up
+    * per event type. The oracle is the PLAIN join+agg — proving the salted
+    * plan changes the shuffle layout, not the answer. */
+  def skewJoinProfile(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val dim = sessionStats(events, gapMinutes).select("user_id", "n_sessions")
+    saltedJoin(
+      events.select(col("user_id"), col("event_id"), col("event_type"), col("value")),
+      dim, "user_id", "event_id")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("n_sessions") >= 3, 1L).otherwise(0L)).as("n_from_heavy_users"),
+        expr("CAST(SUM(CASE WHEN n_sessions >= 3 THEN CAST(value AS DECIMAL(18,3)) END) AS DOUBLE)")
+          .as("heavy_user_value"))
+      .orderBy("event_type")
+  }
+
   /** Gap-based sessionization: a session breaks after `gapMinutes` of
     * inactivity per user. Pure window algebra (lag → break flag → running
     * session id) — identical SQL shape in any engine. */

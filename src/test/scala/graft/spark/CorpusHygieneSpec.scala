@@ -62,4 +62,19 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
     val tight = DocTextOps.cmsFreq(d, width = 1, k = 4).collect()
     tight.foreach(r => assert(r.getLong(2) == 10L && r.getLong(2) >= r.getLong(1)))
   }
+
+  test("invertedIndex emits sorted capped postings with uncapped df") {
+    val d = docs(
+      2L -> "apple banana apple",
+      0L -> "banana cherry",
+      1L -> "apple cherry cherry")
+    val got = DocTextOps.invertedIndex(d, maxPostings = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toList
+    // df counts ALL docs; postings capped at 2 lowest ids; repeats within a
+    // doc collapse via array_distinct
+    assert(got == List(
+      ("apple", 2L, "1,2"),
+      ("banana", 2L, "0,2"),
+      ("cherry", 2L, "0,1")))
+  }
 }

@@ -27,4 +27,30 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0) - base, r.getLong(1), r.getLong(2))).toSet
     assert(rows == Set((0L, 0L, 2L), (0L, 1L, 2L), (0L, 3L, 1L), (1L, 0L, 1L)), s"got $rows")
   }
+
+  test("hoppingCounts puts each event in exactly window/hop overlapping windows") {
+    import spark.implicits._
+    val t0 = 1767225600L // multiple of 3600
+    val events = Seq(
+      (0L, new Timestamp((t0 + 100) * 1000L), 0L, "view", "1.0", "{}"),
+      (1L, new Timestamp((t0 + 1900) * 1000L), 0L, "view", "1.0", "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.hoppingCounts(events).collect()
+      .map(r => (r.getLong(0) - t0, r.getLong(2))).toSet
+    // event@+100 -> windows starting -1800, 0; event@+1900 -> 0, +1800
+    assert(got == Set((-1800L, 1L), (0L, 2L), (1800L, 1L)), s"got $got")
+  }
+
+  test("saltedJoin equals the plain join and spreads the key over salt partitions") {
+    import spark.implicits._
+    val fact = (0L until 100L).map(i => (i, i % 3, s"v$i")).toDF("event_id", "user_id", "payload")
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("user_id", "tag")
+    val salted = EventOps.saltedJoin(fact, dim, "user_id", "event_id", salts = 4)
+    val plain = fact.join(dim, "user_id")
+    assert(salted.count() == 100L)
+    assert(salted.select("event_id", "tag").except(plain.select("event_id", "tag")).isEmpty)
+    assert(plain.select("event_id", "tag").except(salted.select("event_id", "tag")).isEmpty)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"salt must ride the join key:\n$plan")
+  }
 }
