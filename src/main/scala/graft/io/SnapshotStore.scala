@@ -89,9 +89,16 @@ final class SnapshotStore(val root: String) {
     // still awaiting cleanup) so ids never collide after a compaction
     val id = manifestIds.lastOption.getOrElse(0L) + 1L
     df.write.mode("overwrite").parquet(dataDir(id).toString)
-    val stats = statsCol.toSeq.flatMap { c =>
-      // read back the landed files: stats must describe exactly what readers see
-      val r = df.sparkSession.read.parquet(dataDir(id).toString)
+    commitManifest(id, meta ++ landedStats(df.sparkSession, id, statsCol))
+    id
+  }
+
+  /** Manifest stats entries for the files that LANDED under `id` — read
+    * back so the stats describe exactly what readers will see. */
+  private def landedStats(
+      spark: SparkSession, id: Long, statsCol: Option[String]): Seq[(String, String)] =
+    statsCol.toSeq.flatMap { c =>
+      val r = spark.read.parquet(dataDir(id).toString)
         .selectExpr(s"CAST(min($c) AS LONG) AS mn", s"CAST(max($c) AS LONG) AS mx")
         .head()
       if (r.isNullAt(0)) Nil
@@ -99,7 +106,62 @@ final class SnapshotStore(val root: String) {
         "stats_min" -> r.getLong(0).toString,
         "stats_max" -> r.getLong(1).toString)
     }
-    commitManifest(id, meta ++ stats)
+
+  /** Copy-on-write MERGE (upsert) keyed by `keyCol`: rows of `updates`
+    * replace any live rows sharing a key; unmatched update keys are plain
+    * inserts. Only the snapshots that actually CONTAIN a matching key are
+    * rewritten — their surviving rows plus all of `updates` land as ONE new
+    * snapshot whose manifest `replaces` the touched inputs (the same
+    * atomic-rename commit as [[compact]]: readers see the old set or the
+    * new one, never both); untouched snapshots keep their files byte-for-
+    * byte. Physical deletion of the rewritten inputs is the same lazy
+    * [[expireRetired]] step.
+    *
+    * Affected-snapshot detection prunes with manifest stats first (a
+    * snapshot whose recorded [min,max] for `keyCol` can't intersect the
+    * update-key range is untouched without opening a file), then confirms
+    * with a per-snapshot semi-join probe.
+    *
+    * Contract notes, both loud: `updates` must be key-unique (a MERGE with
+    * duplicate source keys is ambiguous — rejected, not last-writer-wins);
+    * and like compaction, a committed upsert advances the
+    * [[compactionWatermark]], so incremental checkpoints taken below it
+    * fail in [[readRange]] instead of silently re-seeing rewritten rows —
+    * the Iceberg CoW contract for incremental scans over replaced data. */
+  def upsert(
+      spark: SparkSession,
+      updates: DataFrame,
+      keyCol: String,
+      statsCol: Option[String] = None,
+      cleanup: Boolean = true): Long = {
+    val live = snapshots
+    if (live.isEmpty) return append(updates, statsCol = statsCol)
+    val keys = updates.select(keyCol).distinct().localCheckpoint(true)
+    require(keys.count() == updates.count(),
+      s"upsert: updates carry duplicate '$keyCol' keys — merge would be ambiguous")
+    val keyRange = updates.selectExpr(
+      s"CAST(min($keyCol) AS LONG) AS mn", s"CAST(max($keyCol) AS LONG) AS mx").head()
+    val candidates = live.filter { id =>
+      snapshotStats(id) match {
+        case Some((c, mn, mx)) if c == keyCol && !keyRange.isNullAt(0) =>
+          mx >= keyRange.getLong(0) && mn <= keyRange.getLong(1)
+        case _ => true // no usable stats: must probe
+      }
+    }
+    val affected = candidates.filter { id =>
+      read(spark, id).join(keys, Seq(keyCol), "left_semi").limit(1).count() > 0
+    }
+    if (affected.isEmpty) return append(updates, statsCol = statsCol)
+    val survivors = spark.read
+      .parquet(affected.map(id => dataDir(id).toString): _*)
+      .join(keys, Seq(keyCol), "left_anti")
+    val merged = survivors.unionByName(updates.select(survivors.columns.map(
+      org.apache.spark.sql.functions.col): _*))
+    val id = manifestIds.lastOption.getOrElse(0L) + 1L
+    merged.write.mode("overwrite").parquet(dataDir(id).toString)
+    commitManifest(id, Map("replaces" -> affected.mkString(",")) ++
+      landedStats(spark, id, statsCol))
+    if (cleanup) expireRetired()
     id
   }
 
