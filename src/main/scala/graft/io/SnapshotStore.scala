@@ -152,8 +152,7 @@ final class SnapshotStore(val root: String) {
       read(spark, id).join(keys, Seq(keyCol), "left_semi").limit(1).count() > 0
     }
     if (affected.isEmpty) return append(updates, statsCol = statsCol)
-    val survivors = spark.read
-      .parquet(affected.map(id => dataDir(id).toString): _*)
+    val survivors = readMerged(spark, affected)
       .join(keys, Seq(keyCol), "left_anti")
     val merged = survivors.unionByName(updates.select(survivors.columns.map(
       org.apache.spark.sql.functions.col): _*))
@@ -187,6 +186,16 @@ final class SnapshotStore(val root: String) {
     spark.read.parquet(dataDir(id).toString)
   }
 
+  /** One relation over several snapshots with ADD-COLUMN schema evolution:
+    * `mergeSchema` unions the per-snapshot parquet schemas, so rows written
+    * before a column existed surface it as NULL — the Iceberg evolution
+    * contract. Every multi-snapshot read below goes through here (a plain
+    * multi-path read would silently project everything onto the FIRST
+    * file's schema, dropping later columns). */
+  private def readMerged(spark: SparkSession, ids: Seq[Long]): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(ids.map(id => dataDir(id).toString): _*)
+
   /** Incremental read of snapshots in (fromExclusive, toInclusive].
     *
     * A checkpoint strictly inside a compacted range cannot be served
@@ -203,7 +212,7 @@ final class SnapshotStore(val root: String) {
         "the retired snapshots were rewritten; restart from a full read (from=0)")
     val ids = snapshots.filter(id => id > fromExclusive && id <= toInclusive)
     require(ids.nonEmpty, s"no snapshots in ($fromExclusive, $toInclusive]")
-    ids.map(id => spark.read.parquet(dataDir(id).toString)).reduce(_ unionAll _)
+    readMerged(spark, ids)
   }
 
   /** Column stats recorded for snapshot `id` at append time:
@@ -250,7 +259,7 @@ final class SnapshotStore(val root: String) {
     val all = snapshots.filter(id => id > fromExclusive && id <= toInclusive)
     require(all.nonEmpty, s"no snapshots in ($fromExclusive, $toInclusive]")
     val base =
-      if (kept.nonEmpty) spark.read.parquet(kept.map(id => dataDir(id).toString): _*)
+      if (kept.nonEmpty) readMerged(spark, kept)
       else // every snapshot pruned: empty result with the table's schema
         spark.read.parquet(dataDir(all.head).toString)
           .where(org.apache.spark.sql.functions.lit(false))
@@ -275,7 +284,7 @@ final class SnapshotStore(val root: String) {
     val inputs = snapshots.filter(_ <= upToInclusive)
     require(inputs.size >= 2,
       s"compaction needs >= 2 live snapshots <= $upToInclusive, found ${inputs.size}")
-    val merged = spark.read.parquet(inputs.map(id => dataDir(id).toString): _*)
+    val merged = readMerged(spark, inputs)
     val id = manifestIds.lastOption.getOrElse(0L) + 1L
     merged.write.mode("overwrite").parquet(dataDir(id).toString)
     // stats survive compaction when every input carries them for the same

@@ -87,6 +87,22 @@ object StreamingSegmenter {
       }
   }
 
+  final case class StreamEvent(event_type: String, ts: Timestamp)
+
+  /** Hopping-window event rates — the streaming twin of
+    * [[graft.ops.EventOps.hoppingCounts]] (1 h window advancing every
+    * 30 min; Spark aligns window edges to epoch 0, the same edges as the
+    * batch query's `(epoch DIV 1800 − h)·1800` arithmetic). Append mode +
+    * watermark: a window row is emitted exactly once, when the event-time
+    * watermark passes its end. */
+  def hoppingRates(events: Dataset[StreamEvent], watermark: String = "10 minutes"): Dataset[org.apache.spark.sql.Row] =
+    events.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .selectExpr("CAST(unix_timestamp(window.start) AS BIGINT) AS win_start_epoch",
+        "event_type", "n_events")
+
   final case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
 
   /** Streaming exact dedup — the streaming twin of `Dedup.exact`: the first

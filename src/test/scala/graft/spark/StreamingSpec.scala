@@ -145,4 +145,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed == twin, s"streaming $streamed != batch twin $twin")
   }
 
+  test("streaming hopping windows equal the batch twin once the watermark closes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSegmenter.StreamEvent
+    val t0 = 1767225600L // multiple of 3600
+    val main = Seq(
+      StreamEvent("view", new Timestamp((t0 + 100) * 1000L)),
+      StreamEvent("view", new Timestamp((t0 + 1900) * 1000L)),
+      StreamEvent("click", new Timestamp((t0 + 1900) * 1000L)),
+      StreamEvent("view", new Timestamp((t0 + 5000) * 1000L)))
+    val input = MemoryStream[StreamEvent]
+    val out = StreamingSegmenter.hoppingRates(input.toDS())
+    val query = out.writeStream.format("memory").queryName("stream_hopping")
+      .outputMode("append").start()
+    input.addData(main)
+    query.processAllAvailable()
+    // far-future event advances the watermark past every main window's end;
+    // its own (still-open) windows are not emitted
+    input.addData(StreamEvent("flush", new Timestamp((t0 + 48 * 3600) * 1000L)))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("stream_hopping")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.ops.EventOps.hoppingCounts(
+      main.zipWithIndex.map { case (e, i) => (i.toLong, e.ts, 0L, e.event_type, "1.0", "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"streaming $streamed != batch $batch")
+  }
+
 }
