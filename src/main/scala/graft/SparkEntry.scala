@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
 
-import graft.ops.{Dedup, DocTextOps, EventOps, GraphOps, Multimodal, Similarity}
+import graft.ops.{Dedup, DocTextOps, EventOps, GraphOps, Incremental, Layout, Multimodal, Similarity}
 import graft.queries.Relational
 import graft.pipeline.Pipeline
 
@@ -60,6 +60,7 @@ object SparkEntry {
     "ev_retention" -> ((s, d) => EventOps.retention(events(s, d))),
     "ev_hopping" -> ((s, d) => EventOps.hoppingCounts(events(s, d))),
     "ev_skew_join" -> ((s, d) => EventOps.skewJoinProfile(events(s, d))),
+    "ev_zorder" -> ((s, d) => Layout.zorderCompare(events(s, d))),
     "d_inverted_index" -> ((s, d) => DocTextOps.invertedIndex(docs(s, d))),
     // documents: dedup + text analysis
     "d_exact_dedup" -> ((s, d) => Dedup.exact(docs(s, d))),
@@ -78,6 +79,8 @@ object SparkEntry {
     "d_decontaminate" -> ((s, d) => DocTextOps.decontaminate(docs(s, d))),
     "d_repetition" -> ((s, d) => DocTextOps.repetitionSignals(docs(s, d))),
     "d_cms_freq" -> ((s, d) => DocTextOps.cmsFreq(docs(s, d))),
+    "d_hist_quantiles" -> ((s, d) => DocTextOps.histQuantiles(docs(s, d))),
+    "d_incr_view" -> ((s, d) => Incremental.incrementalView(docs(s, d))),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
@@ -890,6 +893,48 @@ object SparkEntry {
          |  (min(cells.v) - pc.n_exact) * 1000000 // pc.n_exact AS overest_ppm
          |FROM pc JOIN cells ON pc.r = cells.r AND pc.c = cells.c
          |GROUP BY 1, 2 ORDER BY 2 DESC, 1""".stripMargin,
+    "d_incr_view" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS n_chars_sum,
+        |  count(DISTINCT doc_id % 3)::BIGINT AS n_batches_seen
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_zorder" -> {
+      val z = graft.ops.Layout.zValueExpr("x", "y", 8, "//")
+      val y = graft.ops.Layout.yExpr("CAST(floor(epoch(ts)) AS BIGINT)", "//")
+      def arm(cell: String, name: String) =
+        s"""SELECT '$name' AS layout, $cell AS cell, count(*)::BIGINT AS cnt,
+           |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+           |FROM k GROUP BY 2""".stripMargin
+      s"""WITH base AS (SELECT CAST(user_id % 256 AS BIGINT) AS x, $y AS y FROM events),
+         |k AS (SELECT x, y, ($z) // 256 AS zcell, y AS tcell, x AS ucell FROM base),
+         |c AS (${arm("zcell", "zorder")}
+         |  UNION ALL ${arm("tcell", "time_major")}
+         |  UNION ALL ${arm("ucell", "user_major")}),
+         |agg AS (SELECT layout, count(*)::BIGINT AS n_cells, sum(cnt)::BIGINT AS n_rows,
+         |  sum(CASE WHEN min_x <= 47 AND max_x >= 32 THEN 1 ELSE 0 END)::BIGINT AS cells_user_slice,
+         |  sum(CASE WHEN min_y <= 31 AND max_y >= 16 THEN 1 ELSE 0 END)::BIGINT AS cells_time_slice
+         |FROM c GROUP BY 1)
+         |SELECT layout, n_cells, n_rows, cells_user_slice, cells_time_slice,
+         |  greatest(cells_user_slice, cells_time_slice) AS worst_slice_cells
+         |FROM agg ORDER BY layout""".stripMargin
+    },
+    "d_hist_quantiles" ->
+      """WITH b AS (SELECT n_chars // 64 AS bin, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+        |c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum FROM b),
+        |t AS (SELECT sum(cnt)::BIGINT AS n_total FROM b),
+        |q AS (SELECT unnest([250000, 500000, 750000, 900000, 990000])::BIGINT AS q_ppm),
+        |tg AS (SELECT q_ppm, n_total, (q_ppm * n_total + 999999) // 1000000 AS target FROM q, t),
+        |pk AS (SELECT q_ppm, n_total, target, min(bin) AS bin
+        |       FROM tg JOIN c ON c.cum >= tg.target GROUP BY 1, 2, 3),
+        |pe AS (SELECT pk.q_ppm, pk.n_total, pk.target, pk.bin, c.cnt,
+        |         c.cum - c.cnt AS cum_before FROM pk JOIN c USING (bin)),
+        |ex AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rn FROM documents),
+        |r AS (SELECT pe.q_ppm, pe.n_total, pe.bin * 64 AS bin_lo, pe.cnt AS bin_cnt,
+        |        pe.bin * 64 + (pe.target - pe.cum_before - 1) * 64 // pe.cnt AS est,
+        |        CAST(ex.n_chars AS BIGINT) AS exact
+        |      FROM pe JOIN ex ON ex.rn = pe.target)
+        |SELECT q_ppm, n_total, bin_lo, bin_cnt, est, exact, abs(est - exact) AS abs_err
+        |FROM r ORDER BY q_ppm""".stripMargin,
     "d_ngram_jaccard" ->
       s"""WITH $dShingleDocs,
          |${dJaccard(Some(graft.ops.Dedup.DefaultDfCap))}

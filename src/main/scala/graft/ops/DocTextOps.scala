@@ -412,6 +412,58 @@ object DocTextOps {
         "array_min(hh) AS fp_shingle_min",
         "array_max(hh) AS fp_shingle_max"
       ).orderBy("doc_id")
+
+  /** One-pass MERGEABLE histogram quantile sketch over `n_chars` — the
+    * approximate counterpart to the exact two-pass rank in `q13_quantiles`,
+    * and the third mergeable sketch next to [[kmvDistinct]] (distincts) and
+    * [[cmsFreq]] (frequencies): fixed-width value bins whose counts are
+    * plain sums, so partial aggregation is map-side and only
+    * `valueRange/binWidth` counters ever cross the shuffle, independent of
+    * row count. The quantile estimate interpolates inside the target bin
+    * with pure integer arithmetic, so DuckDB replays it bit-for-bit.
+    *
+    * Self-validating like `d_cms_freq`: next to each estimate the TRUE
+    * quantile at the same rank is computed scale-safely — the histogram
+    * itself locates the one bin containing the target rank, and only that
+    * bin's rows are ranked (a per-bin window whose partition is bounded by
+    * the largest single bin, never the table; binWidth is the knob that
+    * bounds it). The cumulative pass windows over the BIN AGGREGATE, whose
+    * cardinality is a function of the value range, not the data size. */
+  def histQuantiles(documents: DataFrame, binWidth: Long = 64L,
+                    qPpm: Seq[Long] = Seq(250000L, 500000L, 750000L, 900000L, 990000L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bins = documents
+      .selectExpr(s"n_chars DIV $binWidth AS bin")
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val cum = bins
+      .withColumn("cum", sum("cnt").over(
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    val total = bins.agg(sum("cnt").as("n_total"))
+    val pick = qPpm.toDF("q_ppm")
+      .crossJoin(broadcast(total))
+      .withColumn("target", expr("(q_ppm * n_total + 999999) DIV 1000000"))
+      .join(broadcast(cum.select("bin", "cum")), col("cum") >= col("target"))
+      .groupBy("q_ppm", "n_total", "target")
+      .agg(min("bin").as("bin"))
+      .join(broadcast(cum.drop("cum")), "bin")
+      .withColumn("rank_in", col("target") - col("cum_before"))
+      .withColumn("est", expr(s"bin * $binWidth + (rank_in - 1) * $binWidth DIV cnt"))
+    // exact value at the same global rank: ties share a bin (bin is a
+    // function of the value), so rank-within-picked-bin == global rank −
+    // bin's cumulative start; only the ≤|qPpm| picked bins are ever sorted
+    val ranked = documents
+      .selectExpr(s"n_chars DIV $binWidth AS rbin", "n_chars", "doc_id")
+      .join(broadcast(pick.select(col("bin").as("rbin")).distinct()), "rbin")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("rbin").orderBy("n_chars", "doc_id")))
+    pick.join(ranked, pick("bin") === ranked("rbin") && pick("rank_in") === ranked("rn"))
+      .selectExpr("q_ppm", "n_total", s"bin * $binWidth AS bin_lo", "cnt AS bin_cnt",
+        "est", "CAST(n_chars AS BIGINT) AS exact", "abs(est - n_chars) AS abs_err")
+      .orderBy("q_ppm")
+  }
 }
 
 /** Shared shingle/hash expression fragments (Spark SQL dialect); the DuckDB
