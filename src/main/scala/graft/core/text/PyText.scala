@@ -210,6 +210,26 @@ object PyText {
     count
   }
 
+  /** `countOccurrences(page, id) > 0` with early exit on the first match —
+    * identical fold tables and scan, but O(position of first hit) instead
+    * of a full counting pass over the page. */
+  def containsOccurrence(page: String, id: String): Boolean = {
+    if (page.isEmpty || id.isEmpty) return false
+    val t = toCps(page)
+    val p = toCps(id)
+    val n = t.length
+    val m = p.length
+    if (m > n) return false
+    var i = 0
+    while (i <= n - m) {
+      var j = 0
+      while (j < m && t(i + j) == p(j)) j += 1
+      if (j == m) return true
+      i += 1
+    }
+    false
+  }
+
   /** `identifier.strip().lower().startswith("exactmatch:")`
     * (`ocr_processor.py:277-279`). */
   def isExactMatch(id: String): Boolean =

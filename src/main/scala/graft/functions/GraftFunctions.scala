@@ -20,6 +20,8 @@ object PyTextCodegen {
     UTF8String.fromString(PyText.pyLower(s.toString))
   def countOccurrences(page: UTF8String, id: UTF8String): Int =
     PyText.countOccurrences(page.toString, id.toString)
+  def containsOccurrence(page: UTF8String, id: UTF8String): Boolean =
+    PyText.containsOccurrence(page.toString, id.toString)
 }
 
 /** `py_normalize_text(s)` — the reference's `normalize_text`
@@ -71,6 +73,61 @@ case class PyCountOccurrences(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PyCountOccurrences =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "py_count_occurrences"
+}
+
+/** `py_contains(page, id)` — `py_count_occurrences(page, id) > 0` with an
+  * early-exit scan: same fold tables, stops at the first hit. The target
+  * of [[CountToContains]]'s algebraic rewrite. */
+case class PyContainsOccurrence(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(page: Any, id: Any): Any =
+    PyTextCodegen.containsOccurrence(page.asInstanceOf[UTF8String], id.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, i) => s"graft.functions.PyTextCodegen.containsOccurrence($p, $i)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PyContainsOccurrence =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "py_contains"
+}
+
+/** Algebraic rewrite rule — the optimizer-extension surface next to the
+  * function injection and the planner strategy: a counting kernel used
+  * only as an existence predicate is strength-reduced to the early-exit
+  * containment scan. On a multi-MB page, `count > 0` pays a full
+  * O(page·id) counting pass per row at 10^12 rows; `py_contains` stops at
+  * the first hit. Null semantics are preserved exactly: both expressions
+  * are null-intolerant over the same children, so three-valued logic
+  * (including the `Not` forms) is unchanged. Cases with a non-trivial
+  * literal or a cast simply don't fire — the rule only ever substitutes a
+  * provably equivalent predicate. */
+object CountToContains
+    extends org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Not}
+
+  private def isIntLit(e: Expression, v: Int): Boolean = e match {
+    case Literal(x: Int, IntegerType) => x == v
+    case _ => false
+  }
+
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.transformAllExpressions {
+      // count > 0  /  count >= 1  /  0 < count  /  1 <= count
+      case GreaterThan(c: PyCountOccurrences, l) if isIntLit(l, 0) =>
+        PyContainsOccurrence(c.left, c.right)
+      case GreaterThanOrEqual(c: PyCountOccurrences, l) if isIntLit(l, 1) =>
+        PyContainsOccurrence(c.left, c.right)
+      case LessThan(l, c: PyCountOccurrences) if isIntLit(l, 0) =>
+        PyContainsOccurrence(c.left, c.right)
+      case LessThanOrEqual(l, c: PyCountOccurrences) if isIntLit(l, 1) =>
+        PyContainsOccurrence(c.left, c.right)
+      // count = 0  (either side) — count is never negative
+      case EqualTo(c: PyCountOccurrences, l) if isIntLit(l, 0) =>
+        Not(PyContainsOccurrence(c.left, c.right))
+      case EqualTo(l, c: PyCountOccurrences) if isIntLit(l, 0) =>
+        Not(PyContainsOccurrence(c.left, c.right))
+    }
 }
 
 /** `kmv_kth(h, k)` — the k-th smallest DISTINCT value of a 64-bit hash
@@ -161,6 +218,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // whole-operator segmentation (custom LogicalPlan → SparkPlan)
     ext.injectPlannerStrategy(_ => graft.plans.SegmentStrategy)
+    // strength-reduce count-as-existence predicates to early-exit contains
+    ext.injectOptimizerRule(_ => CountToContains)
   }
 }
 
@@ -177,15 +236,27 @@ object GraftFunctions {
     ("py_count_occurrences",
       new ExpressionInfo(classOf[PyCountOccurrences].getName, "py_count_occurrences"),
       (args: Seq[Expression]) => PyCountOccurrences(args(0), args(1))),
+    ("py_contains",
+      new ExpressionInfo(classOf[PyContainsOccurrence].getName, "py_contains"),
+      (args: Seq[Expression]) => PyContainsOccurrence(args(0), args(1))),
     ("kmv_kth",
       new ExpressionInfo(classOf[KmvKthSmallest].getName, "kmv_kth"),
       (args: Seq[Expression]) => KmvKthSmallest(args(0),
-        args(1).eval().asInstanceOf[Number].intValue())))
+        args(1).eval().asInstanceOf[Number].intValue())),
+    ("segment_rows",
+      new ExpressionInfo(classOf[SegmentRowsGenerator].getName, "segment_rows"),
+      (args: Seq[Expression]) => SegmentRowsGenerator(args(0), args(1))))
 
-  /** Register into an already-running session. */
-  def register(spark: SparkSession): Unit =
+  /** Register into an already-running session. Optimizer rules can't be
+    * injected post-build through extensions, so the rewrite rides the
+    * public `experimental.extraOptimizations` hook instead (idempotent). */
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    if (!spark.experimental.extraOptimizations.contains(CountToContains))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CountToContains
+  }
 }

@@ -159,7 +159,7 @@ final class SnapshotStore(val root: String) {
     val id = manifestIds.lastOption.getOrElse(0L) + 1L
     merged.write.mode("overwrite").parquet(dataDir(id).toString)
     commitManifest(id, Map("replaces" -> affected.mkString(",")) ++
-      landedStats(spark, id, statsCol))
+      carriedTxns(affected) ++ landedStats(spark, id, statsCol))
     if (cleanup) expireRetired()
     id
   }
@@ -226,6 +226,55 @@ final class SnapshotStore(val root: String) {
       for { c <- f("stats_col"); mn <- f("stats_min"); mx <- f("stats_max") }
         yield (c, mn.toLong, mx.toLong)
     }
+  }
+
+  private val TxnRe = """"txn_([^"]+)": "([0-9]+)"""".r
+
+  /** Highest batch id ever committed for `appId`, scanning every manifest
+    * still on disk (including compaction-retired ones awaiting cleanup —
+    * a replayed batch must stay deduplicated in the commit/cleanup gap).
+    * [[compact]] and [[upsert]] carry each app's max forward into their
+    * replacement manifest, so the ledger survives physical cleanup. */
+  def txnLastBatch(appId: String): Option[Long] = {
+    val hits = manifestIds.flatMap { id =>
+      val m = manifestDir.resolve(s"$id.json")
+      if (!Files.exists(m)) Nil
+      else TxnRe.findAllMatchIn(
+        new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+        .collect { case mm if mm.group(1) == appId => mm.group(2).toLong }.toSeq
+    }
+    if (hits.isEmpty) None else Some(hits.max)
+  }
+
+  /** Per-app max batch ids recorded across `inputs` manifests — carried
+    * into the manifest that replaces them so dedup survives cleanup. */
+  private def carriedTxns(inputs: Seq[Long]): Map[String, String] =
+    inputs.flatMap { id =>
+      val m = manifestDir.resolve(s"$id.json")
+      if (!Files.exists(m)) Nil
+      else TxnRe.findAllMatchIn(
+        new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+        .map(mm => mm.group(1) -> mm.group(2).toLong).toSeq
+    }.groupMapReduce(_._1)(_._2)(math.max)
+      .map { case (app, b) => s"txn_$app" -> b.toString }
+
+  /** Idempotent append keyed by `(appId, batchId)` — the sink half of the
+    * streaming exactly-once contract (Structured Streaming's foreachBatch
+    * is at-least-once: a failed epoch REPLAYS with the same batchId).
+    * Batch ids per app are monotonically increasing, so any batch at or
+    * below the recorded high-water mark is a replay → skipped, returning
+    * None; a fresh batch commits atomically with the mark in the SAME
+    * manifest (no second commit point to lose). Same semantics as a Delta
+    * `txn` action / Iceberg's commit-level `wap.id` dedup. */
+  def appendExactlyOnce(
+      df: DataFrame,
+      appId: String,
+      batchId: Long,
+      statsCol: Option[String] = None): Option[Long] = {
+    require(!appId.contains("\""), s"appId must not contain quotes: $appId")
+    if (txnLastBatch(appId).exists(_ >= batchId)) None
+    else Some(append(df, meta = Map(s"txn_$appId" -> batchId.toString),
+      statsCol = statsCol))
   }
 
   /** Split the live snapshots of (fromExclusive, toInclusive] into
@@ -296,7 +345,8 @@ final class SnapshotStore(val root: String) {
           "stats_min" -> inStats.flatten.map(_._2).min.toString,
           "stats_max" -> inStats.flatten.map(_._3).max.toString)
       else Nil
-    commitManifest(id, Map("replaces" -> inputs.mkString(",")) ++ stats)
+    commitManifest(id,
+      Map("replaces" -> inputs.mkString(",")) ++ carriedTxns(inputs) ++ stats)
     if (cleanup) expireRetired()
     id
   }

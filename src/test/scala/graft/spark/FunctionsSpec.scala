@@ -66,6 +66,49 @@ class FunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(df.count() == 100)
   }
 
+  test("py_contains parity and the count>0 strength-reduction rewrite") {
+    registered
+    import spark.implicits._
+    val rows = Seq(
+      ("the kelvin K and k again", "k"),
+      ("aaaa", "aa"),
+      ("Foo FOO foo", "foo"),
+      ("İstanbul", "i̇stanbul"),
+      ("nothing here", "zzz"),
+      ("", "x"), ("x", ""))
+    // RDD-backed (not a LocalRelation): otherwise ConvertToLocalRelation
+    // folds the whole filter away before the rewrite is observable
+    val df = spark.sparkContext.parallelize(rows, 2).toDF("page", "id")
+    df.createOrReplaceTempView("v_contains")
+    // value parity: py_contains == (core count > 0)
+    spark.sql("SELECT page, id, py_contains(page, id) AS c FROM v_contains")
+      .collect().foreach { r =>
+        assert(r.getBoolean(2) == (PyText.countOccurrences(r.getString(0), r.getString(1)) > 0),
+          s"for (${r.getString(0)}, ${r.getString(1)})")
+      }
+    // the optimizer rewrites every count-as-existence shape to py_contains
+    val fired = Seq(
+      "py_count_occurrences(page, id) > 0",
+      "py_count_occurrences(page, id) >= 1",
+      "0 < py_count_occurrences(page, id)",
+      "py_count_occurrences(page, id) = 0")
+    fired.foreach { pred =>
+      val q = spark.sql(s"SELECT page FROM v_contains WHERE $pred")
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("py_contains") && !opt.contains("py_count_occurrences"),
+        s"rule did not fire for [$pred]:\n$opt")
+      // rewritten result == unoptimized semantics recomputed row-by-row
+      val want = rows.filter { case (p, i) =>
+        val c = PyText.countOccurrences(p, i)
+        if (pred.endsWith("= 0")) c == 0 else c > 0
+      }.map(_._1).sorted
+      assert(q.collect().map(_.getString(0)).sorted.toSeq === want)
+    }
+    // a non-existence use of the count is NOT rewritten
+    val kept = spark.sql("SELECT page FROM v_contains WHERE py_count_occurrences(page, id) > 1")
+    assert(kept.queryExecution.optimizedPlan.toString.contains("py_count_occurrences"))
+  }
+
   test("null propagation") {
     registered
     val r = spark.sql(
