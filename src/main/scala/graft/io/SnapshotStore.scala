@@ -94,17 +94,37 @@ final class SnapshotStore(val root: String) {
   }
 
   /** Manifest stats entries for the files that LANDED under `id` — read
-    * back so the stats describe exactly what readers will see. */
+    * back so the stats describe exactly what readers will see. ONE job
+    * computes per-FILE min/max (grouped on `input_file_name()` — the
+    * Iceberg manifest-entry granularity); the snapshot-level range is
+    * folded from the file ranges for free. File stats are recorded up to
+    * [[SnapshotStore.MaxFileStats]] files per snapshot (a manifest is a
+    * small JSON, not a stats table); beyond that only the overflow count
+    * lands and readers fall back to snapshot-level pruning — visible,
+    * never silent. */
   private def landedStats(
       spark: SparkSession, id: Long, statsCol: Option[String]): Seq[(String, String)] =
     statsCol.toSeq.flatMap { c =>
-      val r = spark.read.parquet(dataDir(id).toString)
-        .selectExpr(s"CAST(min($c) AS LONG) AS mn", s"CAST(max($c) AS LONG) AS mx")
-        .head()
-      if (r.isNullAt(0)) Nil
-      else Seq("stats_col" -> c,
-        "stats_min" -> r.getLong(0).toString,
-        "stats_max" -> r.getLong(1).toString)
+      import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+      val per = spark.read.parquet(dataDir(id).toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c).cast("long")).as("mn"), max(col(c).cast("long")).as("mx"))
+        .collect()
+        .filterNot(_.isNullAt(1))
+        .map(r => (Paths.get(new java.net.URI(r.getString(0)).getPath).getFileName.toString,
+          r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      if (per.isEmpty) Nil
+      else {
+        val snap = Seq("stats_col" -> c,
+          "stats_min" -> per.map(_._2).min.toString,
+          "stats_max" -> per.map(_._3).max.toString)
+        val files =
+          if (per.length <= SnapshotStore.MaxFileStats)
+            Seq("file_stats" -> per.map { case (f, mn, mx) => s"$f:$mn:$mx" }.mkString(";"))
+          else Seq("file_stats_overflow" -> per.length.toString)
+        snap ++ files
+      }
     }
 
   /** Copy-on-write MERGE (upsert) keyed by `keyCol`: rows of `updates`
@@ -277,6 +297,32 @@ final class SnapshotStore(val root: String) {
       statsCol = statsCol))
   }
 
+  /** Per-file (basename, min, max) stats recorded for snapshot `id`, if
+    * the manifest carries them for `col`. */
+  def fileStats(id: Long, col: String): Option[Seq[(String, Long, Long)]] = {
+    val m = manifestDir.resolve(s"$id.json")
+    if (!Files.exists(m)) return None
+    val s = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    def f(k: String) = (s""""$k": "([^"]*)"""").r.findFirstMatchIn(s).map(_.group(1))
+    for {
+      c <- f("stats_col") if c == col
+      enc <- f("file_stats")
+    } yield enc.split(';').toSeq.filter(_.nonEmpty).map { e =>
+      val Array(name, mn, mx) = e.split(':')
+      (name, mn.toLong, mx.toLong)
+    }
+  }
+
+  /** Split snapshot `id`'s data files into (kept paths, skipped count) for
+    * a `col BETWEEN lo AND hi` predicate using the per-file manifest
+    * stats; None when the manifest has no file stats for `col` (caller
+    * reads the whole snapshot — stats only ever PRUNE). */
+  def pruneFiles(id: Long, col: String, lo: Long, hi: Long): Option[(Seq[String], Int)] =
+    fileStats(id, col).map { fs =>
+      val (keep, skip) = fs.partition { case (_, mn, mx) => mx >= lo && mn <= hi }
+      (keep.map { case (name, _, _) => dataDir(id).resolve(name).toString }, skip.size)
+    }
+
   /** Split the live snapshots of (fromExclusive, toInclusive] into
     * (kept, skipped) for a `col BETWEEN lo AND hi` predicate using the
     * manifest stats: a snapshot is skipped iff its recorded [min,max] for
@@ -292,12 +338,16 @@ final class SnapshotStore(val root: String) {
         }
       }
 
-  /** [[readRange]] plus snapshot-level predicate pruning — the manifest
-    * analog of Iceberg's file skipping: snapshots whose recorded stats
-    * range for `col` cannot match `[lo, hi]` are never opened (no footer
-    * read, no task). The residual `BETWEEN` filter still applies to the
-    * kept snapshots (and pushes down into their parquet scans), so stats
-    * accelerate, never decide, membership. */
+  /** [[readRange]] plus two-level predicate pruning — the manifest analog
+    * of Iceberg's file skipping: snapshots whose recorded stats range for
+    * `col` cannot match `[lo, hi]` are never opened (no footer read, no
+    * task), and within a kept snapshot, individual data FILES whose
+    * per-file range cannot match are dropped from the scan when the
+    * manifest carries file stats (a snapshot written range-sorted on
+    * `col` then answers a point/range query opening ~1 file). The
+    * residual `BETWEEN` filter still applies to the kept files (and
+    * pushes down into their parquet scans), so stats accelerate, never
+    * decide, membership. */
   def readRangePruned(spark: SparkSession, fromExclusive: Long, toInclusive: Long,
       col: String, lo: Long, hi: Long): DataFrame = {
     val wm = compactionWatermark
@@ -307,9 +357,16 @@ final class SnapshotStore(val root: String) {
     val (kept, _) = pruneSnapshots(fromExclusive, toInclusive, col, lo, hi)
     val all = snapshots.filter(id => id > fromExclusive && id <= toInclusive)
     require(all.nonEmpty, s"no snapshots in ($fromExclusive, $toInclusive]")
+    val paths = kept.flatMap { id =>
+      pruneFiles(id, col, lo, hi) match {
+        case Some((keepPaths, _)) => keepPaths
+        case None => Seq(dataDir(id).toString) // no file stats: whole snapshot
+      }
+    }
     val base =
-      if (kept.nonEmpty) readMerged(spark, kept)
-      else // every snapshot pruned: empty result with the table's schema
+      if (paths.nonEmpty)
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      else // everything pruned: empty result with the table's schema
         spark.read.parquet(dataDir(all.head).toString)
           .where(org.apache.spark.sql.functions.lit(false))
     base.where(s"$col BETWEEN $lo AND $hi")
@@ -381,6 +438,13 @@ final class SnapshotStore(val root: String) {
   * forever (the batch analog of the reference deleting poison messages,
   * `main.py:399-402`).
   */
+object SnapshotStore {
+  /** Cap on per-file stats entries in one manifest (a manifest is a small
+    * JSON document; a 100 TB snapshot with 10^5 files needs a real stats
+    * table — Iceberg's manifest FILES — not a flat string). */
+  val MaxFileStats = 512
+}
+
 object ResumableJob {
 
   /** Outcome of one [[run]]: `completed` chunks committed this run,
