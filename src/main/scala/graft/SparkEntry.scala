@@ -84,6 +84,7 @@ object SparkEntry {
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
+    "d_incr_dedup" -> ((s, d) => Dedup.incrementalMinhash(docs(s, d))),
     "d_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     // deterministic event times spread over 36 min (< the 1h watermark
     // horizon), so the streaming and batch first-occurrence semantics
@@ -225,6 +226,43 @@ object SparkEntry {
        |FROM cand JOIN jac ON doc_a = da AND doc_b = db
        |WHERE jaccard_ppm >= 500000
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Replays [[Dedup.incrementalMinhash]]: the same bands, the one-sided
+    * delta probe, exact-Jaccard verification via least/greatest pair
+    * lookup (LEFT join: a banded collision with zero shared shingles
+    * verifies at Jaccard 0 — probed, not a dup). */
+  private def incrDedupOracle: String = {
+    val sigs = (0 until Dedup.NumPerms).map { k =>
+      s"list_min([(${Dedup.permA(k)} * h + ${Dedup.permB(k)}) % $P for h in hh]) AS sig$k"
+    }
+    val bands = (0 until Dedup.Bands).map { b =>
+      val ks = b * Dedup.RowsPerBand until (b + 1) * Dedup.RowsPerBand
+      val combined = ks.foldLeft("CAST(0 AS BIGINT)")((acc, k) => s"(($acc) * 31 + sig$k) % $P")
+      s"SELECT doc_id, $b AS band, $combined AS key FROM sigt"
+    }
+    s"""WITH $dShingleDocs,
+       |hs AS (SELECT doc_id, [${dh32("s")} % $P for s in shs] AS hh FROM sh),
+       |sigt AS (SELECT doc_id, ${sigs.mkString(", ")} FROM hs),
+       |banded AS (${bands.mkString(" UNION ALL ")}),
+       |cand AS (SELECT x.doc_id AS doc_id, y.doc_id AS partner, count(*) AS nsb
+       |         FROM banded x JOIN banded y
+       |           ON x.band = y.band AND x.key = y.key AND x.doc_id != y.doc_id
+       |          AND x.doc_id % 3 = 2 AND (y.doc_id % 3 != 2 OR y.doc_id < x.doc_id)
+       |         GROUP BY 1, 2),
+       |${dJaccard(None)},
+       |ver AS (SELECT c.doc_id, c.partner, coalesce(j.jaccard_ppm, 0) AS jaccard_ppm
+       |        FROM cand c LEFT JOIN jac j
+       |          ON j.da = least(c.doc_id, c.partner) AND j.db = greatest(c.doc_id, c.partner)),
+       |agg AS (SELECT doc_id, count(*)::BIGINT AS n_candidates,
+       |          sum(CASE WHEN jaccard_ppm >= 500000 THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+       |          min(CASE WHEN jaccard_ppm >= 500000 THEN partner END) AS dup_of
+       |        FROM ver GROUP BY 1)
+       |SELECT sh.doc_id, coalesce(n_candidates, 0)::BIGINT AS n_candidates,
+       |  coalesce(n_dups, 0)::BIGINT AS n_dups, dup_of,
+       |  coalesce(n_dups, 0) = 0 AS admitted
+       |FROM sh LEFT JOIN agg USING (doc_id)
+       |WHERE sh.doc_id % 3 = 2 ORDER BY sh.doc_id""".stripMargin
   }
 
   /** 60-bit hash: first 15 md5 hex chars (sign-safe in every engine). */
@@ -956,6 +994,7 @@ object SparkEntry {
          |  l.doc_id = l.component AS is_canonical
          |FROM lab l JOIN sz USING (component) ORDER BY l.doc_id""".stripMargin,
     "d_minhash_lsh" -> minhashOracle,
+    "d_incr_dedup" -> incrDedupOracle,
     "d_stream_dedup" ->
       """WITH t AS (SELECT doc_id, md5(text) AS content_hash,
         |    CAST(1767225600 + (doc_id % 37) * 60 AS BIGINT) AS epoch

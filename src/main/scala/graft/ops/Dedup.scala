@@ -97,6 +97,75 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental near-duplicate ADMISSION — the shape that matters when a
+    * 100 TB corpus grows by daily crawl batches: the new DELTA
+    * (`doc_id % deltaMod = deltaMod-1` here — the stand-in for "today's
+    * batch") probes the accumulated index's LSH bands and its own earlier
+    * docs, and index×index pairs are NEVER regenerated, so each refresh
+    * costs O(delta · bands), not O(corpus²) and not even
+    * O(full re-dedup). In production the index side's signatures are
+    * PRE-COMPUTED state (a banded table maintained by exactly these
+    * appends); they are recomputed here only so the registered query is
+    * self-contained over one input table.
+    *
+    * A delta doc is `admitted` iff it has no VERIFIED near-dup (exact
+    * shingle Jaccard ≥ threshold) among index docs or earlier delta docs
+    * (canonical-is-min-doc_id semantics, as in the batch dedup ops);
+    * `dup_of` reports the smallest matching partner. Candidates without a
+    * shared shingle verify at Jaccard 0 — counted as probed, never as
+    * dups. */
+  def incrementalMinhash(documents: DataFrame, thresholdPpm: Long = 500000L,
+                         deltaMod: Long = 3L): DataFrame = {
+    val d = deltaMod - 1
+    val shingleSets = documents
+      .where("size(split(text, ' ')) >= 3")
+      .selectExpr("doc_id", s"${Shingles.ws} AS ws")
+      .selectExpr("doc_id", s"${Shingles.shingles} AS shs")
+    val sigExprs = (0 until NumPerms).map { k =>
+      s"array_min(transform(hh, h -> (${permA(k)} * h + ${permB(k)}) % $P)) AS sig$k"
+    }
+    val sigs = shingleSets
+      .selectExpr("doc_id", s"transform(shs, s -> ${Shingles.h32("s")} % $P) AS hh")
+      .selectExpr(Seq("doc_id") ++ sigExprs: _*)
+    val bandExprs = (0 until Bands).map { b =>
+      val ks = (b * RowsPerBand until (b + 1) * RowsPerBand)
+      val combined = ks.foldLeft("CAST(0 AS BIGINT)")((acc, k) => s"(($acc) * 31 + sig$k) % $P")
+      s"named_struct('band', $b, 'key', $combined) AS band$b"
+    }
+    val banded = sigs
+      .selectExpr(Seq("doc_id") ++ bandExprs: _*)
+      .selectExpr("doc_id", s"explode(array(${(0 until Bands).map(b => s"band$b").mkString(",")})) AS bk")
+      .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+    // one-sided probe: x is a delta doc; y is any index doc or an EARLIER
+    // delta doc — the index never self-joins
+    val candidates = banded.where(s"doc_id % $deltaMod = $d").as("x")
+      .join(banded.as("y"), expr(
+        s"x.band = y.band AND x.key = y.key AND x.doc_id != y.doc_id AND " +
+          s"(y.doc_id % $deltaMod != $d OR y.doc_id < x.doc_id)"))
+      .groupBy(col("x.doc_id").as("doc_id"), col("y.doc_id").as("partner"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val verified = candidates
+      .join(shingleSets.selectExpr("doc_id", "shs AS shs_a"), "doc_id")
+      .join(shingleSets.selectExpr("doc_id AS partner", "shs AS shs_b"), "partner")
+      .selectExpr("doc_id", "partner",
+        "size(array_intersect(shs_a, shs_b)) AS inter",
+        "size(shs_a) AS na", "size(shs_b) AS nb")
+      .selectExpr("doc_id", "partner",
+        "(CAST(inter AS BIGINT) * 1000000) DIV (na + nb - inter) AS jaccard_ppm")
+    val agg = verified.groupBy("doc_id").agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("jaccard_ppm") >= thresholdPpm, 1L).otherwise(0L)).as("n_dups"),
+      min(when(col("jaccard_ppm") >= thresholdPpm, col("partner"))).as("dup_of"))
+    shingleSets.where(s"doc_id % $deltaMod = $d").select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates",
+        "CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups",
+        "dup_of",
+        "coalesce(n_dups, 0) = 0 AS admitted")
+      .orderBy("doc_id")
+  }
+
   /** Document-frequency cap on join shingles: a shingle present in k
     * documents emits k² candidate rows from the self-join, so one
     * boilerplate shingle ("click here to subscribe …") shared by 10⁶ docs
