@@ -31,12 +31,15 @@ import graft.schema.{ConvRule, Turn}
   *  - `--two-stage`: salted extraction + regroup for monster-conversation
   *    corpora (a single conversation big enough to straggle one fused
   *    task);
-  *  - `--catalyst`: the whole-operator Catalyst route
-  *    ([[graft.plans.SegmentPlans.segment]]) — the physical node DECLARES
-  *    `ClusteredDistribution(conv_id)` + `(conv_id, turn_idx)` ordering, so
+  *  - `--catalyst`: the whole-operator Catalyst route, two-child form
+  *    ([[graft.plans.SegmentPlans.segmentJoin]]) — turns AND rules are
+  *    children of one physical node that DECLARES
+  *    `ClusteredDistribution(conv_id)` + `(conv_id, turn_idx)` ordering,
+  *    so `EnsureRequirements` co-partitions the rule corpus with the turns
+  *    (no driver collect, no broadcast — rules scale with the table), and
   *    on a turns table already bucketed+sorted by conv_id (the 10^12-turn
-  *    Iceberg layout) `EnsureRequirements` elides the shuffle entirely,
-  *    which the unconditional `repartition` of the fused path never can.
+  *    Iceberg layout) elides that side's shuffle entirely, which the
+  *    unconditional `repartition` of the fused path never can.
   *
   * Lineage derives from a [[PartitionStatsAcc]] filled INSIDE whichever
   * single pass materialized the segments — no route runs extraction twice.
@@ -114,15 +117,13 @@ object SubmitMain {
         (Pipeline.segmentCogroup(
           Pipeline.extract(turns, partitions = buckets, stats = Some(stats)), rules).toDF(),
           "extract")
-      else if (opts.contains("catalyst")) {
-        // whole-operator Catalyst route; rules broadcast (the flag targets
-        // the bucketed-table regime, where rule corpora broadcast fine)
-        val ruleMap = rules.collect().groupBy(_.conv_id)
-          .map { case (k, v) => k -> v.toSeq.map(Pipeline.toCoreRule) }
-        val bc = spark.sparkContext.broadcast(ruleMap)
-        (graft.plans.SegmentPlans.segment(
-          turns, cid => bc.value.getOrElse(cid, Nil), Some(stats)), "segment")
-      } else
+      else if (opts.contains("catalyst"))
+        // whole-operator Catalyst route, TWO-child form: rules arrive as a
+        // co-partitioned plan (ClusteredDistribution on both children), so
+        // no rule corpus is ever collected or broadcast — the only route
+        // shape that survives 10^12 conversations
+        (graft.plans.SegmentPlans.segmentJoin(turns, rules, Some(stats)), "segment")
+      else
         // fused single-shuffle; broadcast vs cogroup by rule-corpus size
         (Pipeline.segmentAuto(turns, rules, buckets, ruleLimit, Some(stats)).toDF(), "segment")
 

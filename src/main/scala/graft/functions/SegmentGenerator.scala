@@ -66,15 +66,27 @@ case class SegmentRowsGenerator(turns: Expression, rules: Expression)
     if (!turnsOk)
       return TypeCheckResult.TypeCheckFailure(
         "segment_rows: first arg must be ARRAY<STRUCT<turn_idx INT, text STRING>>")
-    val need = Seq("DocumentTypeID", "StartingIdentifier", "StartingIdentifierPlus1",
-      "EndingIdentifier", "EndingIdentifierMinus1", "NoOfPages", "Occurence",
-      "StartingMinusN", "EndingMinusN", "Sequence")
     structFields(rules) match {
       case Some(s) =>
-        val missing = need.filterNot(f => idxOf(s, f).isDefined)
-        if (missing.isEmpty) TypeCheckResult.TypeCheckSuccess
+        val missing = SegmentRowsGenerator.RequiredRuleFields
+          .filterNot(f => idxOf(s, f).isDefined)
+        if (missing.nonEmpty)
+          return TypeCheckResult.TypeCheckFailure(
+            s"segment_rows: rules struct is missing fields: ${missing.mkString(", ")}")
+        // present fields must carry the expected type — a mistyped field
+        // (e.g. NoOfPages as STRING from schemaless JSON) must fail HERE,
+        // not silently run the fold with a default value
+        val mistyped = s.fields.flatMap { f =>
+          SegmentRowsGenerator.RuleFieldKinds.get(f.name).flatMap {
+            case 'S' if f.dataType != StringType => Some(s"${f.name} must be STRING, got ${f.dataType.sql}")
+            case 'I' if f.dataType != IntegerType && f.dataType != LongType =>
+              Some(s"${f.name} must be INT or BIGINT, got ${f.dataType.sql}")
+            case _ => None
+          }
+        }
+        if (mistyped.isEmpty) TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(
-          s"segment_rows: rules struct is missing fields: ${missing.mkString(", ")}")
+          s"segment_rows: mistyped rule fields: ${mistyped.mkString("; ")}")
       case None => TypeCheckResult.TypeCheckFailure(
         "segment_rows: second arg must be ARRAY<STRUCT<rule fields>>")
     }
@@ -84,35 +96,31 @@ case class SegmentRowsGenerator(turns: Expression, rules: Expression)
   private lazy val tIdx = idxOf(turnsSchema, "turn_idx").get
   private lazy val tText = idxOf(turnsSchema, "text").get
   private lazy val rulesSchema = structFields(rules).get
+  // field name → (index, dataType), resolved ONCE — eval must not re-scan
+  // fieldNames per rule per input row
+  private lazy val rIdx: Map[String, (Int, DataType)] =
+    rulesSchema.fields.zipWithIndex.map { case (f, i) => f.name -> (i, f.dataType) }.toMap
 
-  private def str(row: InternalRow, s: StructType, f: String, dflt: String): String =
-    idxOf(s, f) match {
-      case Some(i) if !row.isNullAt(i) && s(i).dataType == StringType =>
-        row.getUTF8String(i).toString
+  private def str(row: InternalRow, f: String, dflt: String): String =
+    rIdx.get(f) match {
+      case Some((i, StringType)) if !row.isNullAt(i) => row.getUTF8String(i).toString
       case _ => dflt
     }
-  private def int(row: InternalRow, s: StructType, f: String): Int =
-    idxOf(s, f) match {
-      case Some(i) if !row.isNullAt(i) => s(i).dataType match {
-        case IntegerType => row.getInt(i)
-        case LongType => row.getLong(i).toInt
-        case _ => 0
-      }
+  private def int(row: InternalRow, f: String): Int =
+    rIdx.get(f) match {
+      case Some((i, IntegerType)) if !row.isNullAt(i) => row.getInt(i)
+      case Some((i, LongType)) if !row.isNullAt(i) => row.getLong(i).toInt
       case _ => 0
     }
-  private def longOpt(row: InternalRow, s: StructType, f: String): Option[Long] =
-    idxOf(s, f) match {
-      case Some(i) if !row.isNullAt(i) => s(i).dataType match {
-        case LongType => Some(row.getLong(i))
-        case IntegerType => Some(row.getInt(i).toLong)
-        case _ => None
-      }
+  private def longOpt(row: InternalRow, f: String): Option[Long] =
+    rIdx.get(f) match {
+      case Some((i, LongType)) if !row.isNullAt(i) => Some(row.getLong(i))
+      case Some((i, IntegerType)) if !row.isNullAt(i) => Some(row.getInt(i).toLong)
       case _ => None
     }
-  private def strOpt(row: InternalRow, s: StructType, f: String): Option[String] =
-    idxOf(s, f) match {
-      case Some(i) if !row.isNullAt(i) && s(i).dataType == StringType =>
-        Some(row.getUTF8String(i).toString)
+  private def strOpt(row: InternalRow, f: String): Option[String] =
+    rIdx.get(f) match {
+      case Some((i, StringType)) if !row.isNullAt(i) => Some(row.getUTF8String(i).toString)
       case _ => None
     }
 
@@ -131,21 +139,21 @@ case class SegmentRowsGenerator(turns: Expression, rules: Expression)
     val coreRules = (0 until rArr.numElements()).map { i =>
       val row = rArr.getStruct(i, rulesSchema.length)
       Rule(
-        documentTypeId = str(row, rulesSchema, "DocumentTypeID", ""),
-        documentTypeName = str(row, rulesSchema, "DocumentTypeName", ""),
-        startingIdentifier = str(row, rulesSchema, "StartingIdentifier", ""),
-        startingIdentifierPlus1 = str(row, rulesSchema, "StartingIdentifierPlus1", ""),
-        endingIdentifier = str(row, rulesSchema, "EndingIdentifier", ""),
-        endingIdentifierMinus1 = str(row, rulesSchema, "EndingIdentifierMinus1", ""),
-        noOfPages = int(row, rulesSchema, "NoOfPages"),
-        occurence = int(row, rulesSchema, "Occurence"),
-        startingMinusN = str(row, rulesSchema, "StartingMinusN", " "),
-        endingMinusN = str(row, rulesSchema, "EndingMinusN", " "),
-        sequence = strOpt(row, rulesSchema, "Sequence"),
-        docReceivedId = longOpt(row, rulesSchema, "DocReceivedId"),
-        firmFile = strOpt(row, rulesSchema, "FirmFile"),
-        uploadDatasheetId = longOpt(row, rulesSchema, "UploadDatasheetid"),
-        sessionId = strOpt(row, rulesSchema, "SessionId"))
+        documentTypeId = str(row, "DocumentTypeID", ""),
+        documentTypeName = str(row, "DocumentTypeName", ""),
+        startingIdentifier = str(row, "StartingIdentifier", ""),
+        startingIdentifierPlus1 = str(row, "StartingIdentifierPlus1", ""),
+        endingIdentifier = str(row, "EndingIdentifier", ""),
+        endingIdentifierMinus1 = str(row, "EndingIdentifierMinus1", ""),
+        noOfPages = int(row, "NoOfPages"),
+        occurence = int(row, "Occurence"),
+        startingMinusN = str(row, "StartingMinusN", " "),
+        endingMinusN = str(row, "EndingMinusN", " "),
+        sequence = strOpt(row, "Sequence"),
+        docReceivedId = longOpt(row, "DocReceivedId"),
+        firmFile = strOpt(row, "FirmFile"),
+        uploadDatasheetId = longOpt(row, "UploadDatasheetid"),
+        sessionId = strOpt(row, "SessionId"))
     }
 
     Demarcator.demarcate(pages, coreRules).map { r =>
@@ -164,4 +172,23 @@ case class SegmentRowsGenerator(turns: Expression, rules: Expression)
   }
 
   override def prettyName: String = "segment_rows"
+}
+
+object SegmentRowsGenerator {
+  /** Rule-struct fields the analyzer requires to be present. */
+  val RequiredRuleFields: Seq[String] = Seq(
+    "DocumentTypeID", "StartingIdentifier", "StartingIdentifierPlus1",
+    "EndingIdentifier", "EndingIdentifierMinus1", "NoOfPages", "Occurence",
+    "StartingMinusN", "EndingMinusN", "Sequence")
+
+  /** Expected kind per known rule field: 'S' = string, 'I' = integral.
+    * Unknown extra fields are ignored. */
+  val RuleFieldKinds: Map[String, Char] = Map(
+    "DocumentTypeID" -> 'S', "DocumentTypeName" -> 'S',
+    "StartingIdentifier" -> 'S', "StartingIdentifierPlus1" -> 'S',
+    "EndingIdentifier" -> 'S', "EndingIdentifierMinus1" -> 'S',
+    "NoOfPages" -> 'I', "Occurence" -> 'I',
+    "StartingMinusN" -> 'S', "EndingMinusN" -> 'S', "Sequence" -> 'S',
+    "DocReceivedId" -> 'I', "FirmFile" -> 'S',
+    "UploadDatasheetid" -> 'I', "SessionId" -> 'S')
 }

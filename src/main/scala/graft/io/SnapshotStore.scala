@@ -9,9 +9,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Iceberg table (no Iceberg runtime jar ships with this image; see SURVEY
   * §7). Gives the two properties the north rule actually needs:
   *
-  *  - **atomic append**: data files land first, then a manifest JSON is
-  *    published via temp-file + atomic rename; a snapshot is visible iff its
-  *    manifest exists, so readers never see partial writes;
+  *  - **atomic append**: data files land first in a uniquely-named staging
+  *    dir, then a manifest JSON naming that dir is published via hard-link
+  *    (an atomic FAIL-IF-EXISTS compare-and-swap on the snapshot id — the
+  *    Iceberg optimistic-commit model); a snapshot is visible iff its
+  *    manifest exists, readers never see partial writes, and two
+  *    concurrent writers can neither clobber each other's data files nor
+  *    both publish under one id;
   *  - **snapshot identity / ranges**: monotonically increasing ids enable
   *    incremental (from, to] reads — the batch analog of the reference's
   *    queue offsets.
@@ -85,13 +89,50 @@ final class SnapshotStore(val root: String) {
       df: DataFrame,
       meta: Map[String, String] = Map.empty,
       statsCol: Option[String] = None): Long = {
-    // allocate above every manifest ever committed (incl. retired ones
-    // still awaiting cleanup) so ids never collide after a compaction
-    val id = manifestIds.lastOption.getOrElse(0L) + 1L
-    df.write.mode("overwrite").parquet(dataDir(id).toString)
-    commitManifest(id, meta ++ landedStats(df.sparkSession, id, statsCol))
-    id
+    val stage = stageWrite(df)
+    commitStaged(stage,
+      meta ++ stagedStats(df.sparkSession, stage, statsCol), () => true).get
   }
+
+  /** Write `df` to a uniquely-named staging dir under root/data — data
+    * files never land at an id-derived path, so two concurrent writers can
+    * NEVER clobber each other's files; the manifest that wins the commit
+    * points at its own stage dir. */
+  private def stageWrite(df: DataFrame): Path = {
+    val stage = Paths.get(root, "data", s"stage-${java.util.UUID.randomUUID}")
+    df.write.mode("errorifexists").parquet(stage.toString)
+    stage
+  }
+
+  /** Optimistic-concurrency commit of a staged write (the Iceberg commit
+    * model on a plain filesystem): loop { allocate the next id → re-run
+    * `decide` → publish via hard-link, which FAILS atomically if that id
+    * was committed first }. A competing commit either lands before our
+    * `decide` re-check (it sees the new state and may abort) or collides
+    * on the id (we loop and re-decide) — there is no interleaving where
+    * two writers both publish under one id, and none where a same-app
+    * exactly-once append double-commits (see [[appendExactlyOnce]]).
+    * Returns None (stage deleted) when `decide` aborts. */
+  private def commitStaged(
+      stage: Path,
+      meta: Map[String, String],
+      decide: () => Boolean): Option[Long] = {
+    val withData = meta + ("data" -> stage.getFileName.toString)
+    while (true) {
+      // allocate above every manifest ever committed (incl. retired ones
+      // still awaiting cleanup) so ids never collide after a compaction
+      val id = manifestIds.lastOption.getOrElse(0L) + 1L
+      if (!decide()) { deleteRecursively(stage); return None }
+      if (tryCommitManifest(id, withData)) return Some(id)
+    }
+    None // unreachable
+  }
+
+  private def deleteRecursively(d: Path): Unit =
+    if (Files.exists(d)) {
+      val it = Files.walk(d).sorted(java.util.Comparator.reverseOrder[Path]()).iterator()
+      while (it.hasNext) Files.deleteIfExists(it.next())
+    }
 
   /** Manifest stats entries for the files that LANDED under `id` — read
     * back so the stats describe exactly what readers will see. ONE job
@@ -102,11 +143,11 @@ final class SnapshotStore(val root: String) {
     * small JSON, not a stats table); beyond that only the overflow count
     * lands and readers fall back to snapshot-level pruning — visible,
     * never silent. */
-  private def landedStats(
-      spark: SparkSession, id: Long, statsCol: Option[String]): Seq[(String, String)] =
+  private def stagedStats(
+      spark: SparkSession, dataPath: Path, statsCol: Option[String]): Seq[(String, String)] =
     statsCol.toSeq.flatMap { c =>
       import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-      val per = spark.read.parquet(dataDir(id).toString)
+      val per = spark.read.parquet(dataPath.toString)
         .groupBy(input_file_name().as("f"))
         .agg(min(col(c).cast("long")).as("mn"), max(col(c).cast("long")).as("mx"))
         .collect()
@@ -176,17 +217,20 @@ final class SnapshotStore(val root: String) {
       .join(keys, Seq(keyCol), "left_anti")
     val merged = survivors.unionByName(updates.select(survivors.columns.map(
       org.apache.spark.sql.functions.col): _*))
-    val id = manifestIds.lastOption.getOrElse(0L) + 1L
-    merged.write.mode("overwrite").parquet(dataDir(id).toString)
-    commitManifest(id, Map("replaces" -> affected.mkString(",")) ++
-      carriedTxns(affected) ++ landedStats(spark, id, statsCol))
+    val stage = stageWrite(merged)
+    val id = commitStaged(stage, Map("replaces" -> affected.mkString(",")) ++
+      carriedTxns(affected) ++ stagedStats(spark, stage, statsCol), () => true).get
     if (cleanup) expireRetired()
     id
   }
 
-  /** Publish snapshot `id`: temp-file write + atomic rename of the
-    * manifest JSON — the commit point for [[append]] and [[compact]]. */
-  private def commitManifest(id: Long, meta: Map[String, String]): Unit = {
+  /** Publish snapshot `id`: temp-file write + HARD-LINK into place. Unlike
+    * a rename (which silently replaces an existing target on POSIX), the
+    * link creation FAILS atomically when `id` was already committed — the
+    * compare-and-swap that makes concurrent commits safe. Returns false
+    * on a lost race; the caller re-reads state and retries under the next
+    * id. */
+  private def tryCommitManifest(id: Long, meta: Map[String, String]): Boolean = {
     Files.createDirectories(manifestDir)
     val json = {
       val kv = (meta ++ Map("snapshot_id" -> id.toString, "rows" -> "")).map {
@@ -194,16 +238,32 @@ final class SnapshotStore(val root: String) {
       }
       kv.mkString("{", ", ", "}")
     }
-    val tmp = manifestDir.resolve(s".$id.json.tmp")
+    val tmp = manifestDir.resolve(s".$id.${java.util.UUID.randomUUID}.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestDir.resolve(s"$id.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    try { Files.createLink(manifestDir.resolve(s"$id.json"), tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally { Files.deleteIfExists(tmp); () }
   }
+
+  /** Data location for snapshot `id`: the staging dir its manifest points
+    * at, or the legacy id-derived dir for manifests without one. */
+  private def dataPathOf(id: Long): Path = {
+    val m = manifestDir.resolve(s"$id.json")
+    val named =
+      if (!Files.exists(m)) None
+      else """"data": "([^"]*)"""".r.findFirstMatchIn(
+        new String(Files.readAllBytes(m), StandardCharsets.UTF_8)).map(_.group(1))
+    named.map(n => Paths.get(root, "data", n)).getOrElse(dataDir(id))
+  }
+
+  /** Physical data location of snapshot `id` (the staged dir its manifest
+    * names) — the file-listing surface tooling and tests inspect. */
+  def dataLocation(id: Long): Path = dataPathOf(id)
 
   /** Read one snapshot. */
   def read(spark: SparkSession, id: Long): DataFrame = {
     require(snapshots.contains(id), s"snapshot $id not committed")
-    spark.read.parquet(dataDir(id).toString)
+    spark.read.parquet(dataPathOf(id).toString)
   }
 
   /** One relation over several snapshots with ADD-COLUMN schema evolution:
@@ -214,7 +274,7 @@ final class SnapshotStore(val root: String) {
     * file's schema, dropping later columns). */
   private def readMerged(spark: SparkSession, ids: Seq[Long]): DataFrame =
     spark.read.option("mergeSchema", "true")
-      .parquet(ids.map(id => dataDir(id).toString): _*)
+      .parquet(ids.map(id => dataPathOf(id).toString): _*)
 
   /** Incremental read of snapshots in (fromExclusive, toInclusive].
     *
@@ -250,21 +310,25 @@ final class SnapshotStore(val root: String) {
 
   private val TxnRe = """"txn_([^"]+)": "([0-9]+)"""".r
 
-  /** Highest batch id ever committed for `appId`, scanning every manifest
-    * still on disk (including compaction-retired ones awaiting cleanup —
-    * a replayed batch must stay deduplicated in the commit/cleanup gap).
+  /** Highest batch id ever committed for `appId`, scanning manifests still
+    * on disk (including compaction-retired ones awaiting cleanup — a
+    * replayed batch must stay deduplicated in the commit/cleanup gap).
     * [[compact]] and [[upsert]] carry each app's max forward into their
-    * replacement manifest, so the ledger survives physical cleanup. */
-  def txnLastBatch(appId: String): Option[Long] = {
-    val hits = manifestIds.flatMap { id =>
+    * replacement manifest, so the ledger survives physical cleanup.
+    *
+    * Scans NEWEST-first with early exit: per-app batch ids are strictly
+    * increasing in commit order ([[appendExactlyOnce]] refuses anything at
+    * or below the mark, and carried marks are maxes), so the newest
+    * manifest mentioning the app holds its max — the common steady-state
+    * cost is one or two manifest reads, not O(total commits). */
+  def txnLastBatch(appId: String): Option[Long] =
+    manifestIds.reverseIterator.flatMap { id =>
       val m = manifestDir.resolve(s"$id.json")
-      if (!Files.exists(m)) Nil
+      if (!Files.exists(m)) Iterator.empty
       else TxnRe.findAllMatchIn(
         new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
-        .collect { case mm if mm.group(1) == appId => mm.group(2).toLong }.toSeq
-    }
-    if (hits.isEmpty) None else Some(hits.max)
-  }
+        .collect { case mm if mm.group(1) == appId => mm.group(2).toLong }
+    }.nextOption()
 
   /** Per-app max batch ids recorded across `inputs` manifests — carried
     * into the manifest that replaces them so dedup survives cleanup. */
@@ -285,16 +349,29 @@ final class SnapshotStore(val root: String) {
     * below the recorded high-water mark is a replay → skipped, returning
     * None; a fresh batch commits atomically with the mark in the SAME
     * manifest (no second commit point to lose). Same semantics as a Delta
-    * `txn` action / Iceberg's commit-level `wap.id` dedup. */
+    * `txn` action / Iceberg's commit-level `wap.id` dedup.
+    *
+    * Safe under SPLIT-BRAIN double drivers (a zombie driver resuming the
+    * same epoch a restarted driver already committed): data is staged to a
+    * unique dir (no clobber possible), and the ledger check re-runs inside
+    * [[commitStaged]]'s optimistic loop AFTER the candidate id is
+    * allocated — a competing same-app commit is either visible to that
+    * re-check or collides on the id's hard-link CAS, so exactly one of
+    * the two drivers publishes the batch and the other deletes its stage
+    * and returns None. */
   def appendExactlyOnce(
       df: DataFrame,
       appId: String,
       batchId: Long,
       statsCol: Option[String] = None): Option[Long] = {
     require(!appId.contains("\""), s"appId must not contain quotes: $appId")
-    if (txnLastBatch(appId).exists(_ >= batchId)) None
-    else Some(append(df, meta = Map(s"txn_$appId" -> batchId.toString),
-      statsCol = statsCol))
+    def fresh = !txnLastBatch(appId).exists(_ >= batchId)
+    if (!fresh) return None // cheap pre-check before staging any data
+    val stage = stageWrite(df)
+    commitStaged(stage,
+      Map(s"txn_$appId" -> batchId.toString) ++
+        stagedStats(df.sparkSession, stage, statsCol),
+      () => fresh)
   }
 
   /** Per-file (basename, min, max) stats recorded for snapshot `id`, if
@@ -320,7 +397,7 @@ final class SnapshotStore(val root: String) {
   def pruneFiles(id: Long, col: String, lo: Long, hi: Long): Option[(Seq[String], Int)] =
     fileStats(id, col).map { fs =>
       val (keep, skip) = fs.partition { case (_, mn, mx) => mx >= lo && mn <= hi }
-      (keep.map { case (name, _, _) => dataDir(id).resolve(name).toString }, skip.size)
+      (keep.map { case (name, _, _) => dataPathOf(id).resolve(name).toString }, skip.size)
     }
 
   /** Split the live snapshots of (fromExclusive, toInclusive] into
@@ -360,14 +437,14 @@ final class SnapshotStore(val root: String) {
     val paths = kept.flatMap { id =>
       pruneFiles(id, col, lo, hi) match {
         case Some((keepPaths, _)) => keepPaths
-        case None => Seq(dataDir(id).toString) // no file stats: whole snapshot
+        case None => Seq(dataPathOf(id).toString) // no file stats: whole snapshot
       }
     }
     val base =
       if (paths.nonEmpty)
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
       else // everything pruned: empty result with the table's schema
-        spark.read.parquet(dataDir(all.head).toString)
+        spark.read.parquet(dataPathOf(all.head).toString)
           .where(org.apache.spark.sql.functions.lit(false))
     base.where(s"$col BETWEEN $lo AND $hi")
   }
@@ -391,8 +468,7 @@ final class SnapshotStore(val root: String) {
     require(inputs.size >= 2,
       s"compaction needs >= 2 live snapshots <= $upToInclusive, found ${inputs.size}")
     val merged = readMerged(spark, inputs)
-    val id = manifestIds.lastOption.getOrElse(0L) + 1L
-    merged.write.mode("overwrite").parquet(dataDir(id).toString)
+    val stage = stageWrite(merged)
     // stats survive compaction when every input carries them for the same
     // column: merged range = [min of mins, max of maxes] — no extra job
     val inStats = inputs.map(snapshotStats)
@@ -402,22 +478,21 @@ final class SnapshotStore(val root: String) {
           "stats_min" -> inStats.flatten.map(_._2).min.toString,
           "stats_max" -> inStats.flatten.map(_._3).max.toString)
       else Nil
-    commitManifest(id,
-      Map("replaces" -> inputs.mkString(",")) ++ carriedTxns(inputs) ++ stats)
+    val id = commitStaged(stage,
+      Map("replaces" -> inputs.mkString(",")) ++ carriedTxns(inputs) ++ stats,
+      () => true).get
     if (cleanup) expireRetired()
     id
   }
 
   /** Delete data + manifests of compaction-retired snapshots. Idempotent,
     * safe to run (or re-run after a crash) any time after the compacted
-    * manifest committed — retired ids are invisible to readers already. */
+    * manifest committed — retired ids are invisible to readers already.
+    * The data path is resolved from the manifest BEFORE it is deleted
+    * (staged dirs are named in the manifest, not derived from the id). */
   def expireRetired(): Unit =
     retiredIds.foreach { id =>
-      val d = dataDir(id)
-      if (Files.exists(d)) {
-        val it = Files.walk(d).sorted(java.util.Comparator.reverseOrder[Path]()).iterator()
-        while (it.hasNext) Files.deleteIfExists(it.next())
-      }
+      deleteRecursively(dataPathOf(id))
       Files.deleteIfExists(manifestDir.resolve(s"$id.json"))
     }
 }

@@ -60,27 +60,39 @@ object Dedup {
     * SETS and intersects arrays — O(candidates × shingles-per-doc), never
     * the full shingle×shingle join (that shape lives in [[ngramJaccard]]
     * where all-pairs output is the actual ask). */
-  def minhashLsh(documents: DataFrame, thresholdPpm: Long = 500000L): DataFrame = {
-    val shingleSets = documents
+  /** Per-doc distinct 3-shingle sets (docs with ≥3 tokens). */
+  private def shingleSetsOf(documents: DataFrame): DataFrame =
+    documents
       .where("size(split(text, ' ')) >= 3")
       .selectExpr("doc_id", s"${Shingles.ws} AS ws")
       .selectExpr("doc_id", s"${Shingles.shingles} AS shs")
+
+  /** Shingle hashes → [[NumPerms]] permutation minima → [[Bands]] banded
+    * keys (rolling-31 combine), exploded to one (doc_id, band, key) row
+    * per band. ONE construction shared by [[minhashLsh]] and
+    * [[incrementalMinhash]] (and mirrored by both DuckDB oracles), so the
+    * band layout can't drift between the batch and incremental paths. */
+  private def bandedOf(shingleSets: DataFrame): DataFrame = {
     val sigExprs = (0 until NumPerms).map { k =>
       s"array_min(transform(hh, h -> (${permA(k)} * h + ${permB(k)}) % $P)) AS sig$k"
     }
     val sigs = shingleSets
       .selectExpr("doc_id", s"transform(shs, s -> ${Shingles.h32("s")} % $P) AS hh")
       .selectExpr(Seq("doc_id") ++ sigExprs: _*)
-    // band key = rolling-31 combine of the band's signature values
     val bandExprs = (0 until Bands).map { b =>
       val ks = (b * RowsPerBand until (b + 1) * RowsPerBand)
       val combined = ks.foldLeft("CAST(0 AS BIGINT)")((acc, k) => s"(($acc) * 31 + sig$k) % $P")
       s"named_struct('band', $b, 'key', $combined) AS band$b"
     }
-    val banded = sigs
+    sigs
       .selectExpr(Seq("doc_id") ++ bandExprs: _*)
       .selectExpr("doc_id", s"explode(array(${(0 until Bands).map(b => s"band$b").mkString(",")})) AS bk")
       .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+  }
+
+  def minhashLsh(documents: DataFrame, thresholdPpm: Long = 500000L): DataFrame = {
+    val shingleSets = shingleSetsOf(documents)
+    val banded = bandedOf(shingleSets)
     val candidates = banded.as("x")
       .join(banded.as("y"), expr("x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -114,28 +126,15 @@ object Dedup {
     * `dup_of` reports the smallest matching partner. Candidates without a
     * shared shingle verify at Jaccard 0 — counted as probed, never as
     * dups. */
+  /** Default delta split for the registered `d_incr_dedup` query —
+    * referenced by the DuckDB oracle so the two cannot drift. */
+  val DefaultDeltaMod = 3L
+
   def incrementalMinhash(documents: DataFrame, thresholdPpm: Long = 500000L,
-                         deltaMod: Long = 3L): DataFrame = {
+                         deltaMod: Long = DefaultDeltaMod): DataFrame = {
     val d = deltaMod - 1
-    val shingleSets = documents
-      .where("size(split(text, ' ')) >= 3")
-      .selectExpr("doc_id", s"${Shingles.ws} AS ws")
-      .selectExpr("doc_id", s"${Shingles.shingles} AS shs")
-    val sigExprs = (0 until NumPerms).map { k =>
-      s"array_min(transform(hh, h -> (${permA(k)} * h + ${permB(k)}) % $P)) AS sig$k"
-    }
-    val sigs = shingleSets
-      .selectExpr("doc_id", s"transform(shs, s -> ${Shingles.h32("s")} % $P) AS hh")
-      .selectExpr(Seq("doc_id") ++ sigExprs: _*)
-    val bandExprs = (0 until Bands).map { b =>
-      val ks = (b * RowsPerBand until (b + 1) * RowsPerBand)
-      val combined = ks.foldLeft("CAST(0 AS BIGINT)")((acc, k) => s"(($acc) * 31 + sig$k) % $P")
-      s"named_struct('band', $b, 'key', $combined) AS band$b"
-    }
-    val banded = sigs
-      .selectExpr(Seq("doc_id") ++ bandExprs: _*)
-      .selectExpr("doc_id", s"explode(array(${(0 until Bands).map(b => s"band$b").mkString(",")})) AS bk")
-      .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+    val shingleSets = shingleSetsOf(documents)
+    val banded = bandedOf(shingleSets)
     // one-sided probe: x is a delta doc; y is any index doc or an EARLIER
     // delta doc — the index never self-joins
     val candidates = banded.where(s"doc_id % $deltaMod = $d").as("x")

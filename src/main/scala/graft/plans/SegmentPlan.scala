@@ -4,9 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, SortOrder}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -63,6 +63,36 @@ object SegmentPlans {
     org.apache.spark.sql.classic.GraftDatasetBridge.ofRows(
       spark, SegmentConversations(child, rulesFor, stats))
   }
+
+  /** Rule columns in the fixed projection order [[SegmentJoinExec]] reads
+    * by index. */
+  private[plans] val RuleCols = Seq("conv_id", "DocumentTypeID",
+    "DocumentTypeName", "StartingIdentifier", "StartingIdentifierPlus1",
+    "EndingIdentifier", "EndingIdentifierMinus1", "NoOfPages", "Occurence",
+    "StartingMinusN", "EndingMinusN", "Sequence", "DocReceivedId",
+    "FirmFile", "UploadDatasheetid", "SessionId")
+
+  /** TWO-CHILD variant: rules arrive as a co-partitioned PLAN, not a
+    * driver-side map — the 10^12-conversation regime, where collecting or
+    * broadcasting the rule corpus is impossible. Both children declare
+    * `ClusteredDistribution(conv_id)` and Catalyst's `EnsureRequirements`
+    * co-partitions them (and elides either side's exchange when that side
+    * is already bucketed by conv_id); the physical node merge-joins the
+    * sorted streams one conversation at a time. This is what
+    * `SubmitMain --catalyst` runs. */
+  def segmentJoin(turns: org.apache.spark.sql.Dataset[Turn],
+                  rules: org.apache.spark.sql.Dataset[graft.schema.ConvRule],
+                  stats: Option[graft.pipeline.PartitionStatsAcc] = None): org.apache.spark.sql.DataFrame = {
+    val spark = turns.sparkSession
+    if (!spark.experimental.extraStrategies.contains(SegmentStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ SegmentStrategy
+    val tChild = turns.select("conv_id", "turn_idx", "tool", "text")
+      .queryExecution.analyzed
+    val rChild = rules.toDF().select(RuleCols.map(org.apache.spark.sql.functions.col): _*)
+      .queryExecution.analyzed
+    org.apache.spark.sql.classic.GraftDatasetBridge.ofRows(
+      spark, SegmentConversationsJoin(tChild, rChild, stats))
+  }
 }
 
 /** Logical whole-operator node: one conversation in → its segment rows out.
@@ -81,11 +111,28 @@ final case class SegmentConversations(
     copy(child = newChild)
 }
 
+/** Logical two-child node: turns ⋈ rules on conv_id → segment rows. */
+final case class SegmentConversationsJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    lineageStats: Option[graft.pipeline.PartitionStatsAcc] = None,
+    output: Seq[Attribute] = SegmentPlans.segmentOutput()
+) extends BinaryNode {
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): SegmentConversationsJoin =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Planner rule: logical node → physical node. */
 object SegmentStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case s: SegmentConversations =>
       SegmentExec(s.output, s.rulesFor, s.lineageStats, planLater(s.child)) :: Nil
+    case s: SegmentConversationsJoin =>
+      SegmentJoinExec(s.output, s.lineageStats,
+        planLater(s.left), planLater(s.right)) :: Nil
     case _ => Nil
   }
 }
@@ -153,4 +200,113 @@ final case class SegmentExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): SegmentExec =
     copy(child = newChild)
+}
+
+/** Physical two-child operator: both children declare
+  * `ClusteredDistribution(conv_id)` — EnsureRequirements co-partitions
+  * them with matching partition counts (and skips either exchange when
+  * that side is already hash-laid-out on conv_id) — and each is sorted by
+  * conv_id (turns secondarily by turn_idx). Execution is a streaming
+  * sorted-merge: per partition, the rules iterator is advanced in lockstep
+  * with the conversation fold, so memory stays one conversation + its
+  * rule list regardless of corpus size. No driver-side rule state exists
+  * anywhere — this is the route that survives 10^12 conversations. */
+final case class SegmentJoinExec(
+    output: Seq[Attribute],
+    lineageStats: Option[graft.pipeline.PartitionStatsAcc],
+    left: SparkPlan,
+    right: SparkPlan
+) extends BinaryExecNode {
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+
+  private def lOrd(name: String): Int = left.output.indexWhere(_.name == name)
+
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    ClusteredDistribution(Seq(left.output(lOrd("conv_id")))),
+    ClusteredDistribution(Seq(right.output.head)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(left.output(lOrd("conv_id")), Ascending),
+      SortOrder(left.output(lOrd("turn_idx")), Ascending)),
+    Seq(SortOrder(right.output.head, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (ci, ti, to, te) = (lOrd("conv_id"), lOrd("turn_idx"), lOrd("tool"), lOrd("text"))
+    val acc = lineageStats
+    val types = output.map(_.dataType).toArray
+    left.execute().zipPartitions(right.execute()) { (tIt, rIt0) =>
+      val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(types)
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var in = 0L
+      var out = 0L
+      var errs = 0L
+      for (a <- acc; tc <- Option(org.apache.spark.TaskContext.get()))
+        tc.addTaskCompletionListener[Unit](_ => a.add((pid, in, out, errs)))
+      // rules stream, sorted by conv_id (same binary UTF8String order the
+      // exchange sorted the turns with; conv ids are plain ASCII, where
+      // that order equals String order — asserted by the fold's
+      // sortedness check on the turns side)
+      val rIt = rIt0.map { row =>
+        (row.getUTF8String(0).toString, SegmentJoinExec.rowToRule(row))
+      }.buffered
+      // advance-and-collect: convs are folded in ascending order, so one
+      // forward pass over the rules stream serves every lookup
+      val rulesFor: String => Seq[Rule] = { cid =>
+        while (rIt.hasNext && rIt.head._1 < cid) rIt.next()
+        val b = Vector.newBuilder[Rule]
+        while (rIt.hasNext && rIt.head._1 == cid) b += rIt.next()._2
+        b.result()
+      }
+      val tuples = tIt.map { row =>
+        in += 1
+        (row.getUTF8String(ci).toString, row.getInt(ti),
+          row.getUTF8String(to).toString, row.getUTF8String(te).toString)
+      }
+      new Pipeline.GroupFold(tuples, rulesFor,
+        (tool, text) => {
+          val (ex, err) = Extractor.safeExtract(tool, text)
+          if (err) errs += 1
+          ex.text
+        })
+        .map { s: ConvSegment =>
+          out += 1
+          toUnsafe(new GenericInternalRow(Array[Any](
+            UTF8String.fromString(s.conv_id), s.DocReceivedId, s.FromPageNumber,
+            s.ToPageNumber, UTF8String.fromString(s.FileNumber),
+            UTF8String.fromString(s.DocumentTypeId), s.UploadDataSheetId,
+            s.TotalNumberOfpages, s.NoOfPages, UTF8String.fromString(s.Sequence),
+            UTF8String.fromString(s.SessionId)))): InternalRow
+        }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SegmentJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object SegmentJoinExec {
+  /** Decode one rules row (in [[SegmentPlans.RuleCols]] order) to the core
+    * rule — same mapping as [[Pipeline.toCoreRule]]. */
+  private[plans] def rowToRule(row: InternalRow): Rule = {
+    def s(i: Int): String = if (row.isNullAt(i)) "" else row.getUTF8String(i).toString
+    Rule(
+      documentTypeId = s(1),
+      documentTypeName = s(2),
+      startingIdentifier = s(3),
+      startingIdentifierPlus1 = s(4),
+      endingIdentifier = s(5),
+      endingIdentifierMinus1 = s(6),
+      noOfPages = if (row.isNullAt(7)) 0 else row.getInt(7),
+      occurence = if (row.isNullAt(8)) 0 else row.getInt(8),
+      startingMinusN = s(9),
+      endingMinusN = s(10),
+      sequence = Some(s(11)),
+      docReceivedId = Some(if (row.isNullAt(12)) 0L else row.getLong(12)),
+      firmFile = Some(s(13)),
+      uploadDatasheetId = Some(if (row.isNullAt(14)) 0L else row.getLong(14)),
+      sessionId = Some(s(15)))
+  }
 }

@@ -31,6 +31,7 @@ class CompactionSpec extends AnyFunSuite with SparkFixture {
     assert(store.snapshots === Seq(1L, 2L, 3L))
     val before = rows(store)
 
+    val oldData = (1L to 3L).map(store.dataLocation)
     val cid = store.compact(spark, upToInclusive = 3L)
     assert(cid === 4L)
     assert(store.snapshots === Seq(4L))
@@ -38,7 +39,7 @@ class CompactionSpec extends AnyFunSuite with SparkFixture {
     assert(rows(store) === before)
     // retired data + manifests physically gone after cleanup
     for (old <- 1L to 3L) {
-      assert(!Files.exists(Paths.get(store.root, "data", s"snap=$old")))
+      assert(!Files.exists(oldData((old - 1).toInt)))
       assert(!Files.exists(Paths.get(store.root, "_manifests", s"$old.json")))
     }
     // appends continue above the compacted id
@@ -104,10 +105,11 @@ class CompactionSpec extends AnyFunSuite with SparkFixture {
     val store = freshStore("crash")
     store.append(Seq(1L, 2L).toDF("id"))
     store.append(Seq(3L).toDF("id"))
+    val snap1Data = store.dataLocation(1L)
     // simulate the crash: manifest committed, physical cleanup never ran
     store.compact(spark, upToInclusive = 2L, cleanup = false)
     // stale files still on disk...
-    assert(Files.exists(Paths.get(store.root, "data", "snap=1")))
+    assert(Files.exists(snap1Data))
     // ...but invisible to every reader: the compacted snapshot (id 3,
     // replacing 1 and 2) is the only live prefix — no duplicates
     assert(store.snapshots === Seq(3L))
@@ -115,7 +117,7 @@ class CompactionSpec extends AnyFunSuite with SparkFixture {
     // recovery cleanup is idempotent
     store.expireRetired()
     store.expireRetired()
-    assert(!Files.exists(Paths.get(store.root, "data", "snap=1")))
+    assert(!Files.exists(snap1Data))
     assert(rows(store) === Seq(1L, 2L, 3L))
   }
 }

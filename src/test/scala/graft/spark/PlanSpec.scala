@@ -212,6 +212,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     } finally spark.sql("DROP TABLE IF EXISTS turns_b")
   }
 
+  test("two-child segment join: both sides co-partitioned, no driver rule state") {
+    // the scale form of the custom operator: rules are a CHILD PLAN under
+    // ClusteredDistribution(conv_id), so EnsureRequirements co-partitions
+    // them with the turns — one exchange per side, zero rule bytes on the
+    // driver — and the merge fold's output equals the fused path exactly
+    val n = 6L
+    val turns = SyntheticTranscripts.turns(spark, n)
+    val rules = SyntheticTranscripts.rules(spark, n)
+    val df = graft.plans.SegmentPlans.segmentJoin(turns, rules)
+    val p = formatted(df)
+    assert(shuffleCount(df) == 2, p) // one per child, both on conv_id
+    assert(p.contains("SegmentJoin"), p)
+    val got = df.collect().map(_.toString).sorted.toSeq
+    val ruleMap = rules.collect()
+      .groupBy(_.conv_id).map { case (k, v) => k -> v.toSeq.map(Pipeline.toCoreRule) }
+    val bc = spark.sparkContext.broadcast(ruleMap)
+    val want = Pipeline.segmentFused(turns, bc).toDF().collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
   test("d_redact: scan-parallel scrub — only the output-order exchange") {
     val docs = Relational.tbl(spark, Sf, "documents")
     val plan = graft.ops.DocTextOps.piiRedact(docs)

@@ -81,4 +81,24 @@ class SegmentGeneratorSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("missing") || e.getMessage.contains("DATATYPE_MISMATCH"),
       e.getMessage)
   }
+
+  test("segment_rows rejects mistyped rule fields loudly, never defaults them") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // NoOfPages as STRING — the schemaless-JSON shape that must FAIL
+    // analysis rather than silently run with noOfPages = 0
+    Seq((1, "x")).toDF("turn_idx", "text")
+      .selectExpr("array(struct(turn_idx, text)) AS turns",
+        """array(struct(
+          |  'a' AS DocumentTypeID, 's' AS StartingIdentifier,
+          |  '' AS StartingIdentifierPlus1, 'e' AS EndingIdentifier,
+          |  '' AS EndingIdentifierMinus1, '4' AS NoOfPages, 1 AS Occurence,
+          |  ' ' AS StartingMinusN, ' ' AS EndingMinusN, '1' AS Sequence)) AS rules""".stripMargin)
+      .createOrReplaceTempView("sg_mistyped")
+    val e = intercept[Exception] {
+      spark.sql("SELECT segment_rows(turns, rules) FROM sg_mistyped").collect()
+    }
+    assert(e.getMessage.contains("mistyped") || e.getMessage.contains("DATATYPE_MISMATCH"),
+      e.getMessage)
+  }
 }

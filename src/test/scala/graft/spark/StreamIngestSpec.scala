@@ -57,6 +57,46 @@ class StreamIngestSpec extends AnyFunSuite with SparkFixture {
     assert(allIds(store) === Seq(10L, 11L, 12L, 99L))
   }
 
+  test("racing writers: distinct ids, no clobber; same epoch commits exactly once") {
+    import spark.implicits._
+    import java.util.concurrent.{Callable, CountDownLatch, Executors}
+    val store = freshStore("race")
+    val pool = Executors.newFixedThreadPool(2)
+    def task[T](body: => T): Callable[T] = new Callable[T] { def call(): T = body }
+    try {
+      // two concurrent plain appends with different content: both must
+      // commit, under different ids, with both contents readable
+      val start = new CountDownLatch(1)
+      val fa = pool.submit(task { start.await(); store.append(Seq(1L, 2L).toDF("id")) })
+      val fb = pool.submit(task { start.await(); store.append(Seq(3L).toDF("id")) })
+      start.countDown()
+      val (ida, idb) = (fa.get(), fb.get())
+      assert(ida != idb)
+      assert(allIds(store) === Seq(1L, 2L, 3L))
+
+      // split-brain: two drivers replaying the SAME (appId, batchId) —
+      // exactly one publishes, whatever the interleaving
+      val start2 = new CountDownLatch(1)
+      val g1 = pool.submit(task { start2.await()
+        store.appendExactlyOnce(Seq(10L).toDF("id"), "app", 5L) })
+      val g2 = pool.submit(task { start2.await()
+        store.appendExactlyOnce(Seq(10L).toDF("id"), "app", 5L) })
+      start2.countDown()
+      val results = Seq(g1.get(), g2.get())
+      assert(results.count(_.nonEmpty) === 1, results.toString)
+      assert(allIds(store).count(_ == 10L) === 1)
+      // no orphaned stage dirs from the losing writer
+      val stages = java.nio.file.Files.list(java.nio.file.Paths.get(store.root, "data"))
+        .iterator()
+      var stageCount = 0
+      while (stages.hasNext) {
+        if (stages.next().getFileName.toString.startsWith("stage-")) stageCount += 1
+      }
+      // three committed snapshots -> three live stage dirs, none extra
+      assert(stageCount === store.snapshots.size, s"stageCount=$stageCount")
+    } finally pool.shutdown()
+  }
+
   test("the dedup mark survives compaction and upsert") {
     import spark.implicits._
     val store = freshStore("compact")

@@ -26,7 +26,8 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
     store.append(Seq((0L, "a0"), (1L, "a1")).toDF("k", "v"), statsCol = Some("k"))
     store.append(Seq((10L, "b0"), (11L, "b1")).toDF("k", "v"), statsCol = Some("k"))
     store.append(Seq((20L, "c0"), (21L, "c1")).toDF("k", "v"), statsCol = Some("k"))
-    val snap2File = Files.list(Paths.get(store.root, "data", "snap=2")).count()
+    val snap2Data = store.dataLocation(2L)
+    val snap2File = Files.list(snap2Data).count()
 
     // touches keys 10 (in snap 2) and 99 (new): snap 1 is stats-pruned
     // (range [0,1] can't intersect [10,99]); snap 3's range [20,21] does
@@ -39,9 +40,9 @@ class UpsertSpec extends AnyFunSuite with SparkFixture {
       20L -> "c0", 21L -> "c1", 99L -> "new"))
     // untouched snapshots keep their files byte-for-byte (same file count,
     // dirs still present); the rewritten one is physically gone
-    assert(Files.list(Paths.get(store.root, "data", "snap=1")).count() > 0)
-    assert(!Files.exists(Paths.get(store.root, "data", "snap=2")))
-    assert(Files.list(Paths.get(store.root, "data", "snap=3")).count() > 0)
+    assert(Files.list(store.dataLocation(1L)).count() > 0)
+    assert(!Files.exists(snap2Data))
+    assert(Files.list(store.dataLocation(3L)).count() > 0)
     assert(snap2File > 0) // sanity: it did exist before
 
     // merged snapshot carries fresh stats: [10, 99]
