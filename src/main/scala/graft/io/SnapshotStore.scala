@@ -90,8 +90,8 @@ final class SnapshotStore(val root: String) {
       meta: Map[String, String] = Map.empty,
       statsCol: Option[String] = None): Long = {
     val stage = stageWrite(df)
-    commitStaged(stage,
-      meta ++ stagedStats(df.sparkSession, stage, statsCol), () => true).get
+    val withStats = meta ++ stagedStats(df.sparkSession, stage, statsCol)
+    commitStaged(stage, () => withStats, () => true).get
   }
 
   /** Write `df` to a uniquely-named staging dir under root/data — data
@@ -115,17 +115,25 @@ final class SnapshotStore(val root: String) {
     * Returns None (stage deleted) when `decide` aborts. */
   private def commitStaged(
       stage: Path,
-      meta: Map[String, String],
+      meta: () => Map[String, String],
       decide: () => Boolean): Option[Long] = {
-    val withData = meta + ("data" -> stage.getFileName.toString)
-    while (true) {
-      // allocate above every manifest ever committed (incl. retired ones
-      // still awaiting cleanup) so ids never collide after a compaction
-      val id = manifestIds.lastOption.getOrElse(0L) + 1L
-      if (!decide()) { deleteRecursively(stage); return None }
-      if (tryCommitManifest(id, withData)) return Some(id)
+    try {
+      while (true) {
+        // allocate above every manifest ever committed (incl. retired ones
+        // still awaiting cleanup) so ids never collide after a compaction
+        val id = manifestIds.lastOption.getOrElse(0L) + 1L
+        if (!decide()) { deleteRecursively(stage); return None }
+        // meta is re-evaluated per attempt: a competing commit that forced
+        // our id collision may have advanced state the manifest must
+        // reflect (e.g. another app's ledger mark carried by a replace)
+        if (tryCommitManifest(id, meta() + ("data" -> stage.getFileName.toString)))
+          return Some(id)
+      }
+      None // unreachable
+    } catch {
+      // never leak the staged files on a failed commit path
+      case e: Throwable => deleteRecursively(stage); throw e
     }
-    None // unreachable
   }
 
   private def deleteRecursively(d: Path): Unit =
@@ -218,8 +226,18 @@ final class SnapshotStore(val root: String) {
     val merged = survivors.unionByName(updates.select(survivors.columns.map(
       org.apache.spark.sql.functions.col): _*))
     val stage = stageWrite(merged)
-    val id = commitStaged(stage, Map("replaces" -> affected.mkString(",")) ++
-      carriedTxns(affected) ++ stagedStats(spark, stage, statsCol), () => true).get
+    val stats = stagedStats(spark, stage, statsCol)
+    val id = commitStaged(stage,
+      // ledger marks carried GLOBALLY (not just from the replaced inputs):
+      // txnLastBatch scans newest-first, so a replacement manifest must
+      // dominate every older mark for every app — and re-evaluated per
+      // commit attempt so a mark committed during our id race is included
+      () => Map("replaces" -> affected.mkString(",")) ++ globalTxns ++ stats,
+      // abort rather than double-replace if a concurrent commit retired
+      // any of our inputs while we were staging
+      () => affected.forall(snapshots.contains))
+      .getOrElse(throw new IllegalStateException(
+        "upsert aborted: an input snapshot was retired by a concurrent commit"))
     if (cleanup) expireRetired()
     id
   }
@@ -330,10 +348,15 @@ final class SnapshotStore(val root: String) {
         .collect { case mm if mm.group(1) == appId => mm.group(2).toLong }
     }.nextOption()
 
-  /** Per-app max batch ids recorded across `inputs` manifests — carried
-    * into the manifest that replaces them so dedup survives cleanup. */
-  private def carriedTxns(inputs: Seq[Long]): Map[String, String] =
-    inputs.flatMap { id =>
+  /** Per-app max batch ids across EVERY manifest still on disk — carried
+    * into any replacement manifest so (a) dedup survives physical cleanup
+    * of the replaced inputs and (b) the replacement, being the newest
+    * manifest, dominates every older mark, keeping [[txnLastBatch]]'s
+    * newest-first early exit exact even when the replacement covers only a
+    * PREFIX of the table (a partial compact must not shadow a newer
+    * append's mark with an older carried one). */
+  private def globalTxns: Map[String, String] =
+    manifestIds.flatMap { id =>
       val m = manifestDir.resolve(s"$id.json")
       if (!Files.exists(m)) Nil
       else TxnRe.findAllMatchIn(
@@ -368,10 +391,9 @@ final class SnapshotStore(val root: String) {
     def fresh = !txnLastBatch(appId).exists(_ >= batchId)
     if (!fresh) return None // cheap pre-check before staging any data
     val stage = stageWrite(df)
-    commitStaged(stage,
-      Map(s"txn_$appId" -> batchId.toString) ++
-        stagedStats(df.sparkSession, stage, statsCol),
-      () => fresh)
+    val m = Map(s"txn_$appId" -> batchId.toString) ++
+      stagedStats(df.sparkSession, stage, statsCol)
+    commitStaged(stage, () => m, () => fresh)
   }
 
   /** Per-file (basename, min, max) stats recorded for snapshot `id`, if
@@ -479,10 +501,38 @@ final class SnapshotStore(val root: String) {
           "stats_max" -> inStats.flatten.map(_._3).max.toString)
       else Nil
     val id = commitStaged(stage,
-      Map("replaces" -> inputs.mkString(",")) ++ carriedTxns(inputs) ++ stats,
-      () => true).get
+      () => Map("replaces" -> inputs.mkString(",")) ++ globalTxns ++ stats,
+      () => inputs.forall(snapshots.contains))
+      .getOrElse(throw new IllegalStateException(
+        "compact aborted: an input snapshot was retired by a concurrent commit"))
     if (cleanup) expireRetired()
     id
+  }
+
+  /** Delete stage dirs referenced by NO manifest and older than
+    * `olderThanMs` — orphans from writers that crashed between staging and
+    * commit (the manifest never linked, so nothing else will ever reclaim
+    * them). The age guard keeps in-flight commits safe: a live writer's
+    * stage is always younger than the threshold. Run alongside
+    * [[expireRetired]] from the maintenance job. Returns the number of
+    * orphans removed. */
+  def expireOrphanStages(olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.exists(dataRoot)) return 0
+    val referenced = manifestIds.map(id => dataPathOf(id).getFileName.toString).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val candidates = Vector.newBuilder[Path]
+    val it = Files.list(dataRoot).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      val name = p.getFileName.toString
+      if (name.startsWith("stage-") && !referenced.contains(name) &&
+        Files.getLastModifiedTime(p).toMillis < cutoff)
+        candidates += p
+    }
+    val orphans = candidates.result()
+    orphans.foreach(deleteRecursively)
+    orphans.size
   }
 
   /** Delete data + manifests of compaction-retired snapshots. Idempotent,

@@ -51,15 +51,6 @@ object Dedup {
   def permA(k: Int): Long = ((2L * k + 1L) * 2654435761L) % P
   def permB(k: Int): Long = ((k + 1L) * 40503L * 65537L) % P
 
-  /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard over
-    * distinct 3-shingles. Emits (doc_a, doc_b, n_shared_bands, jaccard_ppm)
-    * for candidate pairs with Jaccard ≥ `thresholdPpm`. Jaccard is reported
-    * in exact integer parts-per-million: inter * 1e6 / union.
-    *
-    * Verification joins the (few) LSH candidates back to per-doc shingle
-    * SETS and intersects arrays — O(candidates × shingles-per-doc), never
-    * the full shingle×shingle join (that shape lives in [[ngramJaccard]]
-    * where all-pairs output is the actual ask). */
   /** Per-doc distinct 3-shingle sets (docs with ≥3 tokens). */
   private def shingleSetsOf(documents: DataFrame): DataFrame =
     documents
@@ -90,6 +81,15 @@ object Dedup {
       .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
   }
 
+  /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard over
+    * distinct 3-shingles. Emits (doc_a, doc_b, n_shared_bands, jaccard_ppm)
+    * for candidate pairs with Jaccard ≥ `thresholdPpm`. Jaccard is reported
+    * in exact integer parts-per-million: inter * 1e6 / union.
+    *
+    * Verification joins the (few) LSH candidates back to per-doc shingle
+    * SETS and intersects arrays — O(candidates × shingles-per-doc), never
+    * the full shingle×shingle join (that shape lives in [[ngramJaccard]]
+    * where all-pairs output is the actual ask). */
   def minhashLsh(documents: DataFrame, thresholdPpm: Long = 500000L): DataFrame = {
     val shingleSets = shingleSetsOf(documents)
     val banded = bandedOf(shingleSets)
@@ -109,6 +109,10 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Default delta split for the registered `d_incr_dedup` query —
+    * referenced by the DuckDB oracle so the two cannot drift. */
+  val DefaultDeltaMod = 3L
+
   /** Incremental near-duplicate ADMISSION — the shape that matters when a
     * 100 TB corpus grows by daily crawl batches: the new DELTA
     * (`doc_id % deltaMod = deltaMod-1` here — the stand-in for "today's
@@ -126,10 +130,6 @@ object Dedup {
     * `dup_of` reports the smallest matching partner. Candidates without a
     * shared shingle verify at Jaccard 0 — counted as probed, never as
     * dups. */
-  /** Default delta split for the registered `d_incr_dedup` query —
-    * referenced by the DuckDB oracle so the two cannot drift. */
-  val DefaultDeltaMod = 3L
-
   def incrementalMinhash(documents: DataFrame, thresholdPpm: Long = 500000L,
                          deltaMod: Long = DefaultDeltaMod): DataFrame = {
     val d = deltaMod - 1

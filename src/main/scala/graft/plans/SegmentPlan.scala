@@ -227,10 +227,16 @@ final case class SegmentJoinExec(
     ClusteredDistribution(Seq(left.output(lOrd("conv_id")))),
     ClusteredDistribution(Seq(right.output.head)))
 
+  // rules side: conv_id first, then EVERY remaining rule column — a total
+  // deterministic order, so two rules tying on Sequence fold in the same
+  // order on every run and route. (With unique Sequence values per
+  // conversation — the reference corpus's contract — the tie-break is
+  // inert and all routes agree with the reference's stable payload-order
+  // sort; a shuffled table has no payload order to preserve.)
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(left.output(lOrd("conv_id")), Ascending),
       SortOrder(left.output(lOrd("turn_idx")), Ascending)),
-    Seq(SortOrder(right.output.head, Ascending)))
+    right.output.map(a => SortOrder(a, Ascending)))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val (ci, ti, to, te) = (lOrd("conv_id"), lOrd("turn_idx"), lOrd("tool"), lOrd("text"))
@@ -244,19 +250,21 @@ final case class SegmentJoinExec(
       var errs = 0L
       for (a <- acc; tc <- Option(org.apache.spark.TaskContext.get()))
         tc.addTaskCompletionListener[Unit](_ => a.add((pid, in, out, errs)))
-      // rules stream, sorted by conv_id (same binary UTF8String order the
-      // exchange sorted the turns with; conv ids are plain ASCII, where
-      // that order equals String order — asserted by the fold's
-      // sortedness check on the turns side)
+      // rules stream keyed by UTF8String so the merge compares in the SAME
+      // binary order the exchanges sorted both sides with (Java String
+      // comparison diverges from UTF-8 byte order for supplementary-plane
+      // ids — a silent rules-cursor misalignment, not an error). Keys are
+      // cloned out of the reused row buffer.
       val rIt = rIt0.map { row =>
-        (row.getUTF8String(0).toString, SegmentJoinExec.rowToRule(row))
+        (row.getUTF8String(0).clone(), SegmentJoinExec.rowToRule(row))
       }.buffered
       // advance-and-collect: convs are folded in ascending order, so one
       // forward pass over the rules stream serves every lookup
       val rulesFor: String => Seq[Rule] = { cid =>
-        while (rIt.hasNext && rIt.head._1 < cid) rIt.next()
+        val ck = UTF8String.fromString(cid)
+        while (rIt.hasNext && rIt.head._1.compareTo(ck) < 0) rIt.next()
         val b = Vector.newBuilder[Rule]
-        while (rIt.hasNext && rIt.head._1 == cid) b += rIt.next()._2
+        while (rIt.hasNext && rIt.head._1.compareTo(ck) == 0) b += rIt.next()._2
         b.result()
       }
       val tuples = tIt.map { row =>
