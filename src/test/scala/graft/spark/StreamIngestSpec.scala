@@ -97,6 +97,42 @@ class StreamIngestSpec extends AnyFunSuite with SparkFixture {
     } finally pool.shutdown()
   }
 
+  test("a partial compact cannot shadow a newer ledger mark") {
+    import spark.implicits._
+    val store = freshStore("shadow")
+    assert(store.appendExactlyOnce(Seq(1L).toDF("id"), "app", 1L).nonEmpty) // snap 1
+    store.append(Seq(2L).toDF("id")) // snap 2
+    assert(store.appendExactlyOnce(Seq(3L).toDF("id"), "app", 5L).nonEmpty) // snap 3
+    // compact only the {1,2} prefix: its replacement manifest is now the
+    // NEWEST manifest, and must carry app's GLOBAL max (5), not the max of
+    // its own inputs (1) — otherwise a replay of batch 5 would readmit
+    store.compact(spark, upToInclusive = 2L)
+    assert(store.txnLastBatch("app") === Some(5L))
+    assert(store.appendExactlyOnce(Seq(3L).toDF("id"), "app", 5L).isEmpty)
+    assert(allIds(store) === Seq(1L, 2L, 3L))
+  }
+
+  test("orphaned stage dirs are reclaimed by the age-guarded GC") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val store = freshStore("orphan")
+    store.append(Seq(1L).toDF("id"))
+    // a crashed writer's leftover: staged, never committed, old mtime
+    val orphan = Paths.get(store.root, "data", "stage-dead-writer")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 100000))
+    // a FRESH unreferenced stage simulates an in-flight writer: kept
+    val inflight = Paths.get(store.root, "data", "stage-in-flight")
+    Files.createDirectories(inflight)
+    assert(store.expireOrphanStages(olderThanMs = 50000) === 1)
+    assert(!Files.exists(orphan))
+    assert(Files.exists(inflight))
+    assert(Files.exists(store.dataLocation(1L))) // committed data untouched
+    assert(allIds(store) === Seq(1L))
+  }
+
   test("the dedup mark survives compaction and upsert") {
     import spark.implicits._
     val store = freshStore("compact")
