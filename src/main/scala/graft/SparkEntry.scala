@@ -81,6 +81,8 @@ object SparkEntry {
     "d_cms_freq" -> ((s, d) => DocTextOps.cmsFreq(docs(s, d))),
     "d_hist_quantiles" -> ((s, d) => DocTextOps.histQuantiles(docs(s, d))),
     "d_incr_view" -> ((s, d) => Incremental.incrementalView(docs(s, d))),
+    "d_chunk" -> ((s, d) => DocTextOps.chunk(docs(s, d))),
+    "d_pack" -> ((s, d) => DocTextOps.packSequences(docs(s, d))),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
@@ -931,6 +933,29 @@ object SparkEntry {
          |  (min(cells.v) - pc.n_exact) * 1000000 // pc.n_exact AS overest_ppm
          |FROM pc JOIN cells ON pc.r = cells.r AND pc.c = cells.c
          |GROUP BY 1, 2 ORDER BY 2 DESC, 1""".stripMargin,
+    "d_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 1),
+        |n AS (SELECT doc_id, ws, len(ws)::BIGINT AS t,
+        |        CASE WHEN len(ws) <= 16 THEN 1
+        |             ELSE (len(ws) - 16 + 11) // 12 + 1 END::BIGINT AS n_chunks
+        |      FROM d),
+        |e AS (SELECT doc_id, ws, t, n_chunks, unnest(range(0, n_chunks))::BIGINT AS chunk_idx FROM n)
+        |SELECT doc_id, chunk_idx, n_chunks,
+        |  chunk_idx * 12 AS tok_start,
+        |  least(t, chunk_idx * 12 + 16) AS tok_end,
+        |  array_to_string(ws[(chunk_idx * 12 + 1):least(t, chunk_idx * 12 + 16)], ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "d_pack" ->
+      """WITH d AS (SELECT doc_id::BIGINT AS doc_id,
+        |             len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        COALESCE(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+        |      FROM d)
+        |SELECT doc_id, n_tokens, cum_before // 2048 AS pack_id,
+        |  cum_before % 2048 AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     "d_incr_view" ->
       """SELECT lang, source, count(*)::BIGINT AS n_docs,
         |  sum(n_chars)::BIGINT AS n_chars_sum,

@@ -413,6 +413,77 @@ object DocTextOps {
         "array_max(hh) AS fp_shingle_max"
       ).orderBy("doc_id")
 
+  /** Fixed-token-window chunking with overlap — the retrieval/pretraining
+    * prep step that splits long documents into `window`-token pieces every
+    * `stride` tokens, each carrying its provenance span (token offsets
+    * into the source doc). Pure per-row explode arithmetic: no shuffle at
+    * all beyond the deterministic output ordering — chunking 100 TB is a
+    * map-only pass. Short docs yield exactly one chunk; the last chunk is
+    * truncated, never padded (`tok_end` marks the real extent). */
+  def chunk(documents: DataFrame, window: Int = 16, stride: Int = 12): DataFrame = {
+    require(stride >= 1 && window >= stride,
+      s"chunk: need window >= stride >= 1, got window=$window stride=$stride")
+    documents
+      .where("size(split(text, ' ')) >= 1")
+      .selectExpr("doc_id", s"${Shingles.ws} AS ws")
+      .selectExpr("doc_id", "ws", "CAST(size(ws) AS BIGINT) AS t")
+      .selectExpr("doc_id", "ws", "t",
+        s"IF(t <= $window, CAST(1 AS BIGINT), (t - $window + $stride - 1) DIV $stride + 1) AS n_chunks")
+      .selectExpr("doc_id", "ws", "t", "n_chunks",
+        "explode(sequence(CAST(0 AS BIGINT), n_chunks - 1)) AS chunk_idx")
+      .selectExpr("doc_id", "chunk_idx", "n_chunks",
+        s"chunk_idx * $stride AS tok_start",
+        s"least(t, chunk_idx * $stride + $window) AS tok_end",
+        s"concat_ws(' ', slice(ws, CAST(chunk_idx * $stride + 1 AS INT), " +
+          s"CAST(least(t, chunk_idx * $stride + $window) - chunk_idx * $stride AS INT))) AS chunk_text")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Sequence PACKING — assign documents to fixed-token-budget training
+    * sequences by a deterministic shelf rule: docs sorted by
+    * (n_tokens DESC, doc_id), running token total, pack = the `budget`
+    * shelf the doc's first token lands on. The interesting part at scale
+    * is the RUNNING TOTAL: a global window is one task at 10^12 docs, so
+    * it runs as a DISTRIBUTED PREFIX SUM — range-repartition + in-partition
+    * sort (a parallel sort), one tiny job for per-partition token totals
+    * (P values to the driver), then each partition streams its rows adding
+    * its broadcast offset. Same two-pass shape as `q13_quantiles`' rank;
+    * the DuckDB oracle replays it as the plain cumulative window it is
+    * semantically. */
+  def packSequences(documents: DataFrame, budget: Long = 2048L): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val p = spark.sessionState.conf.numShufflePartitions
+    val parts = documents
+      .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+        "CAST(doc_id AS BIGINT) AS doc_id")
+      .repartitionByRange(p, col("n_tokens").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("n_tokens").desc, col("doc_id").asc)
+      .persist()
+    try {
+      val partSums = parts.rdd
+        .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.map(_.getLong(0)).sum)))
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pid) = tokens before pid
+      val packed = parts.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var running = offsets(pid)
+        it.map { r =>
+          val t = r.getLong(0)
+          val before = running
+          running += t
+          (r.getLong(1), t, before / budget, before % budget)
+        }
+      }
+      // materialize the result so the cached sort can be released; output
+      // is one row per doc — same size as the input's key projection
+      val out = spark.createDataset(packed)
+        .toDF("doc_id", "n_tokens", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+      out
+    } finally { parts.unpersist(blocking = false); () }
+  }
+
   /** One-pass MERGEABLE histogram quantile sketch over `n_chars` — the
     * approximate counterpart to the exact two-pass rank in `q13_quantiles`,
     * and the third mergeable sketch next to [[kmvDistinct]] (distincts) and

@@ -232,6 +232,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(got == want)
   }
 
+  test("segment join aligns rules for conv ids where UTF-8 and UTF-16 orders differ") {
+    // "conv-😀" (supplementary plane: UTF-16 surrogates sort BELOW U+E000,
+    // UTF-8 bytes sort ABOVE it) vs "conv-x": a String-comparison
+    // merge cursor would misalign on exactly this pair and silently drop
+    // one conversation's rules
+    import spark.implicits._
+    val idA = "conv-😀" // 😀
+    val idB = "conv-x"
+    assert(idA.compareTo(idB) < 0) // UTF-16 order...
+    assert(org.apache.spark.unsafe.types.UTF8String.fromString(idA)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(idB)) > 0) // ...reversed in UTF-8
+    val ts = new java.sql.Timestamp(0L)
+    val turns = Seq(idA, idB).flatMap { cid =>
+      Seq(graft.schema.Turn(cid, 1, "user", "alpha START here", "", ts),
+        graft.schema.Turn(cid, 2, "user", "middle content", "", ts),
+        graft.schema.Turn(cid, 3, "user", "the END marker", "", ts))
+    }.toDS()
+    val rules = Seq(idA, idB).map { cid =>
+      graft.schema.ConvRule(cid, s"DT-$cid", "t", "START", " ", "END", " ",
+        0, 1, " ", " ", "1", 7L, "ff", 9L, "s")
+    }.toDS()
+    val got = graft.plans.SegmentPlans.segmentJoin(turns, rules)
+      .collect().map(r => r.getString(0) -> (r.getInt(2), r.getInt(3))).toMap
+    // both conversations found their rule: pages 1..3 claimed
+    assert(got === Map(idA -> ((1, 3)), idB -> ((1, 3))), got.toString)
+  }
+
   test("d_redact: scan-parallel scrub — only the output-order exchange") {
     val docs = Relational.tbl(spark, Sf, "documents")
     val plan = graft.ops.DocTextOps.piiRedact(docs)
