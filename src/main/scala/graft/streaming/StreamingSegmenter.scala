@@ -117,4 +117,15 @@ object StreamingSegmenter {
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Stream-static enrichment join — the standard dimension-lookup shape:
+    * each micro-batch broadcast-joins against the static dimension table,
+    * statelessly (no watermark, no state store — the static side is
+    * re-resolvable per batch, which is also how dimension UPDATES become
+    * visible between batches on a real table source). Left join: events
+    * with no dimension row pass through with NULLs rather than silently
+    * disappearing from the stream. */
+  def enrich(events: Dataset[StreamEvent],
+             dim: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events.toDF().join(broadcast(dim), Seq("event_type"), "left")
 }

@@ -259,6 +259,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(got === Map(idA -> ((1, 3)), idB -> ((1, 3))), got.toString)
   }
 
+  test("d_chunk is map-only: explode rides the scan, no join, no aggregate") {
+    val docs = Relational.tbl(spark, Sf, "documents")
+    val plan = graft.ops.DocTextOps.chunk(docs)
+    // only the deterministic output-order range exchange; chunking itself
+    // never shuffles — at 100 TB it is a pure map pass
+    assert(shuffleCount(plan) === 1, formatted(plan))
+    val p = formatted(plan)
+    assert(!p.contains("Join"), "chunking must not plan a join")
+    assert(!p.contains("HashAggregate"), "chunking must not plan an aggregate")
+  }
+
   test("d_redact: scan-parallel scrub — only the output-order exchange") {
     val docs = Relational.tbl(spark, Sf, "documents")
     val plan = graft.ops.DocTextOps.piiRedact(docs)

@@ -175,4 +175,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed == batch, s"streaming $streamed != batch $batch")
   }
 
+  test("stream-static enrichment join: broadcast per micro-batch, unmatched rows survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSegmenter.StreamEvent
+    val dim = Seq(("view", "read"), ("click", "interact")).toDF("event_type", "category")
+    val input = MemoryStream[StreamEvent]
+    val out = StreamingSegmenter.enrich(input.toDS(), dim)
+    val query = out.writeStream.format("memory").queryName("stream_enrich")
+      .outputMode("append").start()
+    input.addData(
+      StreamEvent("view", new Timestamp(1000L)),
+      StreamEvent("click", new Timestamp(2000L)),
+      StreamEvent("mystery", new Timestamp(3000L)))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("stream_enrich")
+      .collect().map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(got === Map(
+      "view" -> Some("read"), "click" -> Some("interact"), "mystery" -> None))
+    // the static side carries the broadcast hint — no shuffle of the stream
+    val hinted = StreamingSegmenter.enrich(input.toDS(), dim)
+      .queryExecution.analyzed.toString
+    assert(hinted.contains("ResolvedHint"), hinted)
+  }
+
 }
