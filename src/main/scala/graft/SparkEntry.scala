@@ -948,7 +948,7 @@ object SparkEntry {
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     "d_pack" ->
       """WITH d AS (SELECT doc_id::BIGINT AS doc_id,
-        |             len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |             COALESCE(len(string_split(text, ' ')), 0)::BIGINT AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens,
         |        COALESCE(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before

@@ -32,13 +32,16 @@ final class SnapshotStore(val root: String) {
     val d = manifestDir
     if (!Files.exists(d)) Nil
     else {
-      val it = Files.list(d).iterator()
-      val out = Vector.newBuilder[Long]
-      while (it.hasNext) {
-        val name = it.next().getFileName.toString
-        if (name.endsWith(".json")) out += name.stripSuffix(".json").toLong
-      }
-      out.result().sorted
+      val stream = Files.list(d)
+      try {
+        val it = stream.iterator()
+        val out = Vector.newBuilder[Long]
+        while (it.hasNext) {
+          val name = it.next().getFileName.toString
+          if (name.endsWith(".json")) out += name.stripSuffix(".json").toLong
+        }
+        out.result().sorted
+      } finally stream.close()
     }
   }
 
@@ -225,6 +228,7 @@ final class SnapshotStore(val root: String) {
       .join(keys, Seq(keyCol), "left_anti")
     val merged = survivors.unionByName(updates.select(survivors.columns.map(
       org.apache.spark.sql.functions.col): _*))
+    val liveAtPlan = live.toSet
     val stage = stageWrite(merged)
     val stats = stagedStats(spark, stage, statsCol)
     val id = commitStaged(stage,
@@ -233,11 +237,14 @@ final class SnapshotStore(val root: String) {
       // dominate every older mark for every app — and re-evaluated per
       // commit attempt so a mark committed during our id race is included
       () => Map("replaces" -> affected.mkString(",")) ++ globalTxns ++ stats,
-      // abort rather than double-replace if a concurrent commit retired
-      // any of our inputs while we were staging
-      () => affected.forall(snapshots.contains))
+      // abort if the LIVE SET changed at all since planning: a retired
+      // input means double-replace, and a concurrent APPEND may have
+      // landed rows with matching keys that this rewrite would silently
+      // leave duplicated (write skew) — Iceberg's conflicting-data-files
+      // validation, taken conservatively
+      () => snapshots.toSet == liveAtPlan)
       .getOrElse(throw new IllegalStateException(
-        "upsert aborted: an input snapshot was retired by a concurrent commit"))
+        "upsert aborted: the table changed under a concurrent commit; retry the upsert"))
     if (cleanup) expireRetired()
     id
   }
@@ -249,6 +256,15 @@ final class SnapshotStore(val root: String) {
     * on a lost race; the caller re-reads state and retries under the next
     * id. */
   private def tryCommitManifest(id: Long, meta: Map[String, String]): Boolean = {
+    // guard against a maintenance GC having reclaimed our stage while the
+    // stats job / commit retries ran (the age floor in expireOrphanStages
+    // makes this practically impossible; this check makes it loud, never
+    // a committed manifest pointing at deleted data)
+    meta.get("data").foreach { d =>
+      val stage = Paths.get(root, "data", d)
+      require(Files.exists(stage),
+        s"commit aborted: staged data $stage disappeared (orphan GC raced an in-flight commit?)")
+    }
     Files.createDirectories(manifestDir)
     val json = {
       val kv = (meta ++ Map("snapshot_id" -> id.toString, "rows" -> "")).map {
@@ -260,7 +276,11 @@ final class SnapshotStore(val root: String) {
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     try { Files.createLink(manifestDir.resolve(s"$id.json"), tmp); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    finally { Files.deleteIfExists(tmp); () }
+    finally {
+      // tmp cleanup failure is benign and must NEVER surface after the
+      // link committed — commitStaged's catch would delete live data
+      try { Files.deleteIfExists(tmp); () } catch { case _: Exception => () }
+    }
   }
 
   /** Data location for snapshot `id`: the staging dir its manifest points
@@ -517,19 +537,25 @@ final class SnapshotStore(val root: String) {
     * [[expireRetired]] from the maintenance job. Returns the number of
     * orphans removed. */
   def expireOrphanStages(olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    require(olderThanMs >= 3600L * 1000,
+      s"expireOrphanStages: age threshold must be >= 1h (got ${olderThanMs}ms) — " +
+        "a shorter window could reclaim the stage of an in-flight commit")
     val dataRoot = Paths.get(root, "data")
     if (!Files.exists(dataRoot)) return 0
     val referenced = manifestIds.map(id => dataPathOf(id).getFileName.toString).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val candidates = Vector.newBuilder[Path]
-    val it = Files.list(dataRoot).iterator()
-    while (it.hasNext) {
-      val p = it.next()
-      val name = p.getFileName.toString
-      if (name.startsWith("stage-") && !referenced.contains(name) &&
-        Files.getLastModifiedTime(p).toMillis < cutoff)
-        candidates += p
-    }
+    val stream = Files.list(dataRoot)
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name.startsWith("stage-") && !referenced.contains(name) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff)
+          candidates += p
+      }
+    } finally stream.close()
     val orphans = candidates.result()
     orphans.foreach(deleteRecursively)
     orphans.size

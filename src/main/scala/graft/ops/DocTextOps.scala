@@ -449,39 +449,39 @@ object DocTextOps {
     * (P values to the driver), then each partition streams its rows adding
     * its broadcast offset. Same two-pass shape as `q13_quantiles`' rank;
     * the DuckDB oracle replays it as the plain cumulative window it is
-    * semantically. */
+    * semantically.
+    *
+    * No cache, no checkpoint: the range sample seed and the total sort key
+    * (n_tokens DESC, doc_id) are deterministic, so the offsets pass and
+    * the (lazy) result pass see IDENTICAL partitions even when computed
+    * independently — the result neither pins executor storage nor breaks
+    * on executor loss, at the price of sorting twice (the standard
+    * distributed prefix-sum trade). NULL text packs as 0 tokens. */
   def packSequences(documents: DataFrame, budget: Long = 2048L): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val p = spark.sessionState.conf.numShufflePartitions
-    val parts = documents
-      .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+    def parts = documents
+      .selectExpr("CAST(coalesce(size(split(text, ' ')), 0) AS BIGINT) AS n_tokens",
         "CAST(doc_id AS BIGINT) AS doc_id")
       .repartitionByRange(p, col("n_tokens").desc, col("doc_id").asc)
       .sortWithinPartitions(col("n_tokens").desc, col("doc_id").asc)
-      .persist()
-    try {
-      val partSums = parts.rdd
-        .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.map(_.getLong(0)).sum)))
-        .collect().sortBy(_._1).map(_._2)
-      val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pid) = tokens before pid
-      val packed = parts.rdd.mapPartitionsWithIndex { (pid, it) =>
-        var running = offsets(pid)
-        it.map { r =>
-          val t = r.getLong(0)
-          val before = running
-          running += t
-          (r.getLong(1), t, before / budget, before % budget)
-        }
+    val partSums = parts.rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.map(_.getLong(0)).sum)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pid) = tokens before pid
+    val packed = parts.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var running = offsets(pid)
+      it.map { r =>
+        val t = r.getLong(0)
+        val before = running
+        running += t
+        (r.getLong(1), t, before / budget, before % budget)
       }
-      // materialize the result so the cached sort can be released; output
-      // is one row per doc — same size as the input's key projection
-      val out = spark.createDataset(packed)
-        .toDF("doc_id", "n_tokens", "pack_id", "pack_offset")
-        .orderBy("doc_id")
-        .localCheckpoint(true)
-      out
-    } finally { parts.unpersist(blocking = false); () }
+    }
+    spark.createDataset(packed)
+      .toDF("doc_id", "n_tokens", "pack_id", "pack_offset")
+      .orderBy("doc_id")
   }
 
   /** One-pass MERGEABLE histogram quantile sketch over `n_chars` — the

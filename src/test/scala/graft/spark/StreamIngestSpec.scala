@@ -122,11 +122,12 @@ class StreamIngestSpec extends AnyFunSuite with SparkFixture {
     Files.createDirectories(orphan)
     Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
     Files.setLastModifiedTime(orphan,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 100000))
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 8000000L))
     // a FRESH unreferenced stage simulates an in-flight writer: kept
     val inflight = Paths.get(store.root, "data", "stage-in-flight")
     Files.createDirectories(inflight)
-    assert(store.expireOrphanStages(olderThanMs = 50000) === 1)
+    intercept[IllegalArgumentException](store.expireOrphanStages(olderThanMs = 50000))
+    assert(store.expireOrphanStages(olderThanMs = 3600000L) === 1)
     assert(!Files.exists(orphan))
     assert(Files.exists(inflight))
     assert(Files.exists(store.dataLocation(1L))) // committed data untouched
