@@ -484,6 +484,52 @@ object DocTextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus MIXING — the data-mixture step of a pretraining build: given
+    * target token SHARES per source (ppm, summing to ≤ 1e6), compute each
+    * source's deterministic downsampling rate so the sampled mixture hits
+    * the target proportions, capped at keeping everything (a source short
+    * of its target is taken whole — this op never upsamples; epoch
+    * weighting handles deficits downstream).
+    *
+    * rate_ppm(source) = min(1e6, target_ppm · T / tokens(source)), where
+    * T is the largest total such that no source exceeds its supply — here
+    * the standard one-step approximation T = corpus total, with the cap
+    * making it safe. Membership is the same hash-bucket rule as
+    * [[stratifiedSample]]: `h32(doc_id) % 1e6 < rate_ppm` — reproducible
+    * in isolation for any doc, any engine, any partitioning. Shape: one
+    * aggregation per source (a handful of rows), broadcast back over the
+    * scan — the corpus itself is never shuffled. */
+  def mixCorpus(documents: DataFrame, targetPpm: Map[String, Long] = Map(
+      "src0" -> 300000L, "src1" -> 250000L, "src2" -> 200000L,
+      "src3" -> 150000L, "src4" -> 100000L)): DataFrame = {
+    val spark = documents.sparkSession
+    val toks = documents.selectExpr("doc_id", "source",
+      "CAST(coalesce(size(split(text, ' ')), 0) AS BIGINT) AS n_tokens")
+    val bySource = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_total"))
+    val targetExpr = targetPpm.foldLeft("CAST(0 AS BIGINT)") {
+      case (acc, (s, t)) => s"IF(source = '$s', CAST($t AS BIGINT), $acc)"
+    }
+    val total = bySource.agg(sum("tokens_total").as("corpus_tokens"))
+    val rates = bySource.crossJoin(broadcast(total))
+      .withColumn("target_ppm", expr(targetExpr))
+      .withColumn("rate_ppm", expr(
+        "least(CAST(1000000 AS BIGINT), target_ppm * corpus_tokens DIV greatest(tokens_total, 1))"))
+    val sampled = toks
+      .join(broadcast(rates.select("source", "rate_ppm")), "source")
+      .where(expr(s"${Shingles.h32("CAST(doc_id AS STRING)")} % 1000000 < rate_ppm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_sampled"), sum("n_tokens").as("tokens_sampled"))
+    rates
+      .join(sampled, Seq("source"), "left")
+      .selectExpr("source", "n_docs", "tokens_total", "target_ppm", "rate_ppm",
+        "CAST(coalesce(n_docs_sampled, 0) AS BIGINT) AS n_docs_sampled",
+        "CAST(coalesce(tokens_sampled, 0) AS BIGINT) AS tokens_sampled",
+        // achieved share of the SAMPLED mixture, for judging the fit
+        "coalesce(tokens_sampled, 0) * 1000000 DIV greatest(sum(coalesce(tokens_sampled, 0)) OVER (), 1) AS achieved_ppm")
+      .orderBy("source")
+  }
+
   /** One-pass MERGEABLE histogram quantile sketch over `n_chars` — the
     * approximate counterpart to the exact two-pass rank in `q13_quantiles`,
     * and the third mergeable sketch next to [[kmvDistinct]] (distincts) and
