@@ -957,33 +957,37 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, cum_before // 2048 AS pack_id,
         |  cum_before % 2048 AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
-    "d_mix" ->
+    "d_mix" -> {
+      // one copy of the target table, shared with the Spark-side default
+      val cases = graft.ops.DocTextOps.DefaultMixTargets.toSeq.sorted
+        .map { case (src, t) => s"WHEN '$src' THEN $t" }.mkString(" ")
       s"""WITH toks AS (SELECT doc_id, source,
          |         COALESCE(len(string_split(text, ' ')), 0)::BIGINT AS n_tokens FROM documents),
          |bysrc AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS tokens_total
          |          FROM toks GROUP BY 1),
          |tot AS (SELECT sum(tokens_total)::BIGINT AS corpus_tokens FROM bysrc),
          |rates AS (SELECT source, n_docs, tokens_total,
-         |    CASE source WHEN 'src0' THEN 300000 WHEN 'src1' THEN 250000
-         |      WHEN 'src2' THEN 200000 WHEN 'src3' THEN 150000
-         |      WHEN 'src4' THEN 100000 ELSE 0 END::BIGINT AS target_ppm,
-         |    least(1000000, (CASE source WHEN 'src0' THEN 300000 WHEN 'src1' THEN 250000
-         |      WHEN 'src2' THEN 200000 WHEN 'src3' THEN 150000
-         |      WHEN 'src4' THEN 100000 ELSE 0 END::BIGINT) * corpus_tokens
-         |      // greatest(tokens_total, 1)) AS rate_ppm
+         |    (CASE source $cases ELSE 0 END)::BIGINT AS target_ppm,
+         |    least(1000000,
+         |      target_ppm * least(corpus_tokens // greatest(tokens_total, 1), 1000000)
+         |      + target_ppm * (corpus_tokens % greatest(tokens_total, 1))
+         |          // greatest(tokens_total, 1)) AS rate_ppm
          |  FROM bysrc, tot),
          |samp AS (SELECT t.source, count(*)::BIGINT AS n_docs_sampled,
          |    sum(t.n_tokens)::BIGINT AS tokens_sampled
          |  FROM toks t JOIN rates r ON t.source = r.source
          |  WHERE ${dh32("CAST(t.doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm
-         |  GROUP BY 1)
-         |SELECT r.source, r.n_docs, r.tokens_total, r.target_ppm, r.rate_ppm,
-         |  COALESCE(s.n_docs_sampled, 0)::BIGINT AS n_docs_sampled,
-         |  COALESCE(s.tokens_sampled, 0)::BIGINT AS tokens_sampled,
-         |  COALESCE(s.tokens_sampled, 0) * 1000000
-         |    // greatest(sum(COALESCE(s.tokens_sampled, 0)) OVER (), 1) AS achieved_ppm
-         |FROM rates r LEFT JOIN samp s ON r.source = s.source
-         |ORDER BY r.source""".stripMargin,
+         |  GROUP BY 1),
+         |j AS (SELECT r.source, r.n_docs, r.tokens_total, r.target_ppm, r.rate_ppm,
+         |    COALESCE(s.n_docs_sampled, 0)::BIGINT AS n_docs_sampled,
+         |    COALESCE(s.tokens_sampled, 0)::BIGINT AS tokens_sampled
+         |  FROM rates r LEFT JOIN samp s ON r.source = s.source),
+         |w AS (SELECT *, greatest(sum(tokens_sampled) OVER (), 1)::BIGINT AS ts_all FROM j)
+         |SELECT source, n_docs, tokens_total, target_ppm, rate_ppm,
+         |  n_docs_sampled, tokens_sampled,
+         |  (tokens_sampled // ts_all) * 1000000 + (tokens_sampled % ts_all) * 1000000 // ts_all AS achieved_ppm
+         |FROM w ORDER BY source""".stripMargin
+    },
     "d_incr_view" ->
       """SELECT lang, source, count(*)::BIGINT AS n_docs,
         |  sum(n_chars)::BIGINT AS n_chars_sum,

@@ -128,7 +128,7 @@ object DocTextOps {
   def stratifiedSample(documents: DataFrame, rates: Map[String, Int] = Map(
       "en" -> 50, "de" -> 80, "es" -> 80, "fr" -> 80)): DataFrame = {
     val rateExpr = rates.foldLeft("10") { case (acc, (l, r)) =>
-      s"IF(lang = '$l', $r, $acc)"
+      s"IF(lang = '${l.replace("'", "''")}', $r, $acc)"
     }
     documents
       .selectExpr("doc_id", "lang",
@@ -498,23 +498,40 @@ object DocTextOps {
     * [[stratifiedSample]]: `h32(doc_id) % 1e6 < rate_ppm` — reproducible
     * in isolation for any doc, any engine, any partitioning. Shape: one
     * aggregation per source (a handful of rows), broadcast back over the
-    * scan — the corpus itself is never shuffled. */
-  def mixCorpus(documents: DataFrame, targetPpm: Map[String, Long] = Map(
-      "src0" -> 300000L, "src1" -> 250000L, "src2" -> 200000L,
-      "src3" -> 150000L, "src4" -> 100000L)): DataFrame = {
-    val spark = documents.sparkSession
+    * scan — the corpus itself is never shuffled.
+    *
+    * The default targets deliberately mix a SATURATED source (rate capped
+    * at 1e6 — taken whole) with genuinely fractional rates, so the
+    * oracle exercises the fractional membership rule, not just the cap. */
+  val DefaultMixTargets: Map[String, Long] = Map(
+    "src0" -> 300000L, "src1" -> 40000L, "src2" -> 25000L,
+    "src3" -> 10000L, "src4" -> 2500L)
+
+  def mixCorpus(documents: DataFrame,
+                targetPpm: Map[String, Long] = DefaultMixTargets): DataFrame = {
+    require(targetPpm.values.forall(t => t >= 0 && t <= 1000000L),
+      "mixCorpus: target shares must be in [0, 1e6] ppm")
     val toks = documents.selectExpr("doc_id", "source",
       "CAST(coalesce(size(split(text, ' ')), 0) AS BIGINT) AS n_tokens")
     val bySource = toks.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_total"))
     val targetExpr = targetPpm.foldLeft("CAST(0 AS BIGINT)") {
-      case (acc, (s, t)) => s"IF(source = '$s', CAST($t AS BIGINT), $acc)"
+      case (acc, (src, t)) =>
+        s"IF(source = '${src.replace("'", "''")}', CAST($t AS BIGINT), $acc)"
     }
     val total = bySource.agg(sum("tokens_total").as("corpus_tokens"))
     val rates = bySource.crossJoin(broadcast(total))
       .withColumn("target_ppm", expr(targetExpr))
+      // floor(t·C/T) by divmod so no product crosses 2^63 under ANSI mode:
+      // the quotient is CLAMPED at 1e6 (beyond it the rate saturates
+      // anyway) and the remainder term's product is ≤ 1e6·T — exact for
+      // per-source corpora up to ~9.2e12 tokens (~40 TB of text PER
+      // SOURCE; larger single sources need the decimal variant)
       .withColumn("rate_ppm", expr(
-        "least(CAST(1000000 AS BIGINT), target_ppm * corpus_tokens DIV greatest(tokens_total, 1))"))
+        """least(CAST(1000000 AS BIGINT),
+          |  target_ppm * least(corpus_tokens DIV greatest(tokens_total, 1), 1000000)
+          |  + target_ppm * (corpus_tokens % greatest(tokens_total, 1))
+          |      DIV greatest(tokens_total, 1))""".stripMargin))
     val sampled = toks
       .join(broadcast(rates.select("source", "rate_ppm")), "source")
       .where(expr(s"${Shingles.h32("CAST(doc_id AS STRING)")} % 1000000 < rate_ppm"))
@@ -522,11 +539,14 @@ object DocTextOps {
       .agg(count(lit(1)).as("n_docs_sampled"), sum("n_tokens").as("tokens_sampled"))
     rates
       .join(sampled, Seq("source"), "left")
+      .withColumn("ts", expr("coalesce(tokens_sampled, 0)"))
+      .withColumn("ts_all", expr("greatest(sum(ts) OVER (), 1)"))
       .selectExpr("source", "n_docs", "tokens_total", "target_ppm", "rate_ppm",
         "CAST(coalesce(n_docs_sampled, 0) AS BIGINT) AS n_docs_sampled",
-        "CAST(coalesce(tokens_sampled, 0) AS BIGINT) AS tokens_sampled",
-        // achieved share of the SAMPLED mixture, for judging the fit
-        "coalesce(tokens_sampled, 0) * 1000000 DIV greatest(sum(coalesce(tokens_sampled, 0)) OVER (), 1) AS achieved_ppm")
+        "CAST(ts AS BIGINT) AS tokens_sampled",
+        // achieved share of the SAMPLED mixture (same divmod overflow
+        // guard: ts ≤ ts_all so the quotient term is 0 or 1)
+        "(ts DIV ts_all) * 1000000 + (ts % ts_all) * 1000000 DIV ts_all AS achieved_ppm")
       .orderBy("source")
   }
 
