@@ -84,6 +84,7 @@ object SparkEntry {
     "d_chunk" -> ((s, d) => DocTextOps.chunk(docs(s, d))),
     "d_pack" -> ((s, d) => DocTextOps.packSequences(docs(s, d))),
     "d_mix" -> ((s, d) => DocTextOps.mixCorpus(docs(s, d))),
+    "d_bpe_train" -> ((s, d) => DocTextOps.bpeTrain(docs(s, d))),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
@@ -957,6 +958,34 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, cum_before // 2048 AS pack_id,
         |  cum_before % 2048 AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    "d_bpe_train" -> {
+      // replays every merge round of DocTextOps.bpeTrain, unrolled like
+      // the k-means oracle: per round, the argmax pair (count DESC, pair
+      // ASC) and the padded-replace merge application, both engine-exact
+      val k = 5
+      val sb = new StringBuilder("WITH t0 AS (SELECT doc_id, text AS txt FROM documents)")
+      for (i <- 1 to k) {
+        val prev = s"t${i - 1}"
+        sb ++= s""",
+          |p$i AS (SELECT pr, count(*)::BIGINT AS c FROM (
+          |    SELECT unnest([ws[j] || ' ' || ws[j+1] for j in range(1, len(ws))]) AS pr
+          |    FROM (SELECT string_split(txt, ' ') AS ws FROM $prev
+          |          WHERE len(string_split(txt, ' ')) >= 2))
+          |  GROUP BY 1 ORDER BY c DESC, pr LIMIT 1),
+          |t$i AS (SELECT doc_id, trim(replace(replace(
+          |    ' ' || replace(txt, ' ', '  ') || ' ',
+          |    ' ' || (SELECT replace(pr, ' ', '  ') FROM p$i) || ' ',
+          |    ' ' || (SELECT replace(pr, ' ', '@@') FROM p$i) || ' '),
+          |    '  ', ' ')) AS txt FROM $prev)""".stripMargin
+      }
+      val rows = (1 to k).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS step, (SELECT pr FROM p$i) AS pair,
+           |  (SELECT replace(pr, ' ', '@@') FROM p$i) AS merged,
+           |  (SELECT c FROM p$i) AS pair_count,
+           |  (SELECT sum(len(string_split(txt, ' ')))::BIGINT FROM t$i) AS corpus_tokens_after""".stripMargin
+      }
+      sb.toString + "\n" + rows.mkString("\nUNION ALL\n") + "\nORDER BY step"
+    },
     "d_mix" -> {
       // one copy of the target table, shared with the Spark-side default
       val cases = graft.ops.DocTextOps.DefaultMixTargets.toSeq.sorted

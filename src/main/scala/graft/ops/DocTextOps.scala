@@ -484,6 +484,58 @@ object DocTextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE VOCABULARY TRAINING — the iterative text operator every tokenizer
+    * build runs: repeat k times { count adjacent token pairs corpus-wide,
+    * merge the most frequent pair everywhere }. Each round is ONE
+    * explode + keyed aggregation (map-side partial counts — the classic
+    * shape) plus one scan applying the merge; the only driver-side state
+    * is the single winning pair per round (the algorithm's inherent sync
+    * point, exactly like k-means centroids). Tie-break (count DESC, pair
+    * ASC) and the merge-application rule are engine-exact, so the DuckDB
+    * oracle replays every round:
+    *
+    *  - merge application doubles the inter-token spaces first so each
+    *    token owns exclusive padding, then a single non-overlapping
+    *    left-to-right `replace` of ` a  b ` — byte-identical greedy-merge
+    *    semantics in any engine (`x x x` merges once, like real BPE);
+    *  - the merged token joins with `@@`, absent from the corpus.
+    *
+    * At 100 TB real trainers run on a sample; the per-round cost here is
+    * the honest full-corpus shape. */
+  def bpeTrain(documents: DataFrame, merges: Int = 5): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    var txt = documents.selectExpr("doc_id", "text AS txt")
+    val out = Vector.newBuilder[(Int, String, String, Long, Long)]
+    for (step <- 1 to merges) {
+      val Array(pair, cnt) = txt
+        .where("size(split(txt, ' ')) >= 2")
+        .selectExpr("split(txt, ' ') AS ws")
+        .selectExpr("explode(transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))) AS pr")
+        .groupBy("pr").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pr").asc).limit(1)
+        .collect().map(r => Array(r.getString(0), r.getLong(1).toString)).head
+      val merged = pair.replace(" ", "@@")
+      // after space-doubling the inter-token gap is TWO spaces — the
+      // search pattern must carry the doubled gap as well
+      val q = pair.replace(" ", "  ").replace("'", "''")
+      val m = merged.replace("'", "''")
+      // the merge stays a LAZY projection stacked on the chain: round i
+      // re-runs i cheap codegen'd replaces over the scan instead of
+      // pinning k corpus copies in executor memory (k is small; a
+      // production trainer materializes rounds to its working table)
+      txt = txt.selectExpr("doc_id",
+        s"trim(replace(replace(concat(' ', replace(txt, ' ', '  '), ' '), ' $q ', ' $m '), '  ', ' ')) AS txt")
+      val toksAfter = txt.selectExpr("CAST(size(split(txt, ' ')) AS BIGINT) AS n")
+        .agg(sum("n")).head().getLong(0)
+      out += ((step, pair, merged, cnt.toLong, toksAfter))
+    }
+    out.result().toDF("step", "pair", "merged", "pair_count", "corpus_tokens_after")
+      .selectExpr("CAST(step AS BIGINT) AS step", "pair", "merged",
+        "pair_count", "corpus_tokens_after")
+      .orderBy("step")
+  }
+
   /** Corpus MIXING — the data-mixture step of a pretraining build: given
     * target token SHARES per source (ppm, summing to ≤ 1e6), compute each
     * source's deterministic downsampling rate so the sampled mixture hits
