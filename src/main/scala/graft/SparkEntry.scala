@@ -962,7 +962,7 @@ object SparkEntry {
       // replays every merge round of DocTextOps.bpeTrain, unrolled like
       // the k-means oracle: per round, the argmax pair (count DESC, pair
       // ASC) and the padded-replace merge application, both engine-exact
-      val k = 5
+      val k = graft.ops.DocTextOps.DefaultBpeMerges
       val sb = new StringBuilder("WITH t0 AS (SELECT doc_id, text AS txt FROM documents)")
       for (i <- 1 to k) {
         val prev = s"t${i - 1}"

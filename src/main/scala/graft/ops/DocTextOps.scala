@@ -502,35 +502,82 @@ object DocTextOps {
     *
     * At 100 TB real trainers run on a sample; the per-round cost here is
     * the honest full-corpus shape. */
-  def bpeTrain(documents: DataFrame, merges: Int = 5): DataFrame = {
+  /** Default merge-round count — referenced by the `d_bpe_train` oracle
+    * so the two cannot drift. */
+  val DefaultBpeMerges = 5
+
+  def bpeTrain(documents: DataFrame, merges: Int = DefaultBpeMerges): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
+    // single-spaced input is a precondition of the padded-replace merge
+    // rule (runs of spaces would tokenize as EMPTY tokens whose merges
+    // fabricate '@@' out of whitespace) — enforced loudly, once
+    val malformed = documents
+      .where("text LIKE '%  %' OR text LIKE ' %' OR text LIKE '% '").limit(1).count()
+    require(malformed == 0,
+      "bpeTrain: input must be single-spaced with no leading/trailing spaces")
     var txt = documents.selectExpr("doc_id", "text AS txt")
     val out = Vector.newBuilder[(Int, String, String, Long, Long)]
-    for (step <- 1 to merges) {
-      val Array(pair, cnt) = txt
+    // afterCounts(i) = corpus tokens after round i+1's merge
+    val afterCounts = Vector.newBuilder[Long]
+    var nRounds = 0
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      // round `step`'s pair-count scan also OBSERVES the current token
+      // total — which IS round step-1's post-merge count — so no round
+      // pays a second corpus job; only a completed final round needs the
+      // one extra aggregation below
+      val obs = new org.apache.spark.sql.Observation(s"bpe_toks_$step")
+      val win = txt
+        .observe(obs, sum(expr("CAST(size(split(txt, ' ')) AS BIGINT)")).as("toks"))
         .where("size(split(txt, ' ')) >= 2")
         .selectExpr("split(txt, ' ') AS ws")
         .selectExpr("explode(transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))) AS pr")
         .groupBy("pr").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("pr").asc).limit(1)
-        .collect().map(r => Array(r.getString(0), r.getLong(1).toString)).head
-      val merged = pair.replace(" ", "@@")
-      // after space-doubling the inter-token gap is TWO spaces — the
-      // search pattern must carry the doubled gap as well
-      val q = pair.replace(" ", "  ").replace("'", "''")
-      val m = merged.replace("'", "''")
-      // the merge stays a LAZY projection stacked on the chain: round i
-      // re-runs i cheap codegen'd replaces over the scan instead of
-      // pinning k corpus copies in executor memory (k is small; a
-      // production trainer materializes rounds to its working table)
-      txt = txt.selectExpr("doc_id",
-        s"trim(replace(replace(concat(' ', replace(txt, ' ', '  '), ' '), ' $q ', ' $m '), '  ', ' ')) AS txt")
-      val toksAfter = txt.selectExpr("CAST(size(split(txt, ' ')) AS BIGINT) AS n")
-        .agg(sum("n")).head().getLong(0)
-      out += ((step, pair, merged, cnt.toLong, toksAfter))
+        .collect().headOption
+      // the observed metric is missing when the whole round collapsed to
+      // a local relation (tiny test corpora) — fall back to one explicit
+      // aggregation over the CURRENT (still pre-merge) text
+      if (step >= 2) afterCounts += (obs.get.get("toks") match {
+        case Some(l: java.lang.Long) => l.longValue()
+        case _ => txt.selectExpr("CAST(size(split(txt, ' ')) AS BIGINT) AS n")
+          .agg(sum("n")).head().getLong(0)
+      })
+      win match {
+        case None => exhausted = true // every doc fully merged: stop early
+        case Some(row) =>
+          val pair = row.getString(0)
+          val cnt = row.getLong(1)
+          val merged = pair.replace(" ", "@@")
+          // literal escaping for selectExpr: backslashes FIRST, then
+          // quotes (Spark string literals process backslash escapes);
+          // after space-doubling the inter-token gap is TWO spaces, so
+          // the search pattern carries the doubled gap
+          def esc(x: String) = x.replace("\\", "\\\\").replace("'", "''")
+          val q = esc(pair.replace(" ", "  "))
+          val m = esc(merged)
+          // the merge stays a LAZY projection stacked on the chain: round
+          // i re-runs i cheap codegen'd replaces over the scan instead of
+          // pinning k corpus copies in executor memory (k is small; a
+          // production trainer materializes rounds to its working table)
+          txt = txt.selectExpr("doc_id",
+            s"trim(replace(replace(concat(' ', replace(txt, ' ', '  '), ' '), ' $q ', ' $m '), '  ', ' ')) AS txt")
+          out += ((step, pair, merged, cnt, -1L)) // token count patched below
+          nRounds += 1
+          step += 1
+      }
     }
-    out.result().toDF("step", "pair", "merged", "pair_count", "corpus_tokens_after")
+    // a completed final round's post-merge count was never observed (an
+    // exhausted probe round observed it already): one extra aggregation
+    if (nRounds > 0 && !exhausted)
+      afterCounts += txt.selectExpr("CAST(size(split(txt, ' ')) AS BIGINT) AS n")
+        .agg(sum("n")).head().getLong(0)
+    val toks = afterCounts.result()
+    out.result().zipWithIndex
+      .map { case ((st, pair, merged, cnt, _), i) => (st, pair, merged, cnt, toks(i)) }
+      .toDF("step", "pair", "merged", "pair_count", "corpus_tokens_after")
       .selectExpr("CAST(step AS BIGINT) AS step", "pair", "merged",
         "pair_count", "corpus_tokens_after")
       .orderBy("step")

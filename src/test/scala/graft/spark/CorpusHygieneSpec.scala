@@ -16,6 +16,45 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
         "CAST(length(text) AS BIGINT) AS n_chars")
   }
 
+  test("bpeTrain merges greedily left-to-right: 'x x x' merges ONCE per round") {
+    // the real-BPE greedy rule the space-doubled replace encodes: three
+    // adjacent identical tokens yield one merge, the survivor untouched
+    val d = docs((1L, "x x x"), (2L, "a b a b"))
+    val r = DocTextOps.bpeTrain(d, merges = 1).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // pair counts: "x x" appears 2x (overlapping!), "a b" 2x; tie-break
+    // (count DESC, pair ASC) picks "a b"
+    assert(row.getString(1) === "a b" && row.getString(2) === "a@@b")
+    assert(row.getLong(3) === 2L)
+    // both "a b" occurrences merged (disjoint), so tokens: (x x x)=3 +
+    // (a@@b a@@b)=2
+    assert(row.getLong(4) === 5L)
+
+    val r2 = DocTextOps.bpeTrain(docs((1L, "x x x")), merges = 1).collect().head
+    assert(r2.getString(1) === "x x")
+    // greedy: ONE merge happens, the third x survives -> 2 tokens
+    assert(r2.getLong(4) === 2L)
+  }
+
+  test("bpeTrain stops early when every document is fully merged") {
+    val d = docs((1L, "a b"), (2L, "a b"))
+    // round 1 merges both docs to a single token; round 2 has no pairs
+    val r = DocTextOps.bpeTrain(d, merges = 4).collect()
+    assert(r.length === 1)
+    assert(r.head.getString(2) === "a@@b" && r.head.getLong(4) === 2L)
+    // malformed whitespace is rejected, not silently mis-merged
+    intercept[IllegalArgumentException](DocTextOps.bpeTrain(docs((1L, "a  b"))))
+  }
+
+  test("chunk and mixCorpus reject invalid parameters loudly") {
+    val d = docs((1L, "a b c"))
+    intercept[IllegalArgumentException](DocTextOps.chunk(d, window = 4, stride = 8))
+    intercept[IllegalArgumentException](DocTextOps.chunk(d, window = 0, stride = 0))
+    intercept[IllegalArgumentException](
+      DocTextOps.mixCorpus(d, Map("s" -> 2000000L))) // share > 1e6 ppm
+  }
+
   test("decontaminate flags docs sharing a 4-gram with the benchmark slice") {
     // doc 0 is the benchmark (0 % 97 = 0); doc 1 repeats one of its
     // 4-grams verbatim, doc 2 shares only shorter overlaps
