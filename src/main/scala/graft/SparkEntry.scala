@@ -961,7 +961,11 @@ object SparkEntry {
     "d_bpe_train" -> {
       // replays every merge round of DocTextOps.bpeTrain, unrolled like
       // the k-means oracle: per round, the argmax pair (count DESC, pair
-      // ASC) and the padded-replace merge application, both engine-exact
+      // ASC) and the padded-replace merge application, both engine-exact.
+      // The unroll assumes the corpus supports all k rounds (true for the
+      // driver corpus by a wide margin); bpeTrain's early stop on
+      // exhaustion exists for API safety on degenerate inputs, which this
+      // fixed-round oracle deliberately does not model
       val k = graft.ops.DocTextOps.DefaultBpeMerges
       val sb = new StringBuilder("WITH t0 AS (SELECT doc_id, text AS txt FROM documents)")
       for (i <- 1 to k) {

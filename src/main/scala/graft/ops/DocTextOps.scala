@@ -14,10 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object DocTextOps {
 
+  /** Escape a string for interpolation into a Spark SQL literal:
+    * backslashes FIRST (Spark string literals process backslash escapes —
+    * quote-only escaping silently corrupts patterns containing `\`),
+    * then single quotes. */
+  private[ops] def sqlLit(x: String): String =
+    x.replace("\\", "\\\\").replace("'", "''")
+
   /** Non-overlapping occurrence count of `needle` via the replace trick —
     * identical semantics in any SQL engine, no regex dialect risk. */
   private def cnt(col: String, needle: String): String = {
-    val n = needle.replace("'", "''")
+    val n = sqlLit(needle)
     s"CAST((length($col) - length(replace($col, '$n', ''))) / ${needle.length} AS BIGINT)"
   }
 
@@ -128,7 +135,7 @@ object DocTextOps {
   def stratifiedSample(documents: DataFrame, rates: Map[String, Int] = Map(
       "en" -> 50, "de" -> 80, "es" -> 80, "fr" -> 80)): DataFrame = {
     val rateExpr = rates.foldLeft("10") { case (acc, (l, r)) =>
-      s"IF(lang = '${l.replace("'", "''")}', $r, $acc)"
+      s"IF(lang = '${sqlLit(l)}', $r, $acc)"
     }
     documents
       .selectExpr("doc_id", "lang",
@@ -484,6 +491,10 @@ object DocTextOps {
       .orderBy("doc_id")
   }
 
+  /** Default merge-round count — referenced by the `d_bpe_train` oracle
+    * so the two cannot drift. */
+  val DefaultBpeMerges = 5
+
   /** BPE VOCABULARY TRAINING — the iterative text operator every tokenizer
     * build runs: repeat k times { count adjacent token pairs corpus-wide,
     * merge the most frequent pair everywhere }. Each round is ONE
@@ -502,20 +513,9 @@ object DocTextOps {
     *
     * At 100 TB real trainers run on a sample; the per-round cost here is
     * the honest full-corpus shape. */
-  /** Default merge-round count — referenced by the `d_bpe_train` oracle
-    * so the two cannot drift. */
-  val DefaultBpeMerges = 5
-
   def bpeTrain(documents: DataFrame, merges: Int = DefaultBpeMerges): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    // single-spaced input is a precondition of the padded-replace merge
-    // rule (runs of spaces would tokenize as EMPTY tokens whose merges
-    // fabricate '@@' out of whitespace) — enforced loudly, once
-    val malformed = documents
-      .where("text LIKE '%  %' OR text LIKE ' %' OR text LIKE '% '").limit(1).count()
-    require(malformed == 0,
-      "bpeTrain: input must be single-spaced with no leading/trailing spaces")
     var txt = documents.selectExpr("doc_id", "text AS txt")
     val out = Vector.newBuilder[(Int, String, String, Long, Long)]
     // afterCounts(i) = corpus tokens after round i+1's merge
@@ -527,37 +527,58 @@ object DocTextOps {
       // round `step`'s pair-count scan also OBSERVES the current token
       // total — which IS round step-1's post-merge count — so no round
       // pays a second corpus job; only a completed final round needs the
-      // one extra aggregation below
+      // one extra aggregation below. Round 1's observation additionally
+      // validates the single-spaced/no-'@@' preconditions (runs of spaces
+      // would tokenize as EMPTY tokens; a pre-existing '@@' would collide
+      // with merge markers) — piggybacked, zero extra jobs.
       val obs = new org.apache.spark.sql.Observation(s"bpe_toks_$step")
       val win = txt
-        .observe(obs, sum(expr("CAST(size(split(txt, ' ')) AS BIGINT)")).as("toks"))
-        .where("size(split(txt, ' ')) >= 2")
+        .observe(obs,
+          sum(expr("CAST(size(split(txt, ' ')) AS BIGINT)")).as("toks"),
+          sum(expr("CAST(IF(txt LIKE '%  %' OR txt LIKE ' %' OR txt LIKE '% ' " +
+            "OR txt LIKE '%@@%', 1, 0) AS BIGINT)")).as("bad"))
         .selectExpr("split(txt, ' ') AS ws")
+        .where("size(ws) >= 2")
         .selectExpr("explode(transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))) AS pr")
         .groupBy("pr").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("pr").asc).limit(1)
         .collect().headOption
-      // the observed metric is missing when the whole round collapsed to
-      // a local relation (tiny test corpora) — fall back to one explicit
-      // aggregation over the CURRENT (still pre-merge) text
-      if (step >= 2) afterCounts += (obs.get.get("toks") match {
+      // bounded wait: the metric row can be absent or empty when the
+      // round collapsed to a local relation (tiny test corpora), and the
+      // unbounded get() would deadlock if the CollectMetrics node was
+      // optimized away entirely — either way the explicit-aggregation
+      // fallback below takes over
+      val metrics: Map[String, Any] = try {
+        import scala.concurrent.duration._
+        scala.concurrent.Await.result(
+          scala.concurrent.Future(obs.get)(scala.concurrent.ExecutionContext.global),
+          30.seconds)
+      } catch { case _: Exception => Map.empty }
+      def toksNow: Long = metrics.get("toks") match {
         case Some(l: java.lang.Long) => l.longValue()
         case _ => txt.selectExpr("CAST(size(split(txt, ' ')) AS BIGINT) AS n")
           .agg(sum("n")).head().getLong(0)
-      })
+      }
+      if (step == 1) {
+        val bad = metrics.get("bad") match {
+          case Some(l: java.lang.Long) => l.longValue()
+          case _ => documents.where(
+            "text LIKE '%  %' OR text LIKE ' %' OR text LIKE '% ' OR text LIKE '%@@%'").count()
+        }
+        require(bad == 0,
+          "bpeTrain: input must be single-spaced, untrimmed-space-free, and free of '@@'")
+      }
+      if (step >= 2) afterCounts += toksNow
       win match {
         case None => exhausted = true // every doc fully merged: stop early
         case Some(row) =>
           val pair = row.getString(0)
           val cnt = row.getLong(1)
           val merged = pair.replace(" ", "@@")
-          // literal escaping for selectExpr: backslashes FIRST, then
-          // quotes (Spark string literals process backslash escapes);
           // after space-doubling the inter-token gap is TWO spaces, so
           // the search pattern carries the doubled gap
-          def esc(x: String) = x.replace("\\", "\\\\").replace("'", "''")
-          val q = esc(pair.replace(" ", "  "))
-          val m = esc(merged)
+          val q = sqlLit(pair.replace(" ", "  "))
+          val m = sqlLit(merged)
           // the merge stays a LAZY projection stacked on the chain: round
           // i re-runs i cheap codegen'd replaces over the scan instead of
           // pinning k corpus copies in executor memory (k is small; a
@@ -616,7 +637,7 @@ object DocTextOps {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_total"))
     val targetExpr = targetPpm.foldLeft("CAST(0 AS BIGINT)") {
       case (acc, (src, t)) =>
-        s"IF(source = '${src.replace("'", "''")}', CAST($t AS BIGINT), $acc)"
+        s"IF(source = '${sqlLit(src)}', CAST($t AS BIGINT), $acc)"
     }
     val total = bySource.agg(sum("tokens_total").as("corpus_tokens"))
     val rates = bySource.crossJoin(broadcast(total))
