@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR at
@@ -48,19 +50,29 @@ object Bench {
         try s.pulse() catch { case e: Throwable => System.err.println(s"[bench] pulse: ${e.getMessage}") })
 
     val spark = graft.bench.Scaling.session(cpus)
-    def pass(): Map[String, Double] =
+    def gcMs: Long = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+    val warmGc = scala.collection.mutable.Map.empty[String, Long]
+    // pulses interleave through the COLD pass only (cold timings are
+    // informational); the warm pass — the reported numbers — runs with the
+    // burst children fully parked. r3's t_extract/t_segment 3× inflation at
+    // identical input tracked to pulses landing mid-warm-pass: the queries
+    // timed right after a burst paid its GC/cache aftermath.
+    def pass(pulsing: Boolean, gcOut: Option[scala.collection.mutable.Map[String, Long]]): Map[String, Double] =
       SparkEntry.queries.zipWithIndex.map { case ((name, fn), i) =>
+        val g0 = gcMs
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); () }
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
         val sec = (System.nanoTime() - t0) / 1e9
+        gcOut.foreach(_.update(name, gcMs - g0))
         // burst pair AFTER the timing capture — queries and bursts stay
         // strictly serialized, neither contends with the other
-        if ((i + 1) % 8 == 0) maybePulse()
+        if (pulsing && (i + 1) % 8 == 0) maybePulse()
         name -> sec
       }.toMap
-    val cold = pass()
-    val warm = pass()
+    val cold = pass(pulsing = true, gcOut = None)
+    val warm = pass(pulsing = false, gcOut = Some(warmGc))
     spark.stop()
 
     // drain the remaining scaling budget, bounded by a hard wall cap so
@@ -83,12 +95,17 @@ object Bench {
 
     val qs = warm.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // per-query GC time during the warm pass: if a warm number ever
+    // inflates again, this field says whether the time went to collection
+    // (environmental / heap pressure) or to the query's own compute
+    val gcs = warmGc.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = warm.values.sum
     val coldTotal = cold.values.sum
     val scalingJson = scaling.map(r =>
-      s""","scaling":${r.json},"scaling_note":"alternating-burst protocol interleaved through the bench run, min over all bursts per level; see BENCH.md"""")
+      s""","scaling":${r.json},"scaling_note":"alternating-burst protocol interleaved through the COLD pass and drained after both passes (warm pass pulse-free), min over all bursts per level; see BENCH.md"""")
       .getOrElse("")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":${f"$coldTotal%.3f"},"cpus":$cpus$scalingJson}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"warm_gc_ms":$gcs,"sf":"$sfDir","cold_total_sec":${f"$coldTotal%.3f"},"cpus":$cpus,"warm_pass_pulse_free":true$scalingJson}""")
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
 
-import graft.ops.{Dedup, DocTextOps, EventOps, GraphOps, Incremental, Layout, Multimodal, Similarity}
+import graft.ops.{Dedup, DocTextOps, EventOps, Evolution, GraphOps, Incremental, Layout, Multimodal, Similarity}
 import graft.queries.Relational
 import graft.pipeline.Pipeline
 
@@ -81,6 +81,7 @@ object SparkEntry {
     "d_cms_freq" -> ((s, d) => DocTextOps.cmsFreq(docs(s, d))),
     "d_hist_quantiles" -> ((s, d) => DocTextOps.histQuantiles(docs(s, d))),
     "d_incr_view" -> ((s, d) => Incremental.incrementalView(docs(s, d))),
+    "d_schema_evolve" -> ((s, d) => Evolution.schemaEvolveRoundTrip(docs(s, d))),
     "d_chunk" -> ((s, d) => DocTextOps.chunk(docs(s, d))),
     "d_pack" -> ((s, d) => DocTextOps.packSequences(docs(s, d))),
     "d_mix" -> ((s, d) => DocTextOps.mixCorpus(docs(s, d))),
@@ -252,7 +253,7 @@ object SparkEntry {
        |cand AS (SELECT x.doc_id AS doc_id, y.doc_id AS partner, count(*) AS nsb
        |         FROM banded x JOIN banded y
        |           ON x.band = y.band AND x.key = y.key AND x.doc_id != y.doc_id
-       |          AND x.doc_id % 3 = 2 AND (y.doc_id % 3 != 2 OR y.doc_id < x.doc_id)
+       |          AND x.doc_id % ${Dedup.DefaultDeltaMod} = ${Dedup.DefaultDeltaMod - 1} AND (y.doc_id % ${Dedup.DefaultDeltaMod} != ${Dedup.DefaultDeltaMod - 1} OR y.doc_id < x.doc_id)
        |         GROUP BY 1, 2),
        |${dJaccard(None)},
        |ver AS (SELECT c.doc_id, c.partner, coalesce(j.jaccard_ppm, 0) AS jaccard_ppm
@@ -266,7 +267,7 @@ object SparkEntry {
        |  coalesce(n_dups, 0)::BIGINT AS n_dups, dup_of,
        |  coalesce(n_dups, 0) = 0 AS admitted
        |FROM sh LEFT JOIN agg USING (doc_id)
-       |WHERE sh.doc_id % 3 = 2 ORDER BY sh.doc_id""".stripMargin
+       |WHERE sh.doc_id % ${Dedup.DefaultDeltaMod} = ${Dedup.DefaultDeltaMod - 1} ORDER BY sh.doc_id""".stripMargin
   }
 
   /** 60-bit hash: first 15 md5 hex chars (sign-safe in every engine). */
@@ -306,11 +307,13 @@ object SparkEntry {
     * damping, truncating division) over the same deterministic citation
     * overlay — engine-exact across all rounds. */
   private def pagerankOracle: String = {
+    // sum() returns HUGEINT in DuckDB — cast back to BIGINT so the typed
+    // hash of rank_ppb matches Spark's LongType output (the r3 red row).
     def it(prev: String, cur: String) =
       s"""$cur AS (
-         |  SELECT nodes.id, (CAST(150000000 AS BIGINT) // (SELECT n FROM nn)) + 85 * COALESCE(c.s, CAST(0 AS BIGINT)) // 100 AS r
+         |  SELECT nodes.id, CAST((CAST(150000000 AS BIGINT) // (SELECT n FROM nn)) + 85 * COALESCE(c.s, CAST(0 AS BIGINT)) // 100 AS BIGINT) AS r
          |  FROM nodes LEFT JOIN (
-         |    SELECT e.dst AS id, sum(x.r // d.outdeg) AS s
+         |    SELECT e.dst AS id, sum(x.r // d.outdeg)::BIGINT AS s
          |    FROM $prev x JOIN deg d ON x.id = d.src JOIN e ON e.src = x.id
          |    GROUP BY 1) c ON nodes.id = c.id)""".stripMargin
     s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
@@ -325,7 +328,7 @@ object SparkEntry {
        |${it("r0", "r1")},
        |${it("r1", "r2")},
        |${it("r2", "r3")}
-       |SELECT id AS doc_id, r AS rank_ppb FROM r3 ORDER BY r DESC, id LIMIT 20""".stripMargin
+       |SELECT id AS doc_id, r::BIGINT AS rank_ppb FROM r3 ORDER BY r DESC, id LIMIT 20""".stripMargin
   }
 
   // BMP arithmetic mirrored from graft.core.media.MediaCodec: 24-bpp,
@@ -456,14 +459,35 @@ object SparkEntry {
        |FROM documents d LEFT JOIN piv p ON d.doc_id = p.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
-  /** IVF ANN oracle: identical deterministic cells (first nCells vectors),
-    * argmax assignment and probe ranking with the same smaller-id
-    * tie-break, exact rerank — all cosines the same left-fold arithmetic. */
+  /** IVF ANN oracle: replays the deterministic Lloyd TRAINING rounds of
+    * [[Similarity.annIvf]] (2^-20 integer grid, min-(d, cl) tie-break,
+    * `// `-update, empty cell keeps its previous centroid), converts the
+    * trained centroids back to DOUBLE with the exact /2^20, then the same
+    * argmax assignment, probe ranking and exact rerank — all cosines the
+    * same left-fold arithmetic. */
   private def annIvfOracle: String = {
-    // constants mirror Similarity.annIvf's defaults (32 cells, 3 probes)
-    val (nCells, nProbe, nQ, k) = (32, 3, 20, 5)
+    // constants mirror Similarity.annIvf's defaults (32 cells, 3 probes,
+    // 2 training rounds); dim 64 matches the driver testdata (as e_kmeans)
+    val (nCells, nProbe, nQ, k, trainIters, dim) = (32, 3, 20, 5, 2, 64)
+    def dist(x: String, m: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), [($x[i]-$m[i])*($x[i]-$m[i]) for i in range(1, ${dim + 1})]), (a,b) -> a+b)"
+    val train = new StringBuilder
+    train ++= s"xg AS (SELECT vec_id, [CAST(floor(e * 1048576) AS BIGINT) for e in v] AS x FROM base),\n"
+    train ++= s"t0 AS (SELECT vec_id AS cl, x AS m FROM xg WHERE vec_id < $nCells)"
+    var prev = "t0"
+    for (it <- 1 to trainIters) {
+      train ++= s""",
+                   |ta$it AS (SELECT vec_id, x, min((d, cl))[2] AS cl FROM (
+                   |  SELECT xg.vec_id, xg.x, c.cl, ${dist("xg.x", "c.m")} AS d FROM xg, $prev c) GROUP BY 1, 2),
+                   |t$it AS (SELECT p.cl, coalesce(u.m, p.m) AS m FROM $prev p LEFT JOIN (
+                   |  SELECT cl, list(s // n ORDER BY pos) AS m FROM (
+                   |    SELECT cl, i AS pos, sum(x[i]) AS s, count(*) AS n
+                   |    FROM ta$it, range(1, ${dim + 1}) r(i) GROUP BY 1, 2) GROUP BY cl) u ON u.cl = p.cl)""".stripMargin
+      prev = s"t$it"
+    }
     s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cents AS (SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id < $nCells),
+       |$train,
+       |cents AS (SELECT cl AS cent_id, [mm / 1048576.0 for mm in m] AS cv FROM $prev),
        |simsq AS (SELECT b.vec_id, c.cent_id, ${dCos("b.v", "c.cv")} AS csim
        |          FROM base b CROSS JOIN cents c),
        |ranked AS (SELECT vec_id, cent_id,
@@ -523,6 +547,15 @@ object SparkEntry {
         |WHERE tool NOT IN ('html', 'pdf')
         |ORDER BY conv_id, turn_idx""".stripMargin,
     "d_langid_trigram" -> trigramOracle,
+    // evolved-store round trip (Evolution.schemaEvolveRoundTrip): batches
+    // split doc_id % 3; `extra` added with batch 1 (NULL before), `legacy`
+    // dropped before batch 2 — a store that leaks `legacy` fails on schema
+    "d_schema_evolve" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(doc_id * 3 + 1 AS BIGINT) AS v1,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL
+        |       ELSE CAST(doc_id * 2 AS BIGINT) END AS extra
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dMoneySum("l_quantity")} AS sum_qty,

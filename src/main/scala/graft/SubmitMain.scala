@@ -26,8 +26,10 @@ import graft.schema.{ConvRule, Turn}
   * per-partition lineage/metrics rows. Routes:
   *
   *  - default: the fused single-shuffle path, rules broadcast at or below
-  *    `--broadcast-rule-limit` rules (default 1e6) and shuffle-cogrouped
-  *    above it (`Pipeline.segmentAuto`);
+  *    `--broadcast-rule-limit` rules (default 1e6) AND
+  *    `--broadcast-byte-limit` estimated heap bytes (default 256 MiB —
+  *    fat rule strings route to cogroup even at low counts), else
+  *    shuffle-cogrouped (`Pipeline.segmentAuto`);
   *  - `--two-stage`: salted extraction + regroup for monster-conversation
   *    corpora (a single conversation big enough to straggle one fused
   *    task);
@@ -109,6 +111,7 @@ object SubmitMain {
 
     val buckets = opts.get("buckets").map(_.toInt).getOrElse(0)
     val ruleLimit = opts.get("broadcast-rule-limit").map(_.toLong).getOrElse(1000000L)
+    val byteLimit = opts.get("broadcast-byte-limit").map(_.toLong).getOrElse(256L << 20)
     val stats = new PartitionStatsAcc
     spark.sparkContext.register(stats, "graft.partition_lineage")
     val (segments, stage) =
@@ -125,7 +128,9 @@ object SubmitMain {
         (graft.plans.SegmentPlans.segmentJoin(turns, rules, Some(stats)), "segment")
       else
         // fused single-shuffle; broadcast vs cogroup by rule-corpus size
-        (Pipeline.segmentAuto(turns, rules, buckets, ruleLimit, Some(stats)).toDF(), "segment")
+        // (count AND estimated heap bytes — fat rules route to cogroup)
+        (Pipeline.segmentAuto(turns, rules, buckets, ruleLimit, Some(stats), byteLimit).toDF(),
+          "segment")
 
     val store = new SnapshotStore(out)
     // the ONE pass over the turns: fills `stats` while writing segments

@@ -129,12 +129,23 @@ case class SegmentRowsGenerator(turns: Expression, rules: Expression)
     val rArr = rules.eval(input).asInstanceOf[ArrayData]
     if (tArr == null || rArr == null) return Nil
 
-    val pages = Array.tabulate(tArr.numElements()) { i =>
+    val sorted = Array.tabulate(tArr.numElements()) { i =>
       val row = tArr.getStruct(i, turnsSchema.length)
-      val idx = if (row.isNullAt(tIdx)) Int.MaxValue else row.getInt(tIdx)
+      val idx: Integer = if (row.isNullAt(tIdx)) null else Int.box(row.getInt(tIdx))
       val text = if (row.isNullAt(tText)) "" else row.getUTF8String(tText).toString
       (idx, text)
-    }.sortBy(_._1).map(_._2).toIndexedSeq
+    }.sortBy(t => if (t._1 == null) Int.MaxValue else t._1.intValue())
+    // same loud invariant as the production GroupFold path
+    // (Pipeline.foldOne's "turn ordering violated"): null or duplicate
+    // turn_idx must fail here too, not silently fold to different output
+    var lastIdx = Int.MinValue
+    sorted.foreach { case (idx, _) =>
+      require(idx != null, "turn ordering violated in segment_rows: null turn_idx")
+      require(idx.intValue() > lastIdx,
+        s"turn ordering violated in segment_rows: ${idx.intValue()} after $lastIdx")
+      lastIdx = idx.intValue()
+    }
+    val pages = sorted.map(_._2).toIndexedSeq
 
     val coreRules = (0 until rArr.numElements()).map { i =>
       val row = rArr.getStruct(i, rulesSchema.length)

@@ -69,6 +69,58 @@ final class SnapshotStore(val root: String) {
     manifestIds.filterNot(retired.contains)
   }
 
+  private val DropColsRe = """"drop_cols": "([^"]*)"""".r
+  private val SchemaOnlyRe = """"schema_only": "true"""".r
+
+  /** True when snapshot `id` is a metadata-only commit (no data files) —
+    * e.g. a [[dropColumn]]. Such ids participate in snapshot ordering but
+    * are skipped by every parquet path list. */
+  def isSchemaOnly(id: Long): Boolean = {
+    val m = manifestDir.resolve(s"$id.json")
+    Files.exists(m) && SchemaOnlyRe.findFirstIn(
+      new String(Files.readAllBytes(m), StandardCharsets.UTF_8)).isDefined
+  }
+
+  /** Live snapshots that actually carry data files. */
+  def dataSnapshots: Seq[Long] = snapshots.filterNot(isSchemaOnly)
+
+  /** Columns dropped as of snapshot `asOf` — the union of every committed
+    * manifest's `drop_cols` at or below it (drop commits record the column;
+    * compaction/upsert replacement manifests carry the cumulative set so
+    * the drop survives physical cleanup of the drop manifest itself). */
+  def droppedColumns(asOf: Long = Long.MaxValue): Set[String] =
+    manifestIds.filter(_ <= asOf).flatMap { id =>
+      val m = manifestDir.resolve(s"$id.json")
+      if (!Files.exists(m)) Nil
+      else DropColsRe.findFirstMatchIn(
+        new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+        .toSeq.flatMap(_.group(1).split(',').filter(_.nonEmpty))
+    }.toSet
+
+  /** DROP-COLUMN schema evolution — the manifest-only complement of the
+    * ADD-COLUMN path (Iceberg's model: data files are untouched; readers
+    * project the column away; the next compaction removes it physically).
+    * Commits a metadata-only snapshot whose manifest records the new
+    * cumulative dropped set. Loud contracts: the column must exist in the
+    * current read schema, and a dropped NAME cannot be re-added later
+    * (this store identifies columns by name, not Iceberg field ids — name
+    * reuse would resurrect pre-drop values out of old data files, so
+    * [[append]] rejects it instead). */
+  def dropColumn(spark: SparkSession, col: String): Long = {
+    val dataIds = dataSnapshots
+    require(dataIds.nonEmpty, "dropColumn: table has no data snapshots")
+    val current = applyDrops(readMerged(spark, dataIds), Long.MaxValue).columns.toSet
+    require(current.contains(col),
+      s"dropColumn: '$col' is not in the current schema ${current.toSeq.sorted.mkString("[", ",", "]")}")
+    val stage = Paths.get(root, "data", s"stage-${java.util.UUID.randomUUID}")
+    Files.createDirectories(stage)
+    val cumulative = droppedColumns() + col
+    commitStaged(stage,
+      () => Map("schema_only" -> "true",
+        "drop_cols" -> cumulative.toSeq.sorted.mkString(",")),
+      () => true).get
+  }
+
   /** The id of the newest committed COMPACTED snapshot (0 if none). The
     * compacted snapshot rewrites older data under a NEWER id, so any
     * incremental checkpoint below this id (other than 0 = full read)
@@ -92,6 +144,7 @@ final class SnapshotStore(val root: String) {
       df: DataFrame,
       meta: Map[String, String] = Map.empty,
       statsCol: Option[String] = None): Long = {
+    requireNoDroppedNames(df)
     val stage = stageWrite(df)
     val withStats = meta ++ stagedStats(df.sparkSession, stage, statsCol)
     commitStaged(stage, () => withStats, () => true).get
@@ -206,7 +259,8 @@ final class SnapshotStore(val root: String) {
       keyCol: String,
       statsCol: Option[String] = None,
       cleanup: Boolean = true): Long = {
-    val live = snapshots
+    requireNoDroppedNames(updates)
+    val live = dataSnapshots
     if (live.isEmpty) return append(updates, statsCol = statsCol)
     val keys = updates.select(keyCol).distinct().localCheckpoint(true)
     require(keys.count() == updates.count(),
@@ -224,19 +278,23 @@ final class SnapshotStore(val root: String) {
       read(spark, id).join(keys, Seq(keyCol), "left_semi").limit(1).count() > 0
     }
     if (affected.isEmpty) return append(updates, statsCol = statsCol)
-    val survivors = readMerged(spark, affected)
+    val survivors = applyDrops(readMerged(spark, affected), Long.MaxValue)
       .join(keys, Seq(keyCol), "left_anti")
     val merged = survivors.unionByName(updates.select(survivors.columns.map(
       org.apache.spark.sql.functions.col): _*))
-    val liveAtPlan = live.toSet
+    val liveAtPlan = snapshots.toSet
     val stage = stageWrite(merged)
     val stats = stagedStats(spark, stage, statsCol)
+    val dropped = droppedColumns()
+    val dropMeta =
+      if (dropped.isEmpty) Map.empty[String, String]
+      else Map("drop_cols" -> dropped.toSeq.sorted.mkString(","))
     val id = commitStaged(stage,
       // ledger marks carried GLOBALLY (not just from the replaced inputs):
       // txnLastBatch scans newest-first, so a replacement manifest must
       // dominate every older mark for every app — and re-evaluated per
       // commit attempt so a mark committed during our id race is included
-      () => Map("replaces" -> affected.mkString(",")) ++ globalTxns ++ stats,
+      () => Map("replaces" -> affected.mkString(",")) ++ dropMeta ++ globalTxns ++ stats,
       // abort if the LIVE SET changed at all since planning: a retired
       // input means double-replace, and a concurrent APPEND may have
       // landed rows with matching keys that this rewrite would silently
@@ -298,18 +356,41 @@ final class SnapshotStore(val root: String) {
     * names) — the file-listing surface tooling and tests inspect. */
   def dataLocation(id: Long): Path = dataPathOf(id)
 
-  /** Read one snapshot. */
+  /** Loud re-add guard: a dropped NAME cannot return (see [[dropColumn]]). */
+  private def requireNoDroppedNames(df: DataFrame): Unit = {
+    val clash = df.columns.toSet.intersect(droppedColumns())
+    require(clash.isEmpty,
+      s"columns ${clash.toSeq.sorted.mkString(",")} were DROPPED from this table; " +
+        "re-adding a dropped name would resurrect pre-drop values out of old " +
+        "data files (this store identifies columns by name, not field id) — " +
+        "use a fresh column name")
+  }
+
+  /** Project away the columns dropped as of `asOf` (no-op when none). */
+  private def applyDrops(df: DataFrame, asOf: Long): DataFrame = {
+    val dropped = droppedColumns(asOf).toSeq.sorted
+    if (dropped.isEmpty) df else df.drop(dropped: _*)
+  }
+
+  /** Read one snapshot (time-travel: only drops committed at or below `id`
+    * apply, mirroring Iceberg's per-snapshot schema). */
   def read(spark: SparkSession, id: Long): DataFrame = {
     require(snapshots.contains(id), s"snapshot $id not committed")
-    spark.read.parquet(dataPathOf(id).toString)
+    require(!isSchemaOnly(id),
+      s"snapshot $id is a metadata-only (schema) commit — it has no data to read")
+    applyDrops(spark.read.parquet(dataPathOf(id).toString), id)
   }
 
   /** One relation over several snapshots with ADD-COLUMN schema evolution:
     * `mergeSchema` unions the per-snapshot parquet schemas, so rows written
     * before a column existed surface it as NULL — the Iceberg evolution
-    * contract. Every multi-snapshot read below goes through here (a plain
-    * multi-path read would silently project everything onto the FIRST
-    * file's schema, dropping later columns). */
+    * contract — and DROP-COLUMN projection (columns dropped at or below the
+    * newest requested id vanish from the relation). Every multi-snapshot
+    * read below goes through here (a plain multi-path read would silently
+    * project everything onto the FIRST file's schema, dropping later
+    * columns). Callers pass data ids only and apply [[applyDrops]] at their
+    * own asOf bound (a drop commit can be NEWER than the newest data id in
+    * the range, so the bound is the range end, not `ids.max`). */
   private def readMerged(spark: SparkSession, ids: Seq[Long]): DataFrame =
     spark.read.option("mergeSchema", "true")
       .parquet(ids.map(id => dataPathOf(id).toString): _*)
@@ -328,9 +409,9 @@ final class SnapshotStore(val root: String) {
     require(fromExclusive == 0L || fromExclusive >= wm,
       s"checkpoint $fromExclusive predates the compaction watermark $wm: " +
         "the retired snapshots were rewritten; restart from a full read (from=0)")
-    val ids = snapshots.filter(id => id > fromExclusive && id <= toInclusive)
-    require(ids.nonEmpty, s"no snapshots in ($fromExclusive, $toInclusive]")
-    readMerged(spark, ids)
+    val ids = dataSnapshots.filter(id => id > fromExclusive && id <= toInclusive)
+    require(ids.nonEmpty, s"no data snapshots in ($fromExclusive, $toInclusive]")
+    applyDrops(readMerged(spark, ids), toInclusive)
   }
 
   /** Column stats recorded for snapshot `id` at append time:
@@ -408,6 +489,7 @@ final class SnapshotStore(val root: String) {
       batchId: Long,
       statsCol: Option[String] = None): Option[Long] = {
     require(!appId.contains("\""), s"appId must not contain quotes: $appId")
+    requireNoDroppedNames(df)
     def fresh = !txnLastBatch(appId).exists(_ >= batchId)
     if (!fresh) return None // cheap pre-check before staging any data
     val stage = stageWrite(df)
@@ -473,9 +555,10 @@ final class SnapshotStore(val root: String) {
     require(fromExclusive == 0L || fromExclusive >= wm,
       s"checkpoint $fromExclusive predates the compaction watermark $wm: " +
         "the retired snapshots were rewritten; restart from a full read (from=0)")
-    val (kept, _) = pruneSnapshots(fromExclusive, toInclusive, col, lo, hi)
-    val all = snapshots.filter(id => id > fromExclusive && id <= toInclusive)
-    require(all.nonEmpty, s"no snapshots in ($fromExclusive, $toInclusive]")
+    val (kept0, _) = pruneSnapshots(fromExclusive, toInclusive, col, lo, hi)
+    val kept = kept0.filterNot(isSchemaOnly)
+    val all = dataSnapshots.filter(id => id > fromExclusive && id <= toInclusive)
+    require(all.nonEmpty, s"no data snapshots in ($fromExclusive, $toInclusive]")
     val paths = kept.flatMap { id =>
       pruneFiles(id, col, lo, hi) match {
         case Some((keepPaths, _)) => keepPaths
@@ -488,7 +571,7 @@ final class SnapshotStore(val root: String) {
       else // everything pruned: empty result with the table's schema
         spark.read.parquet(dataPathOf(all.head).toString)
           .where(org.apache.spark.sql.functions.lit(false))
-    base.where(s"$col BETWEEN $lo AND $hi")
+    applyDrops(base, toInclusive).where(s"$col BETWEEN $lo AND $hi")
   }
 
   /** Compact every live snapshot with id ≤ `upToInclusive` into ONE new
@@ -509,19 +592,30 @@ final class SnapshotStore(val root: String) {
     val inputs = snapshots.filter(_ <= upToInclusive)
     require(inputs.size >= 2,
       s"compaction needs >= 2 live snapshots <= $upToInclusive, found ${inputs.size}")
-    val merged = readMerged(spark, inputs)
+    val dataInputs = inputs.filterNot(isSchemaOnly)
+    require(dataInputs.nonEmpty,
+      s"compaction over <= $upToInclusive covers only metadata-only snapshots")
+    // the rewrite applies the CURRENT cumulative drop set — compaction is
+    // the step that removes dropped columns physically (Iceberg's model);
+    // the set is still carried in the replacement manifest so drops keep
+    // projecting any older non-compacted data and keep rejecting re-adds
+    val dropped = droppedColumns()
+    val merged = applyDrops(readMerged(spark, dataInputs), Long.MaxValue)
     val stage = stageWrite(merged)
-    // stats survive compaction when every input carries them for the same
-    // column: merged range = [min of mins, max of maxes] — no extra job
-    val inStats = inputs.map(snapshotStats)
+    // stats survive compaction when every data input carries them for the
+    // same column: merged range = [min of mins, max of maxes] — no extra job
+    val inStats = dataInputs.map(snapshotStats)
     val stats =
       if (inStats.forall(_.isDefined) && inStats.flatten.map(_._1).distinct.size == 1)
         Seq("stats_col" -> inStats.flatten.head._1,
           "stats_min" -> inStats.flatten.map(_._2).min.toString,
           "stats_max" -> inStats.flatten.map(_._3).max.toString)
       else Nil
+    val dropMeta =
+      if (dropped.isEmpty) Map.empty[String, String]
+      else Map("drop_cols" -> dropped.toSeq.sorted.mkString(","))
     val id = commitStaged(stage,
-      () => Map("replaces" -> inputs.mkString(",")) ++ globalTxns ++ stats,
+      () => Map("replaces" -> inputs.mkString(",")) ++ dropMeta ++ globalTxns ++ stats,
       () => inputs.forall(snapshots.contains))
       .getOrElse(throw new IllegalStateException(
         "compact aborted: an input snapshot was retired by a concurrent commit"))

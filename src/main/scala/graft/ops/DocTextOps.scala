@@ -458,26 +458,28 @@ object DocTextOps {
     * the DuckDB oracle replays it as the plain cumulative window it is
     * semantically.
     *
-    * No cache, no checkpoint: the range sample seed and the total sort key
-    * (n_tokens DESC, doc_id) are deterministic, so the offsets pass and
-    * the (lazy) result pass see IDENTICAL partitions even when computed
-    * independently — the result neither pins executor storage nor breaks
-    * on executor loss, at the price of sorting twice (the standard
-    * distributed prefix-sum trade). NULL text packs as 0 tokens. */
+    * Both passes run over ONE materialized RDD instance: RangePartitioner
+    * seeds its reservoir sample from rdd.id, so two separate plan
+    * executions could draw different range bounds (rows near a boundary
+    * would land in partitions the offsets weren't computed for). Sharing
+    * the instance makes the result pass reuse the offsets pass's shuffle
+    * output — identical partitions by construction, and the sort is paid
+    * once. NULL text packs as 0 tokens. */
   def packSequences(documents: DataFrame, budget: Long = 2048L): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val p = spark.sessionState.conf.numShufflePartitions
-    def parts = documents
+    val parts = documents
       .selectExpr("CAST(coalesce(size(split(text, ' ')), 0) AS BIGINT) AS n_tokens",
         "CAST(doc_id AS BIGINT) AS doc_id")
       .repartitionByRange(p, col("n_tokens").desc, col("doc_id").asc)
       .sortWithinPartitions(col("n_tokens").desc, col("doc_id").asc)
-    val partSums = parts.rdd
+      .rdd // single instance: both jobs below share its shuffle dependency
+    val partSums = parts
       .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.map(_.getLong(0)).sum)))
       .collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pid) = tokens before pid
-    val packed = parts.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val packed = parts.mapPartitionsWithIndex { (pid, it) =>
       var running = offsets(pid)
       it.map { r =>
         val t = r.getLong(0)
@@ -543,16 +545,17 @@ object DocTextOps {
         .groupBy("pr").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("pr").asc).limit(1)
         .collect().headOption
-      // bounded wait: the metric row can be absent or empty when the
-      // round collapsed to a local relation (tiny test corpora), and the
-      // unbounded get() would deadlock if the CollectMetrics node was
-      // optimized away entirely — either way the explicit-aggregation
-      // fallback below takes over
+      // bounded, thread-leak-free read: the collect() above already
+      // finished the action, so the metrics are either present now or will
+      // never fire (CollectMetrics optimized away on tiny local-relation
+      // corpora) — Observation.getOrEmpty waits ≤100ms and returns {} in
+      // that case, letting the explicit-aggregation fallback below take
+      // over. It is private[spark] at the Scala level but JVM-public, so
+      // it's invoked reflectively; the old Await(Future(obs.get)) leaked
+      // one permanently-blocked global-pool thread per timeout.
       val metrics: Map[String, Any] = try {
-        import scala.concurrent.duration._
-        scala.concurrent.Await.result(
-          scala.concurrent.Future(obs.get)(scala.concurrent.ExecutionContext.global),
-          30.seconds)
+        obs.getClass.getMethod("getOrEmpty").invoke(obs)
+          .asInstanceOf[Map[String, Any]]
       } catch { case _: Exception => Map.empty }
       def toksNow: Long = metrics.get("toks") match {
         case Some(l: java.lang.Long) => l.longValue()

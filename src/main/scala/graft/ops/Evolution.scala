@@ -1,0 +1,49 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.io.SnapshotStore
+
+/** Schema evolution exercised END TO END through a real [[SnapshotStore]] —
+  * the table-format analog of the reference's schema-on-read tolerance
+  * (`main.py:94-110` reads fields with defaults; an Iceberg-style table
+  * declares them and evolves them instead).
+  *
+  * The registered `d_schema_evolve` query drives the full lifecycle —
+  * append → ADD-COLUMN append → DROP-COLUMN (metadata-only commit) →
+  * compaction (carries the drop set, removes the column physically) →
+  * post-drop append — and returns the final read. The DuckDB oracle
+  * recomputes the expected relation directly from `documents`, so a store
+  * that leaks the dropped column (schema mismatch), loses the added column,
+  * or resurrects pre-drop values fails the driver gate, not just a unit
+  * test. */
+object Evolution {
+
+  /** Deterministic evolved-store round trip over the documents table.
+    * Batches split by `doc_id % 3`; `extra` exists only for batches 1 and 2
+    * (added after batch 0 — NULL there); `legacy` is dropped before the
+    * last append and must be absent from the final schema. */
+  def schemaEvolveRoundTrip(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val store = new SnapshotStore(
+      Files.createTempDirectory("graft-evolve-query").toString)
+    val base = documents.selectExpr(
+      "CAST(doc_id AS BIGINT) AS doc_id",
+      "CAST(doc_id * 3 + 1 AS BIGINT) AS v1",
+      "CAST(doc_id % 7 AS BIGINT) AS legacy")
+    store.append(base.where("doc_id % 3 = 0"))
+    store.append(base.where("doc_id % 3 = 1")
+      .withColumn("extra", expr("CAST(doc_id * 2 AS BIGINT)")))
+    val dropId = store.dropColumn(spark, "legacy")
+    // compaction folds the drop into the data files and carries the set
+    store.compact(spark, upToInclusive = dropId)
+    store.append(base.where("doc_id % 3 = 2").drop("legacy")
+      .withColumn("extra", expr("CAST(doc_id * 2 AS BIGINT)")))
+    store.readRange(spark, 0L, store.latest.get)
+      .select("doc_id", "v1", "extra")
+      .orderBy("doc_id")
+  }
+}

@@ -251,15 +251,20 @@ object Similarity {
   /** IVF (inverted-file) approximate nearest neighbors — the coarse-
     * quantizer scale path next to the hyperplane-LSH one:
     *
-    *  1. coarse cells: the first `nCells` vectors by id serve as centroids —
-    *     the deterministic, engine-reproducible stand-in for a k-means
-    *     training pass (any engine derives identical cells, which is what
-    *     lets the DuckDB oracle hash-match; swap in trained centroids at
-    *     will, the plan is unchanged);
+    *  1. coarse cells: seeded from the first `nCells` vectors by id, then
+    *     TRAINED with `trainIters` Lloyd rounds on the same 2^-20 integer
+    *     grid as [[kmeans]] (argmin squared distance, tie toward the
+    *     smaller cell index, update `SUM DIV COUNT`; a cell that loses all
+    *     members keeps its previous centroid so cell indices stay stable).
+    *     Integer arithmetic end to end, then one exact `/2^20` back to
+    *     DOUBLE — every round and the final centroids are bit-identical in
+    *     any engine, which is what lets the DuckDB oracle replay the
+    *     training and still hash-match. Training removes the "recall
+    *     depends on the first nCells vectors being spread out" failure
+    *     mode of raw id-seeded cells (r3 verdict #3);
     *  2. assignment: one codegen'd pass computes each row's argmax-cosine
-    *     cell against centroid LITERALS (collected once — `nCells` rows —
-    *     and inlined, so there is NO K× row blowup and NO shuffle to
-    *     assign);
+    *     cell against centroid LITERALS (k·dim doubles from the training
+    *     loop, inlined — NO K× row blowup and NO shuffle to assign);
     *  3. probe: each query searches its `nProbe` nearest cells; candidates
     *     come from an equi-join on cell id (shuffle keyed by cell, never
     *     all-pairs), exact cosine rerank, top-k per query.
@@ -268,27 +273,49 @@ object Similarity {
     * cell id.
     *
     * IVF is the DEFAULT ANN path (annLsh is the didactic sign-LSH
-    * baseline): at the default 32 cells / 3 probes it reranks ~9.4% of the
-    * corpus per query and measures 88–99% recall@5 on the test corpora
+    * baseline): at the default 32 cells / 3 probes it reranks ~9% of the
+    * corpus per query and measures ~90% recall@5 on the test corpora
     * (the oracle-checked `e_ann_recall` query keeps those numbers honest),
     * versus 31% at ~14% rerank for multi-probe sign-LSH. At production
-    * corpus sizes nCells scales like √n (trained centroids slot into the
-    * same plan), so the rerank fraction vanishes as n grows. */
+    * corpus sizes nCells scales like √n; the per-round training cost is
+    * one scan + one k·dim-row aggregation, nothing scales with the corpus
+    * on the driver. */
   def annIvf(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
-             nCells: Int = 32, nProbe: Int = 3): DataFrame = {
+             nCells: Int = 32, nProbe: Int = 3, trainIters: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents: Array[(Long, Array[Double])] = embeddings
-      .where(s"vec_id < $nCells")
-      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", s"${asDouble("embedding")} AS v")
-      .as[(Long, Array[Double])]
-      .collect().sortBy(_._1)
-    require(cents.nonEmpty, s"annIvf: corpus has no vec_id < $nCells to seed cells")
-    require(cents.length.toLong * cents.map(_._2.length).max <= (1L << 18),
+    val xs = embeddings.selectExpr(
+      "CAST(vec_id AS BIGINT) AS vec_id",
+      s"transform(${asDouble("embedding")}, e -> CAST(floor(e * 1048576) AS BIGINT)) AS x")
+    var grid: Array[Array[Long]] = xs.where(s"vec_id < $nCells")
+      .as[(Long, Array[Long])].collect().sortBy(_._1).map(_._2)
+    require(grid.nonEmpty, s"annIvf: corpus has no vec_id < $nCells to seed cells")
+    require(grid.length.toLong * grid.map(_.length).max <= (1L << 18),
       "annIvf: inlined centroid literals would exceed a sane expression size — " +
         "for this many cells/dims switch assignment to a broadcast join + argmax window")
+    for (_ <- 1 to trainIters) {
+      val ds = grid.map { m =>
+        val ml = m.mkString("array(", "L,", "L)")
+        s"aggregate(zip_with(x, $ml, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (p, q) -> p + q)"
+      }.mkString("array(", ",", ")")
+      val upd: Map[Int, Array[Long]] = xs
+        .selectExpr("x", s"$ds AS dists")
+        .selectExpr("x", "CAST(array_position(dists, array_min(dists)) - 1 AS INT) AS cl")
+        .selectExpr("cl", "posexplode(x) AS (pos, xv)")
+        .groupBy("cl", "pos").agg(expr("SUM(xv) DIV COUNT(*)").as("m"))
+        .collect()
+        .groupBy(_.getInt(0)).map { case (cl, rs) =>
+          val m = new Array[Long](grid.head.length)
+          rs.foreach(r => m(r.getInt(1)) = r.getLong(2))
+          cl -> m
+        }
+      grid = grid.indices.map(i => upd.getOrElse(i, grid(i))).toArray
+    }
+    // /2^20 is a power-of-two division: exact in DOUBLE, so the literal the
+    // executors parse equals what any engine derives from the same rounds
+    val cents: Array[Array[Double]] = grid.map(_.map(_ / 1048576.0))
     def lit(d: Double) = s"CAST('$d' AS DOUBLE)"
-    val simArray = cents.map { case (_, cv) =>
+    val simArray = cents.map { cv =>
       val norm = math.sqrt(cv.map(x => x * x).sum)
       val cl = s"array(${cv.map(lit).mkString(",")})"
       s"(${dotExpr(cl, "v")} / (nv * ${lit(norm)}))"

@@ -57,6 +57,27 @@ final class PartitionStatsAcc
   */
 object Pipeline {
 
+  /** Monster-conversation budget for the per-conversation fold paths. One
+    * conversation is the memory unit of the fold (mirroring the reference's
+    * all-pages-of-one-PDF bound, `ocr_processor.py:247`): a conversation
+    * whose buffered pages exceed these limits fails LOUDLY with its conv_id
+    * and a pointer to the salted `--two-stage` route instead of OOMing an
+    * executor 40 hours into a 10^12-turn job. Chars, not bytes: JVM strings
+    * cost ≥2 bytes/char, so 256M chars ≈ 0.5–1 GiB of heap in one task —
+    * already the red line for a default 4 GiB executor. */
+  val DefaultMaxConvPages: Int = 1000000
+  val DefaultMaxConvChars: Long = 256L * 1024 * 1024
+
+  private[graft] def guardConv(cid: String, nPages: Int, nChars: Long,
+                               maxPages: Int, maxChars: Long): Unit = {
+    if (nPages > maxPages || nChars > maxChars)
+      throw new IllegalStateException(
+        s"conversation $cid exceeds the single-task fold budget " +
+          s"($nPages pages / $nChars chars buffered; limits $maxPages pages / " +
+          s"$maxChars chars) — route monster conversations through the salted " +
+          "two-stage path (SubmitMain --two-stage) or raise the budget")
+  }
+
   /** Stage A: per-turn payload extraction. Salted repartition — partition key
     * includes turn_idx so a hot conversation cannot straggle extraction.
     * With `stats` set, per-partition (rows, rows, errors) are accumulated in
@@ -121,7 +142,9 @@ object Pipeline {
   private[graft] final class GroupFold(
       it: Iterator[(String, Int, String, String)],
       rulesFor: String => Seq[Rule],
-      extractPage: (String, String) => String
+      extractPage: (String, String) => String,
+      maxConvPages: Int = DefaultMaxConvPages,
+      maxConvChars: Long = DefaultMaxConvChars
   ) extends Iterator[ConvSegment] {
     private var pending: Iterator[ConvSegment] = Iterator.empty
     private var lookahead: (String, Int, String, String) = _
@@ -134,12 +157,18 @@ object Pipeline {
       val cid = first._1
       val pages = Vector.newBuilder[String]
       var lastIdx = Int.MinValue
+      var nPages = 0
+      var nChars = 0L
       var cur = first
       var done = false
       while (!done) {
         require(cur._2 > lastIdx, s"turn ordering violated in $cid: ${cur._2} after $lastIdx")
         lastIdx = cur._2
-        pages += extractPage(cur._3, cur._4)
+        val page = extractPage(cur._3, cur._4)
+        nPages += 1
+        nChars += page.length.toLong
+        guardConv(cid, nPages, nChars, maxConvPages, maxConvChars)
+        pages += page
         if (it.hasNext) {
           val nxt = it.next()
           if (nxt._1 == cid) cur = nxt
@@ -258,11 +287,18 @@ object Pipeline {
         if (!ts.hasNext) Iterator.empty
         else {
           var errs = 0L
-          val pages = ts.toVector.sortBy(_._2).map { t =>
+          var nChars = 0L
+          val buf = Vector.newBuilder[(Int, String)]
+          var n = 0
+          ts.foreach { t =>
             val (ex, err) = Extractor.safeExtract(t._3, t._4)
             if (err) { errorCounter.foreach(_.add(1L)); errs += 1 }
-            ex.text
+            n += 1
+            nChars += ex.text.length.toLong
+            guardConv(cid, n, nChars, DefaultMaxConvPages, DefaultMaxConvChars)
+            buf += ((t._2, ex.text))
           }
+          val pages = buf.result().sortBy(_._1).map(_._2)
           val rows = Demarcator.demarcate(pages, rs.map(toCoreRule).toSeq)
           // per-group accumulator add (locally merged until task end): the
           // demarcation output is materialized, so counts are final here
@@ -278,20 +314,36 @@ object Pipeline {
       }
   }
 
-  /** Routes between the two fused single-shuffle paths by rule-corpus size:
-    * at or below `broadcastRuleLimit` rules the corpus is collected once and
-    * broadcast ([[segmentFused]] — cheapest, no shuffle of the rules); above
-    * it, rules stay distributed and cogroup with the turns
-    * ([[segmentFusedCogroup]]). The count is one cheap action against a
-    * table that is tiny relative to the turns. */
+  /** Routes between the two fused single-shuffle paths by rule-corpus SIZE
+    * IN BYTES as well as count: at or below both limits the corpus is
+    * collected once and broadcast ([[segmentFused]] — cheapest, no shuffle
+    * of the rules); above either, rules stay distributed and cogroup with
+    * the turns ([[segmentFusedCogroup]]). The byte gate matters because a
+    * row-count gate alone would let 10^5 rules × 10 KB identifier strings
+    * collect gigabytes to the driver; the estimate (2 bytes/char JVM
+    * strings + per-row overhead) comes from the same single cheap
+    * aggregation as the count — one action against a table that is tiny
+    * relative to the turns. */
   def segmentAuto(
       turns: Dataset[Turn],
       rules: Dataset[ConvRule],
       buckets: Int = 0,
       broadcastRuleLimit: Long = 1000000L,
-      stats: Option[PartitionStatsAcc] = None
+      stats: Option[PartitionStatsAcc] = None,
+      broadcastByteLimit: Long = 256L << 20
   ): Dataset[ConvSegment] = {
-    if (rules.count() <= broadcastRuleLimit) {
+    import org.apache.spark.sql.types.StringType
+    val strCols = rules.schema.fields.filter(_.dataType == StringType)
+      .map(f => s"length(coalesce(`${f.name}`, ''))")
+    val perRowHeap =
+      if (strCols.isEmpty) "CAST(96 AS BIGINT)"
+      else s"CAST(2 * (${strCols.mkString(" + ")}) + 96 AS BIGINT)"
+    val sz = rules.toDF()
+      .selectExpr(s"$perRowHeap AS sz")
+      .selectExpr("CAST(count(*) AS BIGINT) AS n", "CAST(coalesce(sum(sz), 0) AS BIGINT) AS heap")
+      .head()
+    val (n, heap) = (sz.getLong(0), sz.getLong(1))
+    if (n <= broadcastRuleLimit && heap <= broadcastByteLimit) {
       val spark = turns.sparkSession
       val ruleMap = rules.collect().groupBy(_.conv_id)
         .map { case (k, v) => k -> v.toSeq.map(toCoreRule) }

@@ -1,0 +1,92 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+import graft.pipeline.Pipeline
+
+/** Trained-IVF robustness (r3 verdict #3): id-seeded cells fail when the
+  * first nCells vectors happen to be clustered; Lloyd-trained cells must
+  * not. The fixture is exactly that adversarial corpus — every seed id
+  * drawn from ONE cluster — plus a shuffled-id corpus for the general
+  * case. Also home of the monster-conversation fold guard trip test. */
+class AnnTrainSpec extends AnyFunSuite with SparkFixture {
+
+  private val dim = 8
+  private val nClusters = 8
+  private val perCluster = 30
+
+  /** Well-separated cluster centers: near-one on the own axis, small
+    * deterministic floor elsewhere. */
+  private def center(c: Int, d: Int): Double =
+    if (d == c) 0.9 else 0.05 + 0.01 * ((c * 7 + d) % 3)
+
+  /** Deterministic jitter in [-0.03, 0.03]. */
+  private def jit(c: Int, m: Int, d: Int): Double =
+    0.01 * (((c * 31 + m * 17 + d * 13) % 7) - 3)
+
+  private def vec(c: Int, m: Int): Array[Float] =
+    Array.tabulate(dim)(d => (center(c, d) + jit(c, m, d)).toFloat)
+
+  /** Corpus with an id assignment chosen by `idOf(cluster, member)`. */
+  private def corpus(idOf: (Int, Int) => Int) = {
+    import spark.implicits._
+    (for (c <- 0 until nClusters; m <- 0 until perCluster)
+      yield (idOf(c, m).toLong, vec(c, m), s"c$c"))
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  private def recallPpm(emb: org.apache.spark.sql.DataFrame, trainIters: Int): Long = {
+    val truth = Similarity.knnBruteForce(emb, nQueries = 20, k = 5)
+      .select("query_id", "neighbor_id")
+    val ann = Similarity
+      .annIvf(emb, nQueries = 20, k = 5, nCells = 8, nProbe = 2, trainIters = trainIters)
+      .select("query_id", "neighbor_id")
+    val hits = truth.join(ann, Seq("query_id", "neighbor_id")).count()
+    hits * 1000000L / truth.count()
+  }
+
+  test("adversarial seeds (all from one cluster): training does not lower recall") {
+    // ids 0..29 = cluster 0 (so every one of the 8 seed ids AND most query
+    // ids sit in one tight cluster); remaining clusters fill the id space
+    val emb = corpus((c, m) => c * perCluster + m)
+    val untrained = recallPpm(emb, trainIters = 0)
+    val trained = recallPpm(emb, trainIters = 2)
+    assert(trained >= untrained,
+      s"training regressed recall: untrained=$untrained trained=$trained")
+    assert(trained >= 800000L, s"trained recall too low: $trained ppm")
+  }
+
+  test("shuffled ids: trained recall holds up and cells stop being degenerate") {
+    // deterministic pseudo-shuffle of ids — seed quality is "luck"
+    val n = nClusters * perCluster
+    val perm = (0 until n).sortBy(i => (i * 131 + 17) % n * n + i)
+    val idx = perm.zipWithIndex.map { case (orig, shuf) => orig -> shuf }.toMap
+    val emb = corpus((c, m) => idx(c * perCluster + m))
+    val untrained = recallPpm(emb, trainIters = 0)
+    val trained = recallPpm(emb, trainIters = 2)
+    assert(trained >= untrained,
+      s"training regressed recall: untrained=$untrained trained=$trained")
+    assert(trained >= 800000L, s"trained recall too low: $trained ppm")
+  }
+
+  test("monster conversation trips the fold budget loudly, with the conv_id") {
+    val turns = Iterator.tabulate(5)(i => ("conv-monster", i, "raw", "x" * 10))
+    val fold = new Pipeline.GroupFold(turns, _ => Nil, (_, t) => t,
+      maxConvPages = 3, maxConvChars = 1000000L)
+    val e = intercept[IllegalStateException](fold.toVector)
+    assert(e.getMessage.contains("conv-monster"))
+    assert(e.getMessage.contains("--two-stage"))
+    // char budget trips independently of the page budget
+    val turns2 = Iterator.tabulate(2)(i => ("conv-fat", i, "raw", "y" * 600))
+    val fold2 = new Pipeline.GroupFold(turns2, _ => Nil, (_, t) => t,
+      maxConvPages = 100, maxConvChars = 1000L)
+    val e2 = intercept[IllegalStateException](fold2.toVector)
+    assert(e2.getMessage.contains("conv-fat"))
+    // a conversation inside both budgets folds normally
+    val ok = new Pipeline.GroupFold(
+      Iterator.tabulate(3)(i => ("conv-ok", i, "raw", "z")), _ => Nil, (_, t) => t,
+      maxConvPages = 3, maxConvChars = 1000L)
+    assert(ok.toVector.isEmpty) // no rules → no segment rows, but no throw
+  }
+}

@@ -84,6 +84,27 @@ class OpsGuardSpec extends AnyFunSuite with SparkFixture {
     assert(ok.length == 1 && ok.head.getAs[Long]("n_events") == 3L)
   }
 
+  test("segmentAuto routes fat rule corpora to cogroup by ESTIMATED BYTES, not count") {
+    import graft.gen.SyntheticTranscripts
+    import graft.pipeline.Pipeline
+    val turns = SyntheticTranscripts.turns(spark, 30L, 42L)
+    val rules = SyntheticTranscripts.rules(spark, 30L, 42L)
+    def planOf(byteLimit: Long) =
+      Pipeline.segmentAuto(turns, rules, broadcastByteLimit = byteLimit)
+    // a handful of rules is far under the count gate either way; only the
+    // byte gate separates the two routes
+    val fat = planOf(byteLimit = 1L)
+    assert(fat.queryExecution.executedPlan.toString.contains("CoGroup"),
+      "1-byte broadcast budget must route to the cogroup path")
+    val thin = planOf(byteLimit = 256L << 20)
+    assert(!thin.queryExecution.executedPlan.toString.contains("CoGroup"),
+      "small corpus under both gates must take the broadcast path")
+    // and the routing can never change results
+    val a = fat.collect().sortBy(s => (s.conv_id, s.Sequence))
+    val b = thin.collect().sortBy(s => (s.conv_id, s.Sequence))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("annLsh fails loudly on embeddings wider than the precomputed hyperplanes") {
     import spark.implicits._
     val wide = (0L until 5L).map(i => (i, Array.fill(300)(0.5f), "a"))
