@@ -116,9 +116,13 @@ object SparkEntry {
     // transcript pipeline (core-oracle checked in sbt test; rows-only here)
     "t_extract" -> ((s, d) => {
       val n = graft.gen.SyntheticTranscripts.convsForSfDir(d)
+      // ordered because the golden-parquet oracle compares positionally
+      // (EliminateSorts drops the sort under Bench's count(), so the
+      // benchmark cost profile is unchanged)
       Pipeline.extract(graft.gen.SyntheticTranscripts.turns(s, n)).toDF()
         .selectExpr("conv_id", "turn_idx", "role", "tool", "text",
           "size(span_starts) AS n_spans", "error")
+        .orderBy("conv_id", "turn_idx")
     }),
     // passthrough subset of the extraction output — reference semantics are
     // IDENTITY with one full-payload span (Extractor.scala:28, mirroring
@@ -134,8 +138,24 @@ object SparkEntry {
           "span_starts[0] AS span_start", "span_ends[0] AS span_end", "error")
         .orderBy("conv_id", "turn_idx")
     }),
+    // the HTML/PDF PARSER KERNELS against a frozen golden parquet — the
+    // last driver blind spot (r3 verdict #3): a FIXED 150-conv fixture
+    // (sf-independent, seed 42) is extracted and compared value-for-value
+    // (text + char spans) against golden/extract_parsers/, regenerated only
+    // by tools/freeze_parser_golden.sh when kernel behavior deliberately
+    // changes. Reference analog: the per-page text artifacts the service
+    // writes for every document (main.py:201-207).
+    "t_extract_parsers" -> ((s, _) =>
+      Pipeline.extract(graft.gen.SyntheticTranscripts.turns(s, 150L)).toDF()
+        .where("tool IN ('html', 'pdf')")
+        .selectExpr("conv_id", "turn_idx", "tool", "text",
+          "CAST(size(span_starts) AS INT) AS n_spans",
+          "concat_ws(',', span_starts) AS span_starts_csv",
+          "concat_ws(',', span_ends) AS span_ends_csv", "error")
+        .orderBy("conv_id", "turn_idx")),
     "t_segment" -> ((s, d) =>
-      Pipeline.run(s, graft.gen.SyntheticTranscripts.convsForSfDir(d)).toDF()),
+      Pipeline.run(s, graft.gen.SyntheticTranscripts.convsForSfDir(d)).toDF()
+        .orderBy("conv_id", "Sequence")),
     "t_xml" -> ((s, d) =>
       Pipeline.renderXml(Pipeline.run(s, math.min(50L, graft.gen.SyntheticTranscripts.convsForSfDir(d))))
         .toDF("conv_id", "xml")),
@@ -537,6 +557,30 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN error THEN 1 ELSE 0 END) AS BIGINT) AS errors
         |FROM read_parquet('__VERIFY_OUT__/t_extract/*.parquet')""".stripMargin,
     "t_xml" -> xmlOracle,
+    // dump-vs-golden for the flagship extraction + segmentation queries:
+    // the oracle IS the frozen pipeline output (values byte-for-byte), so
+    // behavior drift goes red at the driver gate instead of only in sbt
+    // test. These two goldens are bound to the driver's gate SF (sf0.01 →
+    // convsForSfDir count) and regenerated ONLY by
+    // tools/freeze_parser_golden.sh when semantics deliberately change;
+    // the underlying kernels' correctness is separately established by the
+    // hand-verified + reference-generated goldens in sbt test.
+    "t_extract" ->
+      """SELECT conv_id, turn_idx, role, tool, text, n_spans, error
+        |FROM read_parquet('/root/repo/golden/extract_full/*.parquet')
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+    "t_segment" ->
+      """SELECT conv_id, DocReceivedId, FromPageNumber, ToPageNumber,
+        |  FileNumber, DocumentTypeId, UploadDataSheetId, TotalNumberOfpages,
+        |  NoOfPages, Sequence, SessionId
+        |FROM read_parquet('/root/repo/golden/segments/*.parquet')
+        |ORDER BY conv_id, Sequence""".stripMargin,
+    // parser-kernel subset at a FIXED 150-conv fixture (sf-independent)
+    "t_extract_parsers" ->
+      """SELECT conv_id, turn_idx, tool, text, n_spans,
+        |  span_starts_csv, span_ends_csv, error
+        |FROM read_parquet('/root/repo/golden/extract_parsers/*.parquet')
+        |ORDER BY conv_id, turn_idx""".stripMargin,
     "t_extract_passthrough" ->
       """SELECT conv_id, turn_idx, tool, text,
         |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE 1 END AS INT) AS n_spans,

@@ -8,7 +8,10 @@ import graft.core.text.PyText
   * (`main.py:232-236`) are optional.
   */
 final case class Rule(
-    documentTypeId: String = "",
+    // Option: the reference emits the raw `identifier.get("DocumentTypeID")`
+    // — None when the key is absent (`ocr_processor.py:496`), not "" — and
+    // the XML layer is what maps None → "" (`data_models.py:22`)
+    documentTypeId: Option[String] = None,
     documentTypeName: String = "",
     startingIdentifier: String = "",
     startingIdentifierPlus1: String = "",
@@ -243,7 +246,7 @@ object Demarcator {
         FromPageNumber = fromPage,
         ToPageNumber = toPage,
         FileNumber = r.firmFile,
-        DocumentTypeId = Some(r.documentTypeId),
+        DocumentTypeId = r.documentTypeId,
         UploadDataSheetId = r.uploadDatasheetId,
         TotalNumberOfpages = doc.total,
         NoOfPages = if (fromPage > 0 && toPage > 0) toPage - fromPage + 1 else 0,

@@ -253,8 +253,11 @@ object PyText {
   }
 
   /** `int(v.strip() or 0)` for the stringly-typed rule offsets
-    * (`ocr_processor.py:457-458`). ASCII digits, optional sign, Python's
-    * inter-digit underscores; anything else throws (as `int()` would). */
+    * (`ocr_processor.py:457-458`). Any Unicode DECIMAL digit (category Nd —
+    * CPython accepts e.g. U+0660 ARABIC-INDIC THREE and mixes scripts
+    * freely; probed: `int("١2") == 12`), optional sign, Python's
+    * inter-digit underscores; anything else throws (as `int()` would —
+    * superscripts and roman numerals are No/Nl, not Nd, and fail in both). */
   def parseIntish(v: String): Int = {
     val s = pyStrip(v)
     if (s.isEmpty) return 0
@@ -265,12 +268,16 @@ object PyText {
     var acc = 0L
     var prevDigit = false
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (c >= '0' && c <= '9') { acc = acc * 10 + (c - '0'); prevDigit = true }
-      else if (c == '_' && prevDigit && i + 1 < s.length) prevDigit = false
+      val cp = s.codePointAt(i) // supplementary-plane Nd digits included
+      // Character.digit(cp, 10) resolves Nd digits of every script; -1 for
+      // everything else (it only maps a-z/A-Z at radix > 10)
+      val d = Character.digit(cp, 10)
+      val w = Character.charCount(cp)
+      if (d >= 0) { acc = acc * 10 + d; prevDigit = true }
+      else if (cp == '_' && prevDigit && i + w < s.length) prevDigit = false
       else throw new NumberFormatException(v)
       if (acc > Int.MaxValue) throw new NumberFormatException(v)
-      i += 1
+      i += w
     }
     if (neg) -acc.toInt else acc.toInt
   }

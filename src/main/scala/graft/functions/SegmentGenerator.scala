@@ -150,7 +150,7 @@ case class SegmentRowsGenerator(turns: Expression, rules: Expression)
     val coreRules = (0 until rArr.numElements()).map { i =>
       val row = rArr.getStruct(i, rulesSchema.length)
       Rule(
-        documentTypeId = str(row, "DocumentTypeID", ""),
+        documentTypeId = strOpt(row, "DocumentTypeID"),
         documentTypeName = str(row, "DocumentTypeName", ""),
         startingIdentifier = str(row, "StartingIdentifier", ""),
         startingIdentifierPlus1 = str(row, "StartingIdentifierPlus1", ""),

@@ -116,7 +116,9 @@ object Pipeline {
   }
 
   def toCoreRule(r: ConvRule): Rule = Rule(
-    documentTypeId = r.DocumentTypeID,
+    // NULL column (absent field) stays None, mirroring the reference's
+    // `identifier.get("DocumentTypeID")` (ocr_processor.py:496)
+    documentTypeId = Option(r.DocumentTypeID),
     documentTypeName = r.DocumentTypeName,
     startingIdentifier = r.StartingIdentifier,
     startingIdentifierPlus1 = r.StartingIdentifierPlus1,

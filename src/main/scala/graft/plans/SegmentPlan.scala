@@ -301,7 +301,8 @@ object SegmentJoinExec {
   private[plans] def rowToRule(row: InternalRow): Rule = {
     def s(i: Int): String = if (row.isNullAt(i)) "" else row.getUTF8String(i).toString
     Rule(
-      documentTypeId = s(1),
+      // NULL stays None (reference: `identifier.get("DocumentTypeID")`)
+      documentTypeId = if (row.isNullAt(1)) None else Some(row.getUTF8String(1).toString),
       documentTypeName = s(2),
       startingIdentifier = s(3),
       startingIdentifierPlus1 = s(4),

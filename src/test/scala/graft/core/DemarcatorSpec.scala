@@ -16,7 +16,7 @@ class DemarcatorSpec extends AnyFunSuite {
   import GoldenJson._
 
   private def decodeRule(n: JsonNode): Rule = Rule(
-    documentTypeId = n.get("DocumentTypeID").asText(),
+    documentTypeId = optStr(n, "DocumentTypeID"),
     documentTypeName = n.get("DocumentTypeName").asText(),
     startingIdentifier = n.get("StartingIdentifier").asText(),
     startingIdentifierPlus1 = n.get("StartingIdentifierPlus1").asText(),
@@ -66,7 +66,7 @@ class DemarcatorSpec extends AnyFunSuite {
         Seq.fill(1 + rng.nextInt(6))(words(rng.nextInt(words.size))).mkString(" "))
       val rules = (1 to 1 + rng.nextInt(5)).map { s =>
         Rule(
-          documentTypeId = s"DT$s",
+          documentTypeId = Some(s"DT$s"),
           startingIdentifier = if (rng.nextBoolean()) words(rng.nextInt(words.size)) else "",
           startingIdentifierPlus1 = if (rng.nextInt(4) == 0) words(rng.nextInt(words.size)) else "",
           endingIdentifier = if (rng.nextBoolean()) words(rng.nextInt(words.size)) else "",

@@ -60,6 +60,17 @@ class PyTextSpec extends AnyFunSuite {
     assert(PyText.parseIntish(" -12 ") == -12)
     assert(PyText.parseIntish("+7") == 7)
     assert(PyText.parseIntish("1_0") == 10)
+    // CPython accepts any Unicode DECIMAL digit (Nd), mixing scripts —
+    // probed in-sandbox: int("٣")==3, int("١2")==12, int("۴۲")==42,
+    // int("1_٢")==12; superscript ³ (No) and roman Ⅻ (Nl) raise
+    assert(PyText.parseIntish("٣") == 3) // U+0663 ARABIC-INDIC THREE
+    assert(PyText.parseIntish("١2") == 12) // mixed-script
+    assert(PyText.parseIntish("۴۲") == 42) // EXTENDED ARABIC-INDIC
+    assert(PyText.parseIntish("-٣") == -3)
+    assert(PyText.parseIntish("1_٢") == 12)
+    assert(PyText.parseIntish(new String(Character.toChars(0x104A1))) == 1) // OSMANYA (supplementary Nd)
+    intercept[NumberFormatException](PyText.parseIntish("³")) // superscript
+    intercept[NumberFormatException](PyText.parseIntish("Ⅻ")) // roman Ⅻ
     intercept[NumberFormatException](PyText.parseIntish("x"))
     intercept[NumberFormatException](PyText.parseIntish("1.5"))
     intercept[NumberFormatException](PyText.parseIntish("-"))

@@ -12,11 +12,11 @@ class ContractSpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"orphan oracle keys: ${o -- q}")
   }
 
-  test("only the extraction-kernel queries are rows-only") {
+  test("every registered query carries an oracle (zero rows-only queries)") {
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
-    assert((q -- o) == Set("t_extract", "t_segment"),
-      s"unexpected rows-only queries: ${q -- o -- Set("t_extract", "t_segment")}")
+    assert((q -- o) == Set.empty,
+      s"unexpected rows-only queries: ${q -- o}")
   }
 
   test("dump-reading oracles only reference dumps that Verify actually writes") {

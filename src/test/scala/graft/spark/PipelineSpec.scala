@@ -198,7 +198,7 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       Turn("conv-huge", i, "user", if (i == marker) "zq start here" else s"filler text $i", "",
         new java.sql.Timestamp(SyntheticTranscripts.BaseEpochMs + i))))
     val rule = graft.core.seg.Rule(
-      documentTypeId = "BIG", startingIdentifier = "zq start here",
+      documentTypeId = Some("BIG"), startingIdentifier = "zq start here",
       sequence = Some("1"), docReceivedId = Some(1L))
     val bc = spark.sparkContext.broadcast(Map("conv-huge" -> Seq(rule)))
     val segs = Pipeline.segmentFused(turns, bc).collect()

@@ -186,6 +186,11 @@ def rule(seq, **kw):
         "UploadDatasheetid": kw.get("uds", 77),
         "SessionId": kw.get("sess", None),
     }
+    if kw.get("no_dtid"):
+        # absent key: the reference's `identifier.get("DocumentTypeID")`
+        # (ocr_processor.py:496) then emits None, not "" — the row must
+        # carry null end to end (the XML layer is what maps None -> "")
+        del r["DocumentTypeID"]
     return r
 
 def pages_fixture():
@@ -333,6 +338,12 @@ case("mix_corpus_shapes", P + ["appendix A", "appendix B"], [
 # zero-length doc guard: empty id strings only
 case("all_empty_ids_fixed", P, [rule(1, npages=3)])
 case("no_ids_no_npages", P, [rule(1)])  # start=page1, no end ids -> doc end
+# absent DocumentTypeID: the emitted row's DocumentTypeId is None (null),
+# not "" — nullability fidelity at the SegmentRow level (r3 verdict #8)
+case("missing_dtid", P, [
+    rule(1, start="Begin Alpha Section", end="Close Alpha Section", no_dtid=True),
+    rule(2, start="Begin Beta Report", npages=1),
+])
 
 # real rule-corpus shapes (SURVEY §5.1): the ACTUAL Sample2/Sample5
 # Identifier payloads (13-rule doc, pipe alternatives, Occurence:2,
