@@ -53,7 +53,9 @@ object Scaling {
 
   final case class Result(nConvs: Long, nTurns: Long, levels: Vector[Level],
                           pinnedTo: Int = 0,
-                          rounds: Vector[Vector[Level]] = Vector.empty) {
+                          rounds: Vector[Vector[Level]] = Vector.empty,
+                          probeBestMs: Double = -1.0,
+                          probeGatedWaits: Int = 0) {
     /** Scaling efficiency between two measured levels:
       * (tps_hi / tps_lo) / (cpus_hi / cpus_lo). */
     def efficiencyBetween(lo: Int, hi: Int): Option[Double] =
@@ -101,6 +103,7 @@ object Scaling {
       s"""{"n_convs":$nConvs,"n_turns":$nTurns,"levels":$ls,"efficiency":${f"$efficiency%.3f"},""" +
         s""""efficiency_min_based":${f"$efficiencyMinBased%.3f"},"bursts":${rounds.length},""" +
         s""""efficiency_trajectory":$byRound,""" +
+        s""""noise_probe":{"best_ms":${f"$probeBestMs%.1f"},"gated_waits":$probeGatedWaits},""" +
         s""""occupancy_pinned_to_cores":$pinnedTo}"""
     }
   }
@@ -422,6 +425,8 @@ object Scaling {
       if (pairIdx == 0) first else math.max(1, first / 2)
     }
 
+    private var gatedWaits = 0
+
     // wait (bounded) for the interference probe to read clean before
     // spending timed reps; proceed regardless once the wait is up
     private def awaitCleanWindow(maxWaitMs: Long): Unit = {
@@ -431,8 +436,10 @@ object Scaling {
         waited = true
         Thread.sleep(2000)
       }
-      if (waited)
+      if (waited) {
+        gatedWaits += 1
         System.err.println(f"[scaling] noise probe: waited for a clean window (best ${probe.bestMs}%.1fms)")
+      }
     }
 
     /** Another pulse is still useful and fits the budget: minima not yet
@@ -469,7 +476,9 @@ object Scaling {
       * Valid after `close()` — levels snapshot from the last pair. */
     def result(): Option[Result] =
       pairResults.lastOption.map(levels =>
-        Result(nConvs, nTurns, levels, ballastTo, pairResults.toVector))
+        Result(nConvs, nTurns, levels, ballastTo, pairResults.toVector,
+          probeBestMs = if (probe != null) probe.bestMs else -1.0,
+          probeGatedWaits = gatedWaits))
 
     def close(): Unit = synchronized {
       children.foreach(c => try c.close() catch { case _: Throwable => })
