@@ -293,13 +293,19 @@ object SparkEntry {
   /** 60-bit hash: first 15 md5 hex chars (sign-safe in every engine). */
   private def dh60(col: String) = s"(('0x' || substr(md5($col), 1, 15))::BIGINT)"
 
+  /** Squared integer-grid distance on the 2^-20 fixed-point grid — the ONE
+    * arithmetic both Lloyd replays ([[kmeansOracle]], [[annIvfOracle]])
+    * must mirror bit-exactly against the Spark side; shared so a future
+    * grid/fold change cannot desynchronize one replay from the other. */
+  private def dLloydDist(x: String, m: String, dim: Int) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), [($x[i]-$m[i])*($x[i]-$m[i]) for i in range(1, ${dim + 1})]), (a,b) -> a+b)"
+
   /** Replays every Lloyd round of [[Similarity.kmeans]] on the same 2^-20
     * integer grid with the same truncating division — engine-exact, so the
     * hash matches bit-for-bit (a float k-means could not be oracled). */
   private def kmeansOracle: String = {
     val k = 8; val iters = 3; val dim = 64
-    def dist(x: String, m: String) =
-      s"list_reduce(list_prepend(CAST(0 AS BIGINT), [($x[i]-$m[i])*($x[i]-$m[i]) for i in range(1, ${dim + 1})]), (a,b) -> a+b)"
+    def dist(x: String, m: String) = dLloydDist(x, m, dim)
     val sb = new StringBuilder
     sb ++= "WITH x AS (SELECT CAST(vec_id AS BIGINT) vec_id, [CAST(floor(v::DOUBLE * 1048576) AS BIGINT) for v in embedding] AS x FROM embeddings),\n"
     sb ++= s"c0 AS (SELECT CAST(vec_id AS BIGINT) cl, x AS m FROM x WHERE vec_id < $k)"
@@ -489,8 +495,7 @@ object SparkEntry {
     // constants mirror Similarity.annIvf's defaults (32 cells, 3 probes,
     // 2 training rounds); dim 64 matches the driver testdata (as e_kmeans)
     val (nCells, nProbe, nQ, k, trainIters, dim) = (32, 3, 20, 5, 2, 64)
-    def dist(x: String, m: String) =
-      s"list_reduce(list_prepend(CAST(0 AS BIGINT), [($x[i]-$m[i])*($x[i]-$m[i]) for i in range(1, ${dim + 1})]), (a,b) -> a+b)"
+    def dist(x: String, m: String) = dLloydDist(x, m, dim)
     val train = new StringBuilder
     train ++= s"xg AS (SELECT vec_id, [CAST(floor(e * 1048576) AS BIGINT) for e in v] AS x FROM base),\n"
     train ++= s"t0 AS (SELECT vec_id AS cl, x AS m FROM xg WHERE vec_id < $nCells)"
@@ -567,19 +572,19 @@ object SparkEntry {
     // hand-verified + reference-generated goldens in sbt test.
     "t_extract" ->
       """SELECT conv_id, turn_idx, role, tool, text, n_spans, error
-        |FROM read_parquet('/root/repo/golden/extract_full/*.parquet')
+        |FROM read_parquet('__REPO__/golden/extract_full/*.parquet')
         |ORDER BY conv_id, turn_idx""".stripMargin,
     "t_segment" ->
       """SELECT conv_id, DocReceivedId, FromPageNumber, ToPageNumber,
         |  FileNumber, DocumentTypeId, UploadDataSheetId, TotalNumberOfpages,
         |  NoOfPages, Sequence, SessionId
-        |FROM read_parquet('/root/repo/golden/segments/*.parquet')
+        |FROM read_parquet('__REPO__/golden/segments/*.parquet')
         |ORDER BY conv_id, Sequence""".stripMargin,
     // parser-kernel subset at a FIXED 150-conv fixture (sf-independent)
     "t_extract_parsers" ->
       """SELECT conv_id, turn_idx, tool, text, n_spans,
         |  span_starts_csv, span_ends_csv, error
-        |FROM read_parquet('/root/repo/golden/extract_parsers/*.parquet')
+        |FROM read_parquet('__REPO__/golden/extract_parsers/*.parquet')
         |ORDER BY conv_id, turn_idx""".stripMargin,
     "t_extract_passthrough" ->
       """SELECT conv_id, turn_idx, tool, text,

@@ -52,10 +52,22 @@ object Verify {
     // Oracles over OTHER queries' dumps (t_consolidate vs the t_extract
     // parquet, t_xml vs t_segment, …) carry a __VERIFY_OUT__ placeholder —
     // resolved here to the absolute dump dir, since only Verify knows it.
-    // All dumps complete above before the driver runs any oracle SQL.
+    // Golden-parquet oracles carry __REPO__ (the checkout root holding
+    // golden/): resolved to GRAFT_REPO_ROOT if set, else the nearest
+    // ancestor of the cwd containing build.sbt, else the cwd — never a
+    // hardcoded absolute path. All dumps complete above before the driver
+    // runs any oracle SQL.
     val outAbs = new java.io.File(outDir).getAbsolutePath
+    val repoAbs = sys.env.getOrElse("GRAFT_REPO_ROOT", {
+      var d = new java.io.File(".").getCanonicalFile
+      while (d != null && !new java.io.File(d, "build.sbt").exists())
+        d = d.getParentFile
+      (if (d != null) d else new java.io.File(".").getCanonicalFile).getAbsolutePath
+    })
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__VERIFY_OUT__", outAbs))}" }
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__VERIFY_OUT__", outAbs).replace("__REPO__", repoAbs))}"
+      }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -276,9 +276,13 @@ object PyText {
       if (d >= 0) { acc = acc * 10 + d; prevDigit = true }
       else if (cp == '_' && prevDigit && i + w < s.length) prevDigit = false
       else throw new NumberFormatException(v)
-      if (acc > Int.MaxValue) throw new NumberFormatException(v)
+      // sign-aware range guard: -2147483648 (Int.MinValue) is accepted,
+      // 2147483648 is not (CPython is arbitrary-precision; Int is the
+      // documented divergence at the 32-bit boundary)
+      if (acc > Int.MaxValue.toLong + (if (neg) 1L else 0L))
+        throw new NumberFormatException(v)
       i += w
     }
-    if (neg) -acc.toInt else acc.toInt
+    if (neg) (-acc).toInt else acc.toInt
   }
 }

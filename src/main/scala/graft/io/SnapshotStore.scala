@@ -81,8 +81,19 @@ final class SnapshotStore(val root: String) {
       new String(Files.readAllBytes(m), StandardCharsets.UTF_8)).isDefined
   }
 
+  /** All metadata-only manifest ids, one scan over the manifest dir. */
+  private def schemaOnlyIds: Set[Long] =
+    manifestIds.iterator.filter { id =>
+      val m = manifestDir.resolve(s"$id.json")
+      Files.exists(m) && SchemaOnlyRe.findFirstIn(
+        new String(Files.readAllBytes(m), StandardCharsets.UTF_8)).isDefined
+    }.toSet
+
   /** Live snapshots that actually carry data files. */
-  def dataSnapshots: Seq[Long] = snapshots.filterNot(isSchemaOnly)
+  def dataSnapshots: Seq[Long] = {
+    val so = schemaOnlyIds
+    snapshots.filterNot(so.contains)
+  }
 
   /** Columns dropped as of snapshot `asOf` — the union of every committed
     * manifest's `drop_cols` at or below it (drop commits record the column;
@@ -259,7 +270,8 @@ final class SnapshotStore(val root: String) {
       keyCol: String,
       statsCol: Option[String] = None,
       cleanup: Boolean = true): Long = {
-    requireNoDroppedNames(updates)
+    val droppedAtPlan = droppedColumns() // one manifest scan, reused below
+    requireNoDroppedNames(updates, droppedAtPlan)
     val live = dataSnapshots
     if (live.isEmpty) return append(updates, statsCol = statsCol)
     val keys = updates.select(keyCol).distinct().localCheckpoint(true)
@@ -278,17 +290,16 @@ final class SnapshotStore(val root: String) {
       read(spark, id).join(keys, Seq(keyCol), "left_semi").limit(1).count() > 0
     }
     if (affected.isEmpty) return append(updates, statsCol = statsCol)
-    val survivors = applyDrops(readMerged(spark, affected), Long.MaxValue)
+    val survivors = applyDropSet(readMerged(spark, affected), droppedAtPlan)
       .join(keys, Seq(keyCol), "left_anti")
     val merged = survivors.unionByName(updates.select(survivors.columns.map(
       org.apache.spark.sql.functions.col): _*))
     val liveAtPlan = snapshots.toSet
     val stage = stageWrite(merged)
     val stats = stagedStats(spark, stage, statsCol)
-    val dropped = droppedColumns()
     val dropMeta =
-      if (dropped.isEmpty) Map.empty[String, String]
-      else Map("drop_cols" -> dropped.toSeq.sorted.mkString(","))
+      if (droppedAtPlan.isEmpty) Map.empty[String, String]
+      else Map("drop_cols" -> droppedAtPlan.toSeq.sorted.mkString(","))
     val id = commitStaged(stage,
       // ledger marks carried GLOBALLY (not just from the replaced inputs):
       // txnLastBatch scans newest-first, so a replacement manifest must
@@ -356,9 +367,12 @@ final class SnapshotStore(val root: String) {
     * names) — the file-listing surface tooling and tests inspect. */
   def dataLocation(id: Long): Path = dataPathOf(id)
 
-  /** Loud re-add guard: a dropped NAME cannot return (see [[dropColumn]]). */
-  private def requireNoDroppedNames(df: DataFrame): Unit = {
-    val clash = df.columns.toSet.intersect(droppedColumns())
+  /** Loud re-add guard: a dropped NAME cannot return (see [[dropColumn]]).
+    * Pass a precomputed set to avoid a second manifest scan per op. */
+  private def requireNoDroppedNames(df: DataFrame,
+                                    dropped: Set[String] = null): Unit = {
+    val d = if (dropped == null) droppedColumns() else dropped
+    val clash = df.columns.toSet.intersect(d)
     require(clash.isEmpty,
       s"columns ${clash.toSeq.sorted.mkString(",")} were DROPPED from this table; " +
         "re-adding a dropped name would resurrect pre-drop values out of old " +
@@ -367,10 +381,11 @@ final class SnapshotStore(val root: String) {
   }
 
   /** Project away the columns dropped as of `asOf` (no-op when none). */
-  private def applyDrops(df: DataFrame, asOf: Long): DataFrame = {
-    val dropped = droppedColumns(asOf).toSeq.sorted
-    if (dropped.isEmpty) df else df.drop(dropped: _*)
-  }
+  private def applyDrops(df: DataFrame, asOf: Long): DataFrame =
+    applyDropSet(df, droppedColumns(asOf))
+
+  private def applyDropSet(df: DataFrame, dropped: Set[String]): DataFrame =
+    if (dropped.isEmpty) df else df.drop(dropped.toSeq.sorted: _*)
 
   /** Read one snapshot (time-travel: only drops committed at or below `id`
     * apply, mirroring Iceberg's per-snapshot schema). */
@@ -600,7 +615,7 @@ final class SnapshotStore(val root: String) {
     // the set is still carried in the replacement manifest so drops keep
     // projecting any older non-compacted data and keep rejecting re-adds
     val dropped = droppedColumns()
-    val merged = applyDrops(readMerged(spark, dataInputs), Long.MaxValue)
+    val merged = applyDropSet(readMerged(spark, dataInputs), dropped)
     val stage = stageWrite(merged)
     // stats survive compaction when every data input carries them for the
     // same column: merged range = [min of mins, max of maxes] — no extra job

@@ -28,22 +28,35 @@ object Evolution {
     * last append and must be absent from the final schema. */
   def schemaEvolveRoundTrip(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
-    val store = new SnapshotStore(
-      Files.createTempDirectory("graft-evolve-query").toString)
-    val base = documents.selectExpr(
-      "CAST(doc_id AS BIGINT) AS doc_id",
-      "CAST(doc_id * 3 + 1 AS BIGINT) AS v1",
-      "CAST(doc_id % 7 AS BIGINT) AS legacy")
-    store.append(base.where("doc_id % 3 = 0"))
-    store.append(base.where("doc_id % 3 = 1")
-      .withColumn("extra", expr("CAST(doc_id * 2 AS BIGINT)")))
-    val dropId = store.dropColumn(spark, "legacy")
-    // compaction folds the drop into the data files and carries the set
-    store.compact(spark, upToInclusive = dropId)
-    store.append(base.where("doc_id % 3 = 2").drop("legacy")
-      .withColumn("extra", expr("CAST(doc_id * 2 AS BIGINT)")))
-    store.readRange(spark, 0L, store.latest.get)
-      .select("doc_id", "v1", "extra")
-      .orderBy("doc_id")
+    val dir = Files.createTempDirectory("graft-evolve-query")
+    val store = new SnapshotStore(dir.toString)
+    try {
+      val base = documents.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        "CAST(doc_id * 3 + 1 AS BIGINT) AS v1",
+        "CAST(doc_id % 7 AS BIGINT) AS legacy")
+      store.append(base.where("doc_id % 3 = 0"))
+      store.append(base.where("doc_id % 3 = 1")
+        .withColumn("extra", expr("CAST(doc_id * 2 AS BIGINT)")))
+      val dropId = store.dropColumn(spark, "legacy")
+      // compaction folds the drop into the data files and carries the set
+      store.compact(spark, upToInclusive = dropId)
+      store.append(base.where("doc_id % 3 = 2").drop("legacy")
+        .withColumn("extra", expr("CAST(doc_id * 2 AS BIGINT)")))
+      // materialize before the temp store is deleted (the table is a
+      // per-source-doc projection — small by construction); the sort goes
+      // ON TOP of the checkpoint so the returned plan still guarantees it
+      store.readRange(spark, 0L, store.latest.get)
+        .select("doc_id", "v1", "extra")
+        .localCheckpoint(true)
+        .orderBy("doc_id")
+    } finally {
+      // the store is query-scoped scratch: never leak it into /tmp
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
   }
 }

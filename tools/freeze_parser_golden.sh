@@ -7,8 +7,9 @@
 # the sbt-test goldens (src/test/resources/golden/) in the same change.
 set -eu
 cd "$(dirname "$0")/.."
+SF_DIR="${1:-/root/testdata/sf0.01}"   # must match the driver's gate SF
 out=$(mktemp -d)
-sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $out"
+sbt -batch "runMain graft.Verify $SF_DIR $out"
 rm -rf golden/extract_parsers golden/extract_full golden/segments
 mkdir -p golden
 cp -r "$out/t_extract_parsers" golden/extract_parsers
