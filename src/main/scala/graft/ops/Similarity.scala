@@ -273,10 +273,15 @@ object Similarity {
     * cell id.
     *
     * IVF is the DEFAULT ANN path (annLsh is the didactic sign-LSH
-    * baseline): at the default 32 cells / 3 probes it reranks ~9% of the
-    * corpus per query and measures ~90% recall@5 on the test corpora
-    * (the oracle-checked `e_ann_recall` query keeps those numbers honest),
-    * versus 31% at ~14% rerank for multi-probe sign-LSH. At production
+    * baseline): at the default 32 cells / 3 probes / 2 training rounds it
+    * reranks ~9% of the corpus per query and measures 83% (sf0.01) / 93%
+    * (sf0.1) recall@5 on the UNIFORM-RANDOM test corpora — the measured
+    * trade of training (probed): raw id-seeded cells score 88–99% there
+    * at the SAME ~9% rerank, but collapse when the first nCells vectors
+    * are clustered (AnnTrainSpec's adversarial corpus), which uniform data
+    * never exhibits and real corpora do. nProbe=4 recovers ~3 points at
+    * ~12% rerank. The oracle-checked `e_ann_recall` query keeps the
+    * numbers honest; multi-probe sign-LSH is 31% at ~14%. At production
     * corpus sizes nCells scales like √n; the per-round training cost is
     * one scan + one k·dim-row aggregation, nothing scales with the corpus
     * on the driver. */
