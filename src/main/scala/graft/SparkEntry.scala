@@ -494,16 +494,21 @@ object SparkEntry {
   private def annIvfOracle: String = {
     // constants mirror Similarity.annIvf's defaults (32 cells, 3 probes,
     // 2 training rounds); dim 64 matches the driver testdata (as e_kmeans)
-    val (nCells, nProbe, nQ, k, trainIters, dim) = (32, 3, 20, 5, 2, 64)
+    val (nCells, nProbe, nQ, k, trainIters, dim, trainMod) = (32, 3, 20, 5, 2, 64, 1)
     def dist(x: String, m: String) = dLloydDist(x, m, dim)
     val train = new StringBuilder
     train ++= s"xg AS (SELECT vec_id, [CAST(floor(e * 1048576) AS BIGINT) for e in v] AS x FROM base),\n"
+    // xt = the training sample; trainMod mirrors Similarity.annIvf's md5
+    // hash-bucket rule (the 100 TB knob — 1 = full corpus on the small
+    // test corpora, where sampling under ~64 points/cell craters recall)
+    train ++= (if (trainMod == 1) "xt AS (SELECT * FROM xg),\n"
+               else s"xt AS (SELECT * FROM xg WHERE ${dh32("CAST(vec_id AS BIGINT)::VARCHAR")} % $trainMod = 0),\n")
     train ++= s"t0 AS (SELECT vec_id AS cl, x AS m FROM xg WHERE vec_id < $nCells)"
     var prev = "t0"
     for (it <- 1 to trainIters) {
       train ++= s""",
                    |ta$it AS (SELECT vec_id, x, min((d, cl))[2] AS cl FROM (
-                   |  SELECT xg.vec_id, xg.x, c.cl, ${dist("xg.x", "c.m")} AS d FROM xg, $prev c) GROUP BY 1, 2),
+                   |  SELECT xt.vec_id, xt.x, c.cl, ${dist("xt.x", "c.m")} AS d FROM xt, $prev c) GROUP BY 1, 2),
                    |t$it AS (SELECT p.cl, coalesce(u.m, p.m) AS m FROM $prev p LEFT JOIN (
                    |  SELECT cl, list(s // n ORDER BY pos) AS m FROM (
                    |    SELECT cl, i AS pos, sum(x[i]) AS s, count(*) AS n

@@ -286,7 +286,9 @@ object Similarity {
     * one scan + one k·dim-row aggregation, nothing scales with the corpus
     * on the driver. */
   def annIvf(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
-             nCells: Int = 32, nProbe: Int = 3, trainIters: Int = 2): DataFrame = {
+             nCells: Int = 32, nProbe: Int = 3, trainIters: Int = 2,
+             trainMod: Int = 1): DataFrame = {
+    require(trainMod >= 1, "annIvf: trainMod must be >= 1")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val xs = embeddings.selectExpr(
@@ -298,12 +300,22 @@ object Similarity {
     require(grid.length.toLong * grid.map(_.length).max <= (1L << 18),
       "annIvf: inlined centroid literals would exceed a sane expression size — " +
         "for this many cells/dims switch assignment to a broadcast join + argmax window")
+    // trainMod > 1 trains on a deterministic 1/trainMod md5 hash-bucket
+    // SAMPLE (the rule shared with stratifiedSample — isolation-decidable,
+    // oracle-replayable): the 100 TB knob, where a full per-round scan is
+    // waste and the sample is still ≥10^4 rows. It is deliberately NOT the
+    // default — probed on the test corpora, sampling below ~64 training
+    // points per cell craters recall (sf0.01: 500 vectors / 32 cells,
+    // trainMod=4 → 83%→48%), so sample only when n/trainMod >> 64·nCells.
+    val trainSet =
+      if (trainMod == 1) xs
+      else xs.where(s"${Shingles.h32("CAST(vec_id AS STRING)")} % $trainMod = 0")
     for (_ <- 1 to trainIters) {
       val ds = grid.map { m =>
         val ml = m.mkString("array(", "L,", "L)")
         s"aggregate(zip_with(x, $ml, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (p, q) -> p + q)"
       }.mkString("array(", ",", ")")
-      val upd: Map[Int, Array[Long]] = xs
+      val upd: Map[Int, Array[Long]] = trainSet
         .selectExpr("x", s"$ds AS dists")
         .selectExpr("x", "CAST(array_position(dists, array_min(dists)) - 1 AS INT) AS cl")
         .selectExpr("cl", "posexplode(x) AS (pos, xv)")
