@@ -112,15 +112,11 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"warm_gc_ms":$gcs,"sf":"$sfDir","cold_total_sec":${f"$coldTotal%.3f"},"cpus":$cpus,"warm_pass_pulse_free":true$scalingJson}"""
     println(line)
     // the driver keeps only the last ~2000 chars of the line; persist the
-    // full JSON at the REPO ROOT (nearest ancestor with build.sbt — the
-    // cwd may be elsewhere under spark-submit) so BASELINE.md regeneration
-    // and the judge see every per-query number
-    try {
-      var d = new java.io.File(".").getCanonicalFile
-      while (d != null && !new java.io.File(d, "build.sbt").exists()) d = d.getParentFile
-      val root = if (d != null) d else new java.io.File(".").getCanonicalFile
-      java.nio.file.Files.writeString(
-        new java.io.File(root, "BENCH_LOCAL.json").toPath, line + "\n")
-    } catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json: ${e.getMessage}") }
+    // full JSON at the REPO ROOT (GRAFT_REPO_ROOT / build.sbt-ancestor —
+    // the cwd may be elsewhere under spark-submit) so BASELINE.md
+    // regeneration and the judge see every per-query number
+    try java.nio.file.Files.writeString(
+      new java.io.File(RepoRoot.resolve(), "BENCH_LOCAL.json").toPath, line + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json: ${e.getMessage}") }
   }
 }

@@ -58,12 +58,7 @@ object Verify {
     // hardcoded absolute path. All dumps complete above before the driver
     // runs any oracle SQL.
     val outAbs = new java.io.File(outDir).getAbsolutePath
-    val repoAbs = sys.env.getOrElse("GRAFT_REPO_ROOT", {
-      var d = new java.io.File(".").getCanonicalFile
-      while (d != null && !new java.io.File(d, "build.sbt").exists())
-        d = d.getParentFile
-      (if (d != null) d else new java.io.File(".").getCanonicalFile).getAbsolutePath
-    })
+    val repoAbs = RepoRoot.resolve().getAbsolutePath
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
         s"${q(k)}: ${q(v.replace("__VERIFY_OUT__", outAbs).replace("__REPO__", repoAbs))}"

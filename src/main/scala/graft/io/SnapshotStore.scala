@@ -81,19 +81,11 @@ final class SnapshotStore(val root: String) {
       new String(Files.readAllBytes(m), StandardCharsets.UTF_8)).isDefined
   }
 
-  /** All metadata-only manifest ids, one scan over the manifest dir. */
-  private def schemaOnlyIds: Set[Long] =
-    manifestIds.iterator.filter { id =>
-      val m = manifestDir.resolve(s"$id.json")
-      Files.exists(m) && SchemaOnlyRe.findFirstIn(
-        new String(Files.readAllBytes(m), StandardCharsets.UTF_8)).isDefined
-    }.toSet
-
-  /** Live snapshots that actually carry data files. */
-  def dataSnapshots: Seq[Long] = {
-    val so = schemaOnlyIds
-    snapshots.filterNot(so.contains)
-  }
+  /** Live snapshots that actually carry data files. Classification reads
+    * each LISTED id's manifest directly (not a separate dir scan): a
+    * schema-only commit landing between two scans could otherwise be
+    * misclassified as data and break the subsequent parquet read. */
+  def dataSnapshots: Seq[Long] = snapshots.filterNot(isSchemaOnly)
 
   /** Columns dropped as of snapshot `asOf` — the union of every committed
     * manifest's `drop_cols` at or below it (drop commits record the column;

@@ -326,6 +326,12 @@ object Similarity {
           rs.foreach(r => m(r.getInt(1)) = r.getLong(2))
           cl -> m
         }
+      // loud, not silent: an over-aggressive trainMod that empties the
+      // sample would leave every centroid at its raw id-seed — exactly the
+      // fragile-seed failure mode training exists to remove
+      require(upd.nonEmpty,
+        s"annIvf: training round updated no cell — the 1/$trainMod hash sample " +
+          "is empty or degenerate; lower trainMod (need >> 64*nCells sampled rows)")
       grid = grid.indices.map(i => upd.getOrElse(i, grid(i))).toArray
     }
     // /2^20 is a power-of-two division: exact in DOUBLE, so the literal the

@@ -71,6 +71,12 @@ class PyTextSpec extends AnyFunSuite {
     assert(PyText.parseIntish(new String(Character.toChars(0x104A1))) == 1) // OSMANYA (supplementary Nd)
     intercept[NumberFormatException](PyText.parseIntish("³")) // superscript
     intercept[NumberFormatException](PyText.parseIntish("Ⅻ")) // roman Ⅻ
+    // 32-bit boundary (the documented divergence from CPython's bignum):
+    // Int.MinValue is representable and accepted; one past either end throws
+    assert(PyText.parseIntish("-2147483648") == Int.MinValue)
+    assert(PyText.parseIntish("2147483647") == Int.MaxValue)
+    intercept[NumberFormatException](PyText.parseIntish("2147483648"))
+    intercept[NumberFormatException](PyText.parseIntish("-2147483649"))
     intercept[NumberFormatException](PyText.parseIntish("x"))
     intercept[NumberFormatException](PyText.parseIntish("1.5"))
     intercept[NumberFormatException](PyText.parseIntish("-"))
