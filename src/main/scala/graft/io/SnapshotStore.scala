@@ -284,8 +284,11 @@ final class SnapshotStore(val root: String) {
     if (affected.isEmpty) return append(updates, statsCol = statsCol)
     val survivors = applyDropSet(readMerged(spark, affected), droppedAtPlan)
       .join(keys, Seq(keyCol), "left_anti")
-    val merged = survivors.unionByName(updates.select(survivors.columns.map(
-      org.apache.spark.sql.functions.col): _*))
+    // union SCHEMA = survivors ∪ updates: an update column the affected
+    // snapshots never carried must land (survivors surface it as NULL),
+    // not be silently projected away — the same ADD-COLUMN evolution
+    // contract the multi-snapshot reads honor
+    val merged = survivors.unionByName(updates, allowMissingColumns = true)
     val liveAtPlan = snapshots.toSet
     val stage = stageWrite(merged)
     val stats = stagedStats(spark, stage, statsCol)
