@@ -29,7 +29,8 @@ class StorePropertySpec extends AnyFunSuite with SparkFixture {
   }
 
   private def check(store: SnapshotStore, model: Model, dropped: Set[String],
-                    allCols: Seq[String], tag: String): Unit = {
+                    allCols: Seq[String], tag: String,
+                    rng: scala.util.Random): Unit = {
     val visible = allCols.filterNot(dropped.contains)
     val got = store.readRange(spark, 0L, store.latest.get)
     assert(got.columns.sorted.toSeq == ("k" +: visible).sorted,
@@ -44,6 +45,18 @@ class StorePropertySpec extends AnyFunSuite with SparkFixture {
       k -> m.filter { case (c, _) => !dropped.contains(c) }
     }.toMap
     assert(gotRows == want, s"[$tag] contents diverged from model")
+    // stats-pruned read over a random key slice must agree with the model
+    // (snapshots/files outside [lo, hi] are skipped via manifest stats;
+    // pruning must accelerate, never decide, membership)
+    if (model.nonEmpty) {
+      val keys = model.keys.toVector.sorted
+      val lo = keys(rng.nextInt(keys.size))
+      val hi = lo + rng.nextInt(6)
+      val pruned = store.readRangePruned(spark, 0L, store.latest.get, "k", lo, hi)
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      val wantKeys = keys.filter(k => k >= lo && k <= hi)
+      assert(pruned == wantKeys, s"[$tag] pruned read [$lo,$hi] diverged: $pruned vs $wantKeys")
+    }
   }
 
   for (seed <- Seq(11L, 23L)) test(s"random op sequence matches the model (seed $seed)") {
@@ -64,16 +77,34 @@ class StorePropertySpec extends AnyFunSuite with SparkFixture {
 
     // first snapshot so every later op has something to act on
     val init = freshRows(4, allCols)
-    store.append(writeDf(init, allCols))
+    store.append(writeDf(init, allCols), statsCol = Some("k"))
     init.foreach { case (k, m) => model(k) = m }
+    var batchMark = 0L // exactly-once ledger model for app "prop"
 
     for (op <- 1 to 24) {
-      rng.nextInt(5) match {
+      rng.nextInt(6) match {
         case 0 => // plain append over the current visible schema
           val cols = allCols.filterNot(dropped.contains)
           val rows = freshRows(1 + rng.nextInt(3), cols)
-          store.append(writeDf(rows, cols))
+          store.append(writeDf(rows, cols), statsCol = Some("k"))
           rows.foreach { case (k, m) => model(k) = m }
+        case 5 => // exactly-once append: a replayed batch must be a no-op
+          val cols = allCols.filterNot(dropped.contains)
+          if (rng.nextBoolean() && batchMark > 0) {
+            // replay an already-committed batch id: rows must NOT land
+            val rows = freshRows(1, cols)
+            val r = store.appendExactlyOnce(writeDf(rows, cols), "prop",
+              batchId = rng.nextInt(batchMark.toInt).toLong, statsCol = Some("k"))
+            assert(r.isEmpty, s"replayed batch committed at op $op")
+            nextKey -= 1 // the row never landed; reuse its key
+          } else {
+            batchMark += 1
+            val rows = freshRows(1 + rng.nextInt(2), cols)
+            val r = store.appendExactlyOnce(writeDf(rows, cols), "prop",
+              batchId = batchMark, statsCol = Some("k"))
+            assert(r.isDefined, s"fresh batch $batchMark refused at op $op")
+            rows.foreach { case (k, m) => model(k) = m }
+          }
         case 1 => // ADD-COLUMN append: a brand-new column appears
           val c = s"x$nextCol"; nextCol += 1
           allCols = allCols :+ c
@@ -102,11 +133,11 @@ class StorePropertySpec extends AnyFunSuite with SparkFixture {
           val updKeys = rng.shuffle(keys).take(1 + rng.nextInt(2))
           val ins = freshRows(1, cols)
           val upd = updKeys.map(k => k -> cols.map(c => c -> (k * 7 + op)).toMap)
-          store.upsert(spark, writeDf(upd ++ ins, cols), "k")
+          store.upsert(spark, writeDf(upd ++ ins, cols), "k", statsCol = Some("k"))
           (upd ++ ins).foreach { case (k, m) => model(k) = m }
       }
       if (op % 5 == 0 || op == 24)
-        check(store, model, dropped, allCols, s"seed=$seed op=$op")
+        check(store, model, dropped, allCols, s"seed=$seed op=$op", rng)
     }
   }
 }
