@@ -83,6 +83,7 @@ object SparkEntry {
     "d_incr_view" -> ((s, d) => Incremental.incrementalView(docs(s, d))),
     "d_schema_evolve" -> ((s, d) => Evolution.schemaEvolveRoundTrip(docs(s, d))),
     "d_chunk" -> ((s, d) => DocTextOps.chunk(docs(s, d))),
+    "d_corpus_build" -> ((s, d) => DocTextOps.corpusBuild(docs(s, d))),
     "d_pack" -> ((s, d) => DocTextOps.packSequences(docs(s, d))),
     "d_mix" -> ((s, d) => DocTextOps.mixCorpus(docs(s, d))),
     "d_bpe_train" -> ((s, d) => DocTextOps.bpeTrain(docs(s, d))),
@@ -1035,6 +1036,30 @@ object SparkEntry {
         |  least(t, chunk_idx * 12 + 16) AS tok_end,
         |  array_to_string(ws[(chunk_idx * 12 + 1):least(t, chunk_idx * 12 + 16)], ' ') AS chunk_text
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the composed pipeline: chunk + pack REPLAYED over the d_downselect
+    // dump (each stage's own oracle is elsewhere; this one checks the
+    // stages compose) — constants mirror corpusBuild's 16/12 window and
+    // 256-token budget
+    "d_corpus_build" ->
+      """WITH kept AS (SELECT doc_id FROM read_parquet('__VERIFY_OUT__/d_downselect/*.parquet') WHERE sampled),
+        |surv AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),
+        |d2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM surv
+        |       WHERE len(string_split(text, ' ')) >= 1),
+        |n AS (SELECT doc_id, ws, len(ws)::BIGINT AS t,
+        |        CASE WHEN len(ws) <= 16 THEN 1
+        |             ELSE (len(ws) - 16 + 11) // 12 + 1 END::BIGINT AS n_chunks
+        |      FROM d2),
+        |e AS (SELECT doc_id, ws, t, unnest(range(0, n_chunks))::BIGINT AS chunk_idx FROM n),
+        |ch AS (SELECT doc_id::BIGINT * 1000000 + chunk_idx AS ck,
+        |         len(string_split(array_to_string(ws[(chunk_idx * 12 + 1):least(t, chunk_idx * 12 + 16)], ' '), ' '))::BIGINT AS n_tokens
+        |       FROM e),
+        |c AS (SELECT ck, n_tokens,
+        |        COALESCE(sum(n_tokens) OVER (ORDER BY n_tokens DESC, ck
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+        |      FROM ch)
+        |SELECT ck AS chunk_key, ck // 1000000 AS src_doc_id, ck % 1000000 AS chunk_idx,
+        |  n_tokens, cum_before // 256 AS pack_id, cum_before % 256 AS pack_offset
+        |FROM c ORDER BY chunk_key""".stripMargin,
     "d_pack" ->
       """WITH d AS (SELECT doc_id::BIGINT AS doc_id,
         |             COALESCE(len(string_split(text, ' ')), 0)::BIGINT AS n_tokens FROM documents),

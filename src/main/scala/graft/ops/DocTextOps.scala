@@ -493,6 +493,39 @@ object DocTextOps {
       .orderBy("doc_id")
   }
 
+  /** END-TO-END CORPUS BUILD — the composition a pretraining data pipeline
+    * actually runs, as ONE dataflow over the registered operators:
+    * [[downselect]] (quality gate → exact-dedup canonicalization →
+    * hash-bucket sampling) keeps the survivors, [[chunk]] windows them into
+    * fixed-token pieces, [[packSequences]] shelves the chunks into
+    * fixed-budget training sequences. Each stage is individually oracled
+    * elsewhere; this query proves they COMPOSE (the DuckDB oracle replays
+    * chunk+pack over the d_downselect dump).
+    *
+    * Chunk identity for packing is the composite `doc_id·10^6 + chunk_idx`
+    * (a single BIGINT — packSequences' sort key): loudly guarded per row,
+    * so a monster document beyond 10^6 chunks fails with raise_error
+    * instead of aliasing another document's chunks. Scale shape: the
+    * composition adds NO shuffle beyond its stages' own (downselect's two
+    * aggregations, chunking map-only, packing's range sort). */
+  def corpusBuild(documents: DataFrame, window: Int = 16, stride: Int = 12,
+                  budget: Long = 256L): DataFrame = {
+    val kept = downselect(documents).where("sampled").select("doc_id")
+    val survivors = documents.join(kept, "doc_id").select("doc_id", "text")
+    val chunks = chunk(survivors, window, stride)
+      .selectExpr(
+        "IF(chunk_idx < 1000000, CAST(doc_id AS BIGINT) * 1000000 + chunk_idx, " +
+          "CAST(raise_error('corpusBuild: document exceeds 10^6 chunks — widen the chunk-key multiplier') AS BIGINT)) AS doc_id",
+        "chunk_text AS text")
+    packSequences(chunks, budget)
+      .selectExpr(
+        "doc_id AS chunk_key",
+        "CAST(doc_id DIV 1000000 AS BIGINT) AS src_doc_id",
+        "CAST(doc_id % 1000000 AS BIGINT) AS chunk_idx",
+        "n_tokens", "pack_id", "pack_offset")
+      .orderBy("chunk_key")
+  }
+
   /** Default merge-round count — referenced by the `d_bpe_train` oracle
     * so the two cannot drift. */
   val DefaultBpeMerges = 5
