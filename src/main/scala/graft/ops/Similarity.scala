@@ -310,22 +310,42 @@ object Similarity {
     val trainSet =
       if (trainMod == 1) xs
       else xs.where(s"${Shingles.h32("CAST(vec_id AS STRING)")} % $trainMod = 0")
+    // training rounds run as a JIT'd typed map + elementwise reduceByKey,
+    // NOT SQL array lambdas: higher-order expressions are interpreted (no
+    // whole-stage codegen), ~2× the round cost measured. The integer
+    // arithmetic (squared L2 on the grid, first-min tie toward the smaller
+    // cell index, SUM-then-truncating-divide) is identical either way, so
+    // the DuckDB oracle replay is unaffected. Sum order is immaterial:
+    // exact Long adds are associative/commutative.
     for (_ <- 1 to trainIters) {
-      val ds = grid.map { m =>
-        val ml = m.mkString("array(", "L,", "L)")
-        s"aggregate(zip_with(x, $ml, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (p, q) -> p + q)"
-      }.mkString("array(", ",", ")")
-      val upd: Map[Int, Array[Long]] = trainSet
-        .selectExpr("x", s"$ds AS dists")
-        .selectExpr("x", "CAST(array_position(dists, array_min(dists)) - 1 AS INT) AS cl")
-        .selectExpr("cl", "posexplode(x) AS (pos, xv)")
-        .groupBy("cl", "pos").agg(expr("SUM(xv) DIV COUNT(*)").as("m"))
-        .collect()
-        .groupBy(_.getInt(0)).map { case (cl, rs) =>
-          val m = new Array[Long](grid.head.length)
-          rs.foreach(r => m(r.getInt(1)) = r.getLong(2))
-          cl -> m
+      val bc = spark.sparkContext.broadcast(grid)
+      val sums = trainSet.as[(Long, Array[Long])].rdd
+        .map { case (_, x) =>
+          val cents = bc.value
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            val m = cents(c)
+            var d = 0L
+            var i = 0
+            while (i < m.length) { val t = x(i) - m(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          (best, (x, 1L))
         }
+        .reduceByKey { (a, b) =>
+          val s = a._1.clone() // never mutate a shuffled buffer in place
+          var i = 0
+          while (i < s.length) { s(i) += b._1(i); i += 1 }
+          (s, a._2 + b._2)
+        }
+        .collect()
+      bc.destroy()
+      val upd: Map[Int, Array[Long]] = sums.map { case (cl, (s, n)) =>
+        cl -> s.map(_ / n) // Long / truncates toward zero = SQL DIV = DuckDB //
+      }.toMap
       // loud, not silent: an over-aggressive trainMod that empties the
       // sample would leave every centroid at its raw id-seed — exactly the
       // fragile-seed failure mode training exists to remove
