@@ -62,23 +62,50 @@ object Dedup {
     * keys (rolling-31 combine), exploded to one (doc_id, band, key) row
     * per band. ONE construction shared by [[minhashLsh]] and
     * [[incrementalMinhash]] (and mirrored by both DuckDB oracles), so the
-    * band layout can't drift between the batch and incremental paths. */
+    * band layout can't drift between the batch and incremental paths.
+    *
+    * Runs as a JIT'd typed map, not SQL array lambdas: higher-order
+    * expressions are interpreted (no whole-stage codegen) and the 32
+    * per-shingle permutation evaluations dominated the operator's cost.
+    * The arithmetic is the exact formula the DuckDB oracles replay —
+    * md5-first-8-hex-chars hash (`Shingles.h32`), `(a_k·h + b_k) % P`
+    * minima, rolling-31 band combine — all exact integer ops. */
   private def bandedOf(shingleSets: DataFrame): DataFrame = {
-    val sigExprs = (0 until NumPerms).map { k =>
-      s"array_min(transform(hh, h -> (${permA(k)} * h + ${permB(k)}) % $P)) AS sig$k"
-    }
-    val sigs = shingleSets
-      .selectExpr("doc_id", s"transform(shs, s -> ${Shingles.h32("s")} % $P) AS hh")
-      .selectExpr(Seq("doc_id") ++ sigExprs: _*)
-    val bandExprs = (0 until Bands).map { b =>
-      val ks = (b * RowsPerBand until (b + 1) * RowsPerBand)
-      val combined = ks.foldLeft("CAST(0 AS BIGINT)")((acc, k) => s"(($acc) * 31 + sig$k) % $P")
-      s"named_struct('band', $b, 'key', $combined) AS band$b"
-    }
-    sigs
-      .selectExpr(Seq("doc_id") ++ bandExprs: _*)
-      .selectExpr("doc_id", s"explode(array(${(0 until Bands).map(b => s"band$b").mkString(",")})) AS bk")
-      .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+    val spark = shingleSets.sparkSession
+    import spark.implicits._
+    val pA = (0 until NumPerms).map(permA).toArray
+    val pB = (0 until NumPerms).map(permB).toArray
+    val (nPerms, bands, rpb, p) = (NumPerms, Bands, RowsPerBand, P)
+    shingleSets.selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "shs")
+      .as[(Long, Array[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, shs) =>
+          val sigs = Array.fill(nPerms)(Long.MaxValue)
+          var i = 0
+          while (i < shs.length) {
+            // Shingles.h32: first 8 lowercase-hex chars of md5 = first 4
+            // digest bytes, parsed base-16 (unsigned 32-bit, fits Long)
+            val d = md.digest(shs(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % p
+            var k = 0
+            while (k < nPerms) {
+              val v = (pA(k) * h + pB(k)) % p
+              if (v < sigs(k)) sigs(k) = v
+              k += 1
+            }
+            i += 1
+          }
+          (0 until bands).iterator.map { b =>
+            var key = 0L
+            var k = b * rpb
+            while (k < (b + 1) * rpb) { key = (key * 31 + sigs(k)) % p; k += 1 }
+            (id, b, key)
+          }
+        }
+      }
+      .toDF("doc_id", "band", "key")
   }
 
   /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard over
@@ -223,22 +250,52 @@ object Dedup {
   val SimhashBlockBits: Int = SimhashBits / SimhashBlocks
 
   /** Per-document 60-bit SimHash over token md5 hashes (frequency-weighted
-    * bit votes; ties at vote 0 count as a set bit). Computed as a single
-    * per-row fold over the token-hash array — no shuffle, no 60×-token row
-    * explosion; the integer sketch is formulation-independent, so the
-    * DuckDB oracle's grouped-votes derivation matches exactly. */
+    * bit votes; ties at vote 0 count as a set bit). ONE JIT'd per-row
+    * kernel — no shuffle, no 60×-token row explosion, and no interpreted
+    * higher-order SQL lambdas (they never enter whole-stage codegen and
+    * dominated the operator's cost). The integer sketch is
+    * formulation-independent, so the DuckDB oracle's grouped-votes
+    * derivation matches exactly. */
+  private def simhashTyped(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bits = SimhashBits
+    documents.selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text0) =>
+          val text = if (text0 == null) "" else text0
+          // Spark split keeps trailing empties (str.split(regex, -1))
+          val ws = text.split(" ", -1)
+          val votes = new Array[Long](bits)
+          var i = 0
+          while (i < ws.length) {
+            // Shingles.h60: first 15 lowercase-hex md5 chars base-16 =
+            // first 7 digest bytes, then the high nibble of byte 7
+            val d = md.digest(ws(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var h = 0L
+            var j = 0
+            while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+            h = (h << 4) | ((d(7) & 0xffL) >>> 4)
+            var b = 0
+            while (b < bits) {
+              if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+              b += 1
+            }
+            i += 1
+          }
+          var sh = 0L
+          var b = 0
+          while (b < bits) { if (votes(b) >= 0L) sh |= 1L << b; b += 1 }
+          (id, sh)
+        }
+      }
+      .toDF("doc_id", "simhash")
+  }
+
   def simhash(documents: DataFrame): DataFrame =
-    documents
-      .selectExpr("doc_id", s"${Shingles.ws} AS ws")
-      .selectExpr("doc_id", s"transform(ws, w -> ${Shingles.h60("w")}) AS hh")
-      .selectExpr("doc_id",
-        s"aggregate(hh, array_repeat(CAST(0 AS BIGINT), $SimhashBits), (acc, h) -> " +
-          s"zip_with(acc, sequence(0, ${SimhashBits - 1}), (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1))) AS votes")
-      .selectExpr("doc_id",
-        s"aggregate(zip_with(votes, sequence(0, ${SimhashBits - 1}), (v, b) -> " +
-          "IF(v >= 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS simhash")
-      .orderBy("doc_id")
+    simhashTyped(documents).orderBy("doc_id")
 
   /** Connected components over an undirected Long edge list by ALTERNATING
     * large-star / small-star contraction (Kiveris, Lattanzi, Mirrokni,
@@ -407,31 +464,12 @@ object Dedup {
     * different plan shape): explode token hashes × bit positions into a
     * two-level codegen'd hash aggregate. Cheaper than the per-row fold when
     * a downstream self-join duplicates the subtree. */
-  private def simhashAgg(documents: DataFrame): DataFrame = {
-    val tokens = documents.selectExpr("doc_id", "explode(split(text, ' ')) AS w")
-      .selectExpr("doc_id", s"${Shingles.h60("w")} AS h")
-    tokens
-      .selectExpr("doc_id", "h", s"explode(sequence(0, ${SimhashBits - 1})) AS b")
-      .selectExpr("doc_id", "b", "IF((shiftright(h, b) & 1) = 1, 1, -1) AS vote")
-      .groupBy("doc_id", "b")
-      .agg(sum("vote").as("votes"))
-      .selectExpr("doc_id", "IF(votes >= 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)) AS bit")
-      .groupBy("doc_id")
-      .agg(sum("bit").as("simhash"))
-  }
-
-  /** SimHash near-duplicate pairs at Hamming distance ≤ 3 via the
-    * multi-index (pigeonhole) trick: split the 60-bit sketch into 4
-    * 15-bit blocks; any pair within distance 3 agrees exactly on ≥1 block,
-    * so one equi-join on the exploded (block index, block value) keys
-    * (shuffle on 15 bits each, never all-pairs) finds every qualifying
-    * pair; distinct + exact Hamming filter. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block multi-index is complete only for distance <= 3")
     val blocks = (0 until SimhashBlocks)
       .map(i => s"(simhash DIV ${1L << (SimhashBlockBits * i)}) % ${1L << SimhashBlockBits}")
       .mkString(", ")
-    val blk = simhashAgg(documents)
+    val blk = simhashTyped(documents)
       .selectExpr("doc_id", "simhash", s"posexplode(array($blocks)) AS (bi, bv)")
     blk.as("a")
       .join(blk.as("b"), expr("a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id"))
