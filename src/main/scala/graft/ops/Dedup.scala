@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   *    (bounds any shingle's join fan-out; see [[DefaultDfCap]]) →
   *    self-equi-join on shingle (shuffle on shingle — never an all-pairs
   *    cross join) → count → filter.
-  *  - MinHash/LSH: shingles → per-doc signature (one aggregate) → band keys
-  *    → self-equi-join on (band, band hash) → exact-Jaccard verify of the
-  *    candidates only.
-  *  - SimHash: token hash → 60 bit-position votes → per-doc 60-bit sketch;
-  *    pair scan joins on 15-bit pigeonhole blocks.
+  *  - MinHash/LSH: shingles → per-doc signature + band keys (one JIT'd
+  *    typed kernel) → self-equi-join on (band, band hash) → exact-Jaccard
+  *    verify of the candidates only.
+  *  - SimHash: token hash → 60 bit-position votes → per-doc 60-bit sketch
+  *    (same typed-kernel shape); pair scan joins on 15-bit pigeonhole
+  *    blocks.
   *
   * Hash arithmetic is md5-derived 32-bit integers with explicit modular
   * math — reproducible bit-for-bit by the DuckDB oracle.
