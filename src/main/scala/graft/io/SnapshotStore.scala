@@ -287,7 +287,15 @@ final class SnapshotStore(val root: String) {
     // union SCHEMA = survivors ∪ updates: an update column the affected
     // snapshots never carried must land (survivors surface it as NULL),
     // not be silently projected away — the same ADD-COLUMN evolution
-    // contract the multi-snapshot reads honor
+    // contract the multi-snapshot reads honor. The REVERSE direction stays
+    // loud: updates omitting a column the affected rows carry would
+    // silently NULL that column in every rewritten row (copy-on-write
+    // replaces whole rows — there are no partial updates)
+    val missing = survivors.columns.toSet -- updates.columns.toSet
+    require(missing.isEmpty,
+      s"upsert: updates omit live column(s) ${missing.toSeq.sorted.mkString(",")} " +
+        "carried by the matched rows — a CoW merge rewrites whole rows, so the " +
+        "omitted values would be silently destroyed; select them into the updates")
     val merged = survivors.unionByName(updates, allowMissingColumns = true)
     val liveAtPlan = snapshots.toSet
     val stage = stageWrite(merged)

@@ -261,12 +261,15 @@ object Dedup {
     val spark = documents.sparkSession
     import spark.implicits._
     val bits = SimhashBits
-    documents.selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+    // null text is EXCLUDED (no sketch, no pairs) — the contract of the
+    // previous explode-based form and of the DuckDB oracles, whose
+    // unnest(string_split(NULL)) yields no rows for the document
+    documents.where("text IS NOT NULL")
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, text0) =>
-          val text = if (text0 == null) "" else text0
+        it.map { case (id, text) =>
           // Spark split keeps trailing empties (str.split(regex, -1))
           val ws = text.split(" ", -1)
           val votes = new Array[Long](bits)

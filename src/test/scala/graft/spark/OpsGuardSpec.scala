@@ -105,6 +105,16 @@ class OpsGuardSpec extends AnyFunSuite with SparkFixture {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("simhash excludes null-text documents (the oracle's unnest semantics)") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a b c")), (2L, None), (3L, Some("a b c")))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhash(df).collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val pairs = Dedup.simhashPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L)), s"got $pairs")
+  }
+
   test("annLsh fails loudly on embeddings wider than the precomputed hyperplanes") {
     import spark.implicits._
     val wide = (0L until 5L).map(i => (i, Array.fill(300)(0.5f), "a"))

@@ -86,4 +86,23 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](
       store.upsert(spark, Seq((5L, "q", 50L)).toDF("k", "v", "legacy"), "k"))
   }
+
+  test("upsert: new columns land as evolution; omitting a live column is rejected") {
+    import spark.implicits._
+    val store = freshStore("partial")
+    store.append(Seq((1L, "x", "w1")).toDF("k", "v", "w"))
+    store.append(Seq((2L, "y", "w2")).toDF("k", "v", "w"))
+    // a partial update would silently NULL 'w' in the rewritten rows —
+    // rejected loudly (CoW replaces whole rows, no partial updates)
+    val e = intercept[IllegalArgumentException](
+      store.upsert(spark, Seq((1L, "X")).toDF("k", "v"), "k"))
+    assert(e.getMessage.contains("omit live column"))
+    // the REVERSE direction is evolution: a brand-new update column lands,
+    // survivors surface it as NULL
+    val uid = store.upsert(spark,
+      Seq((1L, "X", "w1b", 9L)).toDF("k", "v", "w", "z"), "k")
+    val rows = store.readRange(spark, 0L, uid).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.getAs[java.lang.Long]("z")))).toMap
+    assert(rows === Map(1L -> ("X", Some(9L)), 2L -> ("y", None)))
+  }
 }
