@@ -1,0 +1,61 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.extract.Extractor
+import graft.core.seg.Demarcator
+import graft.gen.SyntheticTranscripts
+import graft.pipeline.Pipeline
+import graft.schema._
+
+/** Every distributed route × several CORPUS SEEDS against the sequential
+  * oracle: PipelineSpec proves route equality on the canonical seed-42
+  * corpus; this spec re-derives the invariant on fresh corpus shapes so a
+  * route bug that happens to be invisible under one rule/page distribution
+  * (e.g. an ordering assumption only violated by a specific Sequence mix)
+  * still fails. All four routes — broadcast-fused, cogroup-fused,
+  * two-stage salted, whole-operator Catalyst — must agree field for field,
+  * with shuffled input. */
+class RouteEquivalenceSpec extends AnyFunSuite with SparkFixture {
+
+  private def oracle(seed: Long, nConvs: Long): Seq[ConvSegment] =
+    (0L until nConvs).flatMap { ci =>
+      val turns = SyntheticTranscripts.turnsFor(seed, ci)
+      val pages = turns.sortBy(_.turn_idx).map(t => Extractor.extract(t.tool, t.text).text)
+      val rules = SyntheticTranscripts.rulesFor(seed, ci).map(Pipeline.toCoreRule)
+      val cid = SyntheticTranscripts.convId(ci)
+      Demarcator.demarcate(pages.toVector, rules).map { r =>
+        ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber, r.ToPageNumber,
+          r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
+          r.UploadDataSheetId.getOrElse(0L), r.TotalNumberOfpages, r.NoOfPages,
+          r.Sequence.getOrElse(""), r.SessionId.getOrElse(""))
+      }
+    }.sortBy(s => (s.conv_id, s.Sequence.toInt))
+
+  for (seed <- Seq(7L, 1234L, 98765L)) {
+    test(s"all four routes equal the sequential oracle (corpus seed $seed)") {
+      import spark.implicits._
+      val nConvs = 40L
+      val want = oracle(seed, nConvs)
+      assert(want.nonEmpty)
+      val turns = SyntheticTranscripts.turns(spark, nConvs, seed)
+        .orderBy(hash($"text")).as[Turn] // shuffled input on every route
+      val rules = SyntheticTranscripts.rules(spark, nConvs, seed)
+      val ruleMap = (0L until nConvs).map { ci =>
+        SyntheticTranscripts.convId(ci) ->
+          SyntheticTranscripts.rulesFor(seed, ci).map(Pipeline.toCoreRule)
+      }.toMap
+      val bc = spark.sparkContext.broadcast(ruleMap)
+      def norm(xs: Array[ConvSegment]): Seq[ConvSegment] =
+        xs.sortBy(s => (s.conv_id, s.Sequence.toInt)).toSeq
+      assert(norm(Pipeline.segmentFused(turns, bc).collect()) == want, "broadcast-fused")
+      assert(norm(Pipeline.segmentFusedCogroup(turns, rules).collect()) == want, "cogroup-fused")
+      assert(norm(Pipeline.segmentCogroup(Pipeline.extract(turns), rules).collect()) == want,
+        "two-stage salted")
+      val viaCatalyst = graft.plans.SegmentPlans.segmentJoin(turns, rules, None)
+        .as[ConvSegment].collect()
+      assert(norm(viaCatalyst) == want, "whole-operator catalyst")
+    }
+  }
+}
