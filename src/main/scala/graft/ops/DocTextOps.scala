@@ -617,8 +617,10 @@ object DocTextOps {
           val m = sqlLit(merged)
           // the merge stays a LAZY projection stacked on the chain: round
           // i re-runs i cheap codegen'd replaces over the scan instead of
-          // pinning k corpus copies in executor memory (k is small; a
-          // production trainer materializes rounds to its working table)
+          // pinning k corpus copies in executor memory (probed in round 4:
+          // checkpointing rounds bought nothing — the pair-count explode,
+          // not the replace chain, dominates; a production trainer still
+          // materializes rounds to its working table at real k)
           txt = txt.selectExpr("doc_id",
             s"trim(replace(replace(concat(' ', replace(txt, ' ', '  '), ' '), ' $q ', ' $m '), '  ', ' ')) AS txt")
           out += ((step, pair, merged, cnt, -1L)) // token count patched below
