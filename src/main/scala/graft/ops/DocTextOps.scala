@@ -567,14 +567,23 @@ object DocTextOps {
       // would tokenize as EMPTY tokens; a pre-existing '@@' would collide
       // with merge markers) — piggybacked, zero extra jobs.
       val obs = new org.apache.spark.sql.Observation(s"bpe_toks_$step")
+      // pair generation runs as a JIT'd typed flatMap (the interpreted
+      // transform/concat lambda was the round's dominant cost); the
+      // CollectMetrics node stays upstream of the typed boundary so the
+      // piggybacked observation still fires on the same scan
       val win = txt
         .observe(obs,
           sum(expr("CAST(size(split(txt, ' ')) AS BIGINT)")).as("toks"),
           sum(expr("CAST(IF(txt LIKE '%  %' OR txt LIKE ' %' OR txt LIKE '% ' " +
             "OR txt LIKE '%@@%', 1, 0) AS BIGINT)")).as("bad"))
-        .selectExpr("split(txt, ' ') AS ws")
-        .where("size(ws) >= 2")
-        .selectExpr("explode(transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))) AS pr")
+        .select("txt").as[String]
+        .mapPartitions(_.flatMap { t =>
+          // Spark split(txt, ' ') semantics = split(regex, -1)
+          val ws = t.split(" ", -1)
+          if (ws.length < 2) Iterator.empty
+          else (0 until ws.length - 1).iterator.map(i => ws(i) + " " + ws(i + 1))
+        })
+        .toDF("pr")
         .groupBy("pr").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("pr").asc).limit(1)
         .collect().headOption
