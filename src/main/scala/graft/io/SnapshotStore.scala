@@ -291,7 +291,11 @@ final class SnapshotStore(val root: String) {
     // loud: updates omitting a column the affected rows carry would
     // silently NULL that column in every rewritten row (copy-on-write
     // replaces whole rows — there are no partial updates)
-    val missing = survivors.columns.toSet -- updates.columns.toSet
+    // name comparison honors the session's resolver (unionByName resolves
+    // case-insensitively under the default spark.sql.caseSensitive=false)
+    val cs = spark.sessionState.conf.caseSensitiveAnalysis
+    def normName(c: String) = if (cs) c else c.toLowerCase(java.util.Locale.ROOT)
+    val missing = survivors.columns.map(normName).toSet -- updates.columns.map(normName).toSet
     require(missing.isEmpty,
       s"upsert: updates omit live column(s) ${missing.toSeq.sorted.mkString(",")} " +
         "carried by the matched rows — a CoW merge rewrites whole rows, so the " +

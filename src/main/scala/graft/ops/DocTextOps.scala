@@ -578,10 +578,14 @@ object DocTextOps {
             "OR txt LIKE '%@@%', 1, 0) AS BIGINT)")).as("bad"))
         .select("txt").as[String]
         .mapPartitions(_.flatMap { t =>
-          // Spark split(txt, ' ') semantics = split(regex, -1)
-          val ws = t.split(" ", -1)
-          if (ws.length < 2) Iterator.empty
-          else (0 until ws.length - 1).iterator.map(i => ws(i) + " " + ws(i + 1))
+          // null text yields no pairs — the SQL form's split->size(ws)>=2
+          // chain excluded it too. Spark split(txt,' ') = split(regex, -1)
+          if (t == null) Iterator.empty
+          else {
+            val ws = t.split(" ", -1)
+            if (ws.length < 2) Iterator.empty
+            else (0 until ws.length - 1).iterator.map(i => ws(i) + " " + ws(i + 1))
+          }
         })
         .toDF("pr")
         .groupBy("pr").agg(count(lit(1)).as("c"))

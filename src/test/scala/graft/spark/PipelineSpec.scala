@@ -20,18 +20,8 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
   private val Seed = 42L
   private val NConvs = 30L
 
-  private def oracleSegments(convIdx: Long): Vector[ConvSegment] = {
-    val turns = SyntheticTranscripts.turnsFor(Seed, convIdx)
-    val pages = turns.sortBy(_.turn_idx).map(t => Extractor.extract(t.tool, t.text).text)
-    val rules = SyntheticTranscripts.rulesFor(Seed, convIdx).map(Pipeline.toCoreRule)
-    val cid = SyntheticTranscripts.convId(convIdx)
-    Demarcator.demarcate(pages.toVector, rules).map { r =>
-      ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber, r.ToPageNumber,
-        r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
-        r.UploadDataSheetId.getOrElse(0L), r.TotalNumberOfpages, r.NoOfPages,
-        r.Sequence.getOrElse(""), r.SessionId.getOrElse(""))
-    }
-  }
+  private def oracleSegments(convIdx: Long): Vector[ConvSegment] =
+    SegmentOracle.segments(Seed, convIdx)
 
   test("generator is deterministic and partition-independent") {
     import spark.implicits._

@@ -20,18 +20,8 @@ import graft.schema._
 class RouteEquivalenceSpec extends AnyFunSuite with SparkFixture {
 
   private def oracle(seed: Long, nConvs: Long): Seq[ConvSegment] =
-    (0L until nConvs).flatMap { ci =>
-      val turns = SyntheticTranscripts.turnsFor(seed, ci)
-      val pages = turns.sortBy(_.turn_idx).map(t => Extractor.extract(t.tool, t.text).text)
-      val rules = SyntheticTranscripts.rulesFor(seed, ci).map(Pipeline.toCoreRule)
-      val cid = SyntheticTranscripts.convId(ci)
-      Demarcator.demarcate(pages.toVector, rules).map { r =>
-        ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber, r.ToPageNumber,
-          r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
-          r.UploadDataSheetId.getOrElse(0L), r.TotalNumberOfpages, r.NoOfPages,
-          r.Sequence.getOrElse(""), r.SessionId.getOrElse(""))
-      }
-    }.sortBy(s => (s.conv_id, s.Sequence.toInt))
+    (0L until nConvs).flatMap(SegmentOracle.segments(seed, _))
+      .sortBy(s => (s.conv_id, s.Sequence.toInt))
 
   for (seed <- Seq(7L, 1234L, 98765L)) {
     test(s"all four routes equal the sequential oracle (corpus seed $seed)") {
