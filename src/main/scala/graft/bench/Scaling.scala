@@ -55,7 +55,14 @@ object Scaling {
                           pinnedTo: Int = 0,
                           rounds: Vector[Vector[Level]] = Vector.empty,
                           probeBestMs: Double = -1.0,
-                          probeGatedWaits: Int = 0) {
+                          probeGatedWaits: Int = 0,
+                          // per-pair BEST-OF-BURST seconds by cpu level (NOT
+                          // cumulative minima): adjacent bursts share the
+                          // host's clock regime, so their ratio cancels
+                          // ambient frequency drift that the min-based
+                          // headline cannot (each level's all-time best draw
+                          // may come from different clock windows)
+                          pairBests: Vector[Map[Int, Double]] = Vector.empty) {
     /** Scaling efficiency between two measured levels:
       * (tps_hi / tps_lo) / (cpus_hi / cpus_lo). */
     def efficiencyBetween(lo: Int, hi: Int): Option[Double] =
@@ -95,13 +102,34 @@ object Scaling {
     /** Headline: the min-based lower-bound estimate. */
     def efficiency: Double = efficiencyMinBased
 
+    /** MEDIAN of the per-pair (same-clock-window) efficiency ratios — the
+      * ambient-frequency-drift-cancelling companion to the min-based
+      * headline: a burst pair runs its two levels back to back, so clock
+      * regime changes between windows hit both sides of each ratio. The
+      * median (not max: a slowed lo draw inflates single pairs) is robust
+      * to tenant noise in either direction. NaN when no pair data. */
+    def efficiencyPairedMedian: Double = {
+      val ratios = pairBests.flatMap { m =>
+        for {
+          (loC, loS) <- m.minByOption(_._1)
+          (hiC, hiS) <- m.maxByOption(_._1)
+          if hiC != loC && !loS.isNaN && !hiS.isNaN
+        } yield (loS / hiS) / (hiC.toDouble / loC)
+      }.sorted
+      if (ratios.isEmpty) Double.NaN
+      else ratios(ratios.size / 2)
+    }
+
     def json: String = {
       val ls = levels.map(l =>
         s"""{"cpus":${l.cpus},"seconds":${f"${l.seconds}%.3f"},"turns_per_sec":${f"${l.turnsPerSec}%.1f"},"segments":${l.nSegments}}""")
         .mkString("[", ",", "]")
       val byRound = efficiencyByRound.map(e => f"$e%.3f").mkString("[", ",", "]")
+      val pm = efficiencyPairedMedian
+      val pmJson = if (pm.isNaN) "null" else f"$pm%.3f"
       s"""{"n_convs":$nConvs,"n_turns":$nTurns,"levels":$ls,"efficiency":${f"$efficiency%.3f"},""" +
-        s""""efficiency_min_based":${f"$efficiencyMinBased%.3f"},"bursts":${rounds.length},""" +
+        s""""efficiency_min_based":${f"$efficiencyMinBased%.3f"},""" +
+        s""""efficiency_paired_median":$pmJson,"bursts":${rounds.length},""" +
         s""""efficiency_trajectory":$byRound,""" +
         s""""noise_probe":{"best_ms":${f"$probeBestMs%.1f"},"gated_waits":$probeGatedWaits},""" +
         s""""occupancy_pinned_to_cores":$pinnedTo}"""
@@ -375,6 +403,7 @@ object Scaling {
     private var nTurns = 0L
     private var children: Vector[BurstChild] = Vector.empty
     private val pairResults = scala.collection.mutable.ArrayBuffer.empty[Vector[Level]]
+    private val pairBestsBuf = scala.collection.mutable.ArrayBuffer.empty[Map[Int, Double]]
     private var pair = 0
     private var stablePairs = 0
     private var minPairMs = Double.MaxValue
@@ -455,10 +484,12 @@ object Scaling {
       val ps = System.nanoTime()
       try {
         val prevBests = children.map(_.best)
-        children.foreach { c =>
+        val thisPair = children.map { c =>
           if (pair > 0) awaitCleanWindow(maxWaitMs = 15000L)
-          c.burst(burstReps(c, pair))
-        }
+          val times = c.burst(burstReps(c, pair))
+          c.cpus -> times.minOption.getOrElse(Double.NaN)
+        }.toMap
+        pairBestsBuf += thisPair
         pairResults += children.map(_.level(nTurns))
         pair += 1
         // steady-state pair cost = fastest pair seen; estimating from the
@@ -478,7 +509,8 @@ object Scaling {
       pairResults.lastOption.map(levels =>
         Result(nConvs, nTurns, levels, ballastTo, pairResults.toVector,
           probeBestMs = if (probe != null) probe.bestMs else -1.0,
-          probeGatedWaits = gatedWaits))
+          probeGatedWaits = gatedWaits,
+          pairBests = pairBestsBuf.toVector))
 
     def close(): Unit = synchronized {
       children.foreach(c => try c.close() catch { case _: Throwable => })
