@@ -708,7 +708,11 @@ object ScalingBench {
          |**Headline N→4N efficiency: ${f"${res.efficiency}%.3f"}** (target
          |≥ 0.8 per BASELINE.json north rule; measured on identical input at
          |two parallelism levels per the sandbox protocol — no real cluster
-         |is available here).
+         |is available here). Drift-cancelling PAIRED-median companion:
+         |**${if (res.efficiencyPairedMedian.isNaN) "n/a" else f"${res.efficiencyPairedMedian}%.3f"}**
+         |— per-pair ratios cancel ambient clock-regime changes that bias
+         |the min-based statistic when one level's all-time best draw lands
+         |in a faster frequency window than the other's.
          |
          |Context: a kernel-only microbench (`graft.bench.KernelBench`, no
          |Spark) scales 4→16 threads at ~0.80 and 16→32 at ~0.47 on this
