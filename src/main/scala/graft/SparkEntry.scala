@@ -1011,13 +1011,15 @@ object SparkEntry {
         |  m2[1] * length(m2[2]) * 1000000 // nc AS top_bigram_char_ppm,
         |  dup3 AS dup_trigram_chars, dup3 * 1000000 // nc AS dup_trigram_char_ppm
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // hash rows = disjoint 8-hex-char slices of ONE md5 per token (the
+    // round-4 sketch formulation — mirrors DocTextOps.cmsFreq)
     "d_cms_freq" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
          |probes AS (SELECT w, count(*)::BIGINT AS n_exact FROM toks
          |           GROUP BY 1 ORDER BY n_exact DESC, w LIMIT 8),
-         |cells AS (SELECT r, ${dh32("concat('cms', r, ':', w)")} % 32 AS c, count(*)::BIGINT AS v
+         |cells AS (SELECT r, ('0x' || substr(md5(w), 1 + 8 * CAST(r AS INT), 8))::BIGINT % 32 AS c, count(*)::BIGINT AS v
          |          FROM toks, range(0, 4) t(r) GROUP BY 1, 2),
-         |pc AS (SELECT w, n_exact, r, ${dh32("concat('cms', r, ':', w)")} % 32 AS c
+         |pc AS (SELECT w, n_exact, r, ('0x' || substr(md5(w), 1 + 8 * CAST(r AS INT), 8))::BIGINT % 32 AS c
          |       FROM probes, range(0, 4) t(r))
          |SELECT pc.w AS term, pc.n_exact, min(cells.v) AS n_est,
          |  (min(cells.v) - pc.n_exact) * 1000000 // pc.n_exact AS overest_ppm

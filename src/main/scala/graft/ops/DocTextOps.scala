@@ -367,17 +367,52 @@ object DocTextOps {
     * by the oracle; at real scale width is 2^20+. Deterministic given the
     * md5 cell hash, so DuckDB reproduces every cell bit-for-bit. */
   def cmsFreq(documents: DataFrame, depth: Int = 4, width: Int = 32, k: Int = 8): DataFrame = {
+    require(depth <= 4, "cmsFreq: the 4 disjoint md5 slices cover depth <= 4")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // the depth hash rows are DISJOINT 8-hex-char slices of ONE md5 per
+    // token (md5 bytes are effectively independent), not depth separate
+    // digests — and each task accumulates its own depth×width counter
+    // array, emitting ≤ depth·width rows per PARTITION: the true
+    // mergeable-sketch shape (what crosses the shuffle is sketches, never
+    // token rows). The same slice rule feeds the probe join below and the
+    // DuckDB oracle.
+    val (d0, w0) = (depth, width)
+    val cells = documents.select("text").as[String]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val acc = Array.ofDim[Long](d0, w0)
+        it.foreach { t =>
+          if (t != null) {
+            val ws = t.split(" ", -1)
+            var i = 0
+            while (i < ws.length) {
+              val dig = md.digest(ws(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              var r = 0
+              while (r < d0) {
+                val h = ((dig(4 * r) & 0xffL) << 24) | ((dig(4 * r + 1) & 0xffL) << 16) |
+                  ((dig(4 * r + 2) & 0xffL) << 8) | (dig(4 * r + 3) & 0xffL)
+                acc(r)((h % w0).toInt) += 1
+                r += 1
+              }
+              i += 1
+            }
+          }
+        }
+        for (r <- (0 until d0).iterator; c <- (0 until w0).iterator if acc(r)(c) > 0L)
+          yield (r, c, acc(r)(c))
+      }
+      .toDF("r", "c", "pv")
+      .groupBy("r", "c").agg(sum("pv").as("v"))
+    val cellSql = (0 until depth).map { r =>
+      s"named_struct('r', $r, 'c', CAST(conv(substring(md5(w), ${8 * r + 1}, 8), 16, 10) AS BIGINT) % $width)"
+    }.mkString("array(", ",", ")")
     val toks = documents.selectExpr(s"explode(${Shingles.ws}) AS w")
-    val cell = Shingles.h32("concat('cms', r, ':', w)") + s" % $width"
-    val cells = toks
-      .selectExpr("w", s"explode(sequence(0, ${depth - 1})) AS r")
-      .selectExpr("r", s"$cell AS c")
-      .groupBy("r", "c").agg(count(lit(1)).as("v"))
     val probes = toks.groupBy("w").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("w")).limit(k)
     probes
-      .selectExpr("w", "n_exact", s"explode(sequence(0, ${depth - 1})) AS r")
-      .selectExpr("w", "n_exact", "r", s"$cell AS c")
+      .selectExpr("w", "n_exact", s"explode($cellSql) AS rc")
+      .selectExpr("w", "n_exact", "rc.r AS r", "rc.c AS c")
       .join(cells, Seq("r", "c"))
       .groupBy("w", "n_exact").agg(min("v").as("n_est"))
       .selectExpr("w AS term", "CAST(n_exact AS BIGINT) AS n_exact",
