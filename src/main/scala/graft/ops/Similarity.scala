@@ -155,59 +155,72 @@ object Similarity {
     * break toward the smaller cluster id; a cluster that loses all members
     * dies (standard Lloyd), mirrored by the oracle.
     *
-    * Shape at 100 TB: assignment is ONE codegen'd scan against inlined
-    * centroid literals (no shuffle, no K× row blowup — the [[annIvf]]
-    * pattern, same ≤2^18 literal guard); the update is one hash aggregation
-    * keyed (cluster, pos) with map-side partials, so k·dim longs cross the
-    * shuffle per iteration and the driver holds k·dim longs — nothing
-    * scales with the corpus. Output: per-cluster size, min member id, and
-    * total inertia under the final centroids. */
+    * Each round runs as a JIT'd typed kernel against a k·dim-long broadcast
+    * (the [[annIvf]] training pattern — higher-order SQL lambdas are
+    * interpreted, measured ~2× the round cost): ONE scan assigns rows to
+    * their argmin centroid (first strict min in ascending cluster-id order
+    * = smallest id on ties), then an elementwise `reduceByKey` sums members
+    * per cluster, so k·(dim+2) longs cross the shuffle per round and the
+    * driver holds k·dim longs — nothing scales with the corpus. Exact Long
+    * adds are associative/commutative, so reduce order is immaterial and
+    * the DuckDB replay is unaffected. Output: per-cluster size, min member
+    * id, and total inertia under the final centroids. */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val xs = embeddings.selectExpr(
       "CAST(vec_id AS BIGINT) AS vec_id",
       s"transform(${asDouble("embedding")}, v -> CAST(floor(v * 1048576) AS BIGINT)) AS x")
+      .as[(Long, Array[Long])]
     var cents: Array[(Long, Array[Long])] = xs.where(s"vec_id < $k")
-      .as[(Long, Array[Long])].collect().sortBy(_._1)
+      .collect().sortBy(_._1)
     require(cents.length == k, s"kmeans: need vec_ids 0..${k - 1} as seeds, found ${cents.length}")
-    require(k.toLong * cents.map(_._2.length).max <= (1L << 18),
-      "kmeans: inlined centroid literals would exceed a sane expression size — " +
-        "switch assignment to a broadcast join + argmin window for this k·dim")
 
-    def assign(prev: Array[(Long, Array[Long])]): DataFrame = {
-      val sorted = prev.sortBy(_._1)
-      val ds = sorted.map { case (_, m) =>
-        val lit = m.mkString("array(", "L,", "L)")
-        s"aggregate(zip_with(x, $lit, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (p, q) -> p + q)"
-      }.mkString("array(", ",", ")")
-      val ids = sorted.map(_._1).mkString("array(", "L,", "L)")
-      xs.selectExpr("vec_id", "x", s"$ds AS dists")
-        // first occurrence of the min = smallest index = smallest cluster id
-        .selectExpr("vec_id", "x",
-          s"element_at($ids, CAST(array_position(dists, array_min(dists)) AS INT)) AS cl",
-          "array_min(dists) AS d")
-    }
-
-    var a: DataFrame = null
-    for (it <- 1 to iters) {
-      a = assign(cents)
-      if (it < iters) {
-        val rows = a.selectExpr("cl", "posexplode(x) AS (pos, xv)")
-          .groupBy("cl", "pos").agg(expr("SUM(xv) DIV COUNT(*)").as("m"))
-          .collect()
-        cents = rows.groupBy(_.getLong(0)).toArray.sortBy(_._1).map { case (cl, rs) =>
-          val m = new Array[Long](cents.head._2.length)
-          rs.foreach(r => m(r.getInt(1)) = r.getLong(2))
-          (cl, m)
+    // one assignment pass: (cluster id, vec_id, squared distance, x);
+    // `prev` must be sorted by cluster id so first-strict-min = smallest id
+    def assigned(prev: Array[(Long, Array[Long])]) = {
+      val bc = spark.sparkContext.broadcast(prev)
+      (bc, xs.rdd.map { case (vid, x) =>
+        val cs = bc.value
+        var best = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val m = cs(c)._2
+          var d = 0L
+          var i = 0
+          while (i < m.length) { val t = x(i) - m(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
         }
-      }
+        (cs(best)._1, vid, bestD, x)
+      })
     }
-    a.groupBy("cl")
-      .agg(count(lit(1)).as("n_members"), min("vec_id").as("min_vec_id"),
-        sum("d").as("inertia"))
-      .selectExpr("cl AS cluster", "CAST(n_members AS BIGINT) AS n_members",
-        "min_vec_id", "inertia")
+
+    for (_ <- 1 until iters) {
+      val (bc, a) = assigned(cents)
+      val sums = a
+        .map { case (cl, _, _, x) => (cl, (x, 1L)) }
+        .reduceByKey { (p, q) =>
+          val s = p._1.clone() // never mutate a shuffled buffer in place
+          var i = 0
+          while (i < s.length) { s(i) += q._1(i); i += 1 }
+          (s, p._2 + q._2)
+        }
+        .collect()
+      bc.destroy()
+      // Long / truncates toward zero = SQL DIV; absent clusters died
+      cents = sums.map { case (cl, (s, n)) => (cl, s.map(_ / n)) }.sortBy(_._1)
+    }
+    val (bcFin, aFin) = assigned(cents)
+    val out = aFin
+      .map { case (cl, vid, d, _) => (cl, (1L, vid, d)) }
+      .reduceByKey((p, q) => (p._1 + q._1, math.min(p._2, q._2), p._3 + q._3))
+      .collect()
+    bcFin.destroy()
+    spark.createDataset(out.toSeq.sortBy(_._1)
+        .map { case (cl, (n, minId, inertia)) => (cl, n, minId, inertia) })
+      .toDF("cluster", "n_members", "min_vec_id", "inertia")
       .orderBy("cluster")
   }
 
