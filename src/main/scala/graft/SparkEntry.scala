@@ -88,6 +88,7 @@ object SparkEntry {
     "d_mix" -> ((s, d) => DocTextOps.mixCorpus(docs(s, d))),
     "d_bpe_train" -> ((s, d) => DocTextOps.bpeTrain(docs(s, d))),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
+    "d_substr_dedup" -> ((s, d) => Dedup.substrDedup(docs(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
     "d_incr_dedup" -> ((s, d) => Dedup.incrementalMinhash(docs(s, d))),
@@ -106,6 +107,7 @@ object SparkEntry {
     "e_ann_recall" -> ((s, d) => Similarity.annRecall(embs(s, d))),
     "e_centroids" -> ((s, d) => Similarity.labelCentroids(embs(s, d))),
     "e_kmeans" -> ((s, d) => Similarity.kmeans(embs(s, d))),
+    "e_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(embs(s, d))),
     "d_pagerank" -> ((s, d) => GraphOps.pagerank(docs(s, d))),
     // multimodal plumbing
     "m_features" -> ((s, d) => Multimodal.features(docs(s, d)).drop("mean_byte")),
@@ -301,11 +303,12 @@ object SparkEntry {
   private def dLloydDist(x: String, m: String, dim: Int) =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), [($x[i]-$m[i])*($x[i]-$m[i]) for i in range(1, ${dim + 1})]), (a,b) -> a+b)"
 
-  /** Replays every Lloyd round of [[Similarity.kmeans]] on the same 2^-20
-    * integer grid with the same truncating division — engine-exact, so the
-    * hash matches bit-for-bit (a float k-means could not be oracled). */
-  private def kmeansOracle: String = {
-    val k = 8; val iters = 3; val dim = 64
+  /** CTE chain replaying every Lloyd round of [[Similarity.kmeans]] /
+    * [[Similarity.semanticDedup]] on the same 2^-20 integer grid with the
+    * same truncating division — engine-exact (a float k-means could not be
+    * oracled). Returns (the `WITH …` prefix, the final-assignment relation
+    * holding `vec_id, x, cl, d`); shared so the two replays cannot drift. */
+  private def lloydCtes(k: Int, iters: Int, dim: Int): (String, String) = {
     def dist(x: String, m: String) = dLloydDist(x, m, dim)
     val sb = new StringBuilder
     sb ++= "WITH x AS (SELECT CAST(vec_id AS BIGINT) vec_id, [CAST(floor(v::DOUBLE * 1048576) AS BIGINT) for v in embedding] AS x FROM embeddings),\n"
@@ -323,11 +326,32 @@ object SparkEntry {
         prev = s"c$it"
       }
     }
-    sb ++= s"""
-              |SELECT cl AS cluster, count(*)::BIGINT AS n_members, min(vec_id) AS min_vec_id,
-              |  sum(d)::BIGINT AS inertia
-              |FROM a$iters GROUP BY 1 ORDER BY 1""".stripMargin
-    sb.toString
+    (sb.toString, s"a$iters")
+  }
+
+  private def kmeansOracle: String = {
+    val (ctes, fin) = lloydCtes(8, 3, 64)
+    s"""$ctes
+       |SELECT cl AS cluster, count(*)::BIGINT AS n_members, min(vec_id) AS min_vec_id,
+       |  sum(d)::BIGINT AS inertia
+       |FROM $fin GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Replays [[Similarity.semanticDedup]]: the Lloyd assignment above, then
+    * within-cluster pair verdicts with the same left-fold cosine — a vector
+    * is dropped iff some same-cluster smaller-id vector clears the shared
+    * threshold. */
+  private def semanticDedupOracle: String = {
+    val (ctes, fin) = lloydCtes(8, 3, 64)
+    val t = s"CAST('${Similarity.DefaultSemThreshold}' AS DOUBLE)"
+    s"""$ctes,
+       |base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |asg AS (SELECT a.vec_id, a.cl AS cluster, b.v FROM $fin a JOIN base b USING (vec_id)),
+       |drp AS (SELECT DISTINCT y.vec_id FROM asg x JOIN asg y
+       |          ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |        WHERE ${dCos("x.v", "y.v")} >= $t)
+       |SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS kept
+       |FROM asg a LEFT JOIN drp d USING (vec_id) ORDER BY a.vec_id""".stripMargin
   }
 
   /** Replays [[GraphOps.pagerank]]'s integer rank flow (ppb ranks, 85/100
@@ -1254,6 +1278,30 @@ object SparkEntry {
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e_kmeans" -> kmeansOracle,
+    "e_semantic_dedup" -> semanticDedupOracle,
+    // replays Dedup.substrDedup: windows as a list comprehension (DuckDB's
+    // range() cannot be lateral over a column), 64-bit md5-prefix window
+    // keys, then the same gaps-and-islands merge
+    "d_substr_dedup" -> {
+      val w = Dedup.DefaultSubstrW
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |           WHERE len(string_split(text, ' ')) >= $w),
+         |wins0 AS (SELECT doc_id, unnest([{'start': CAST(i - 1 AS BIGINT),
+         |    'h': substr(md5(array_to_string(ws[i : i + ${w - 1}], ' ')), 1, 16)}
+         |    for i in range(1, len(ws) - ${w - 2})]) AS win FROM d),
+         |wins AS (SELECT doc_id, win.start AS start, win.h AS h FROM wins0),
+         |dup AS (SELECT doc_id, start FROM wins
+         |        JOIN (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2) dk USING (h)),
+         |isl AS (SELECT doc_id, start,
+         |    CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) <= $w
+         |         THEN 0 ELSE 1 END AS ni FROM dup),
+         |grp AS (SELECT doc_id, start,
+         |    sum(ni) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM isl)
+         |SELECT doc_id, min(start) AS span_start, max(start) + $w AS span_end,
+         |  count(*)::BIGINT AS n_windows
+         |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin
+    },
     "d_pagerank" -> pagerankOracle,
     "m_features" ->
       s"""SELECT doc_id, $dModality AS modality,

@@ -239,6 +239,55 @@ object Dedup {
       .where(s"jaccard_ppm >= $thresholdPpm")
       .orderBy("doc_a", "doc_b")
 
+  /** Window width (tokens) for [[substrDedup]] — shared with the DuckDB
+    * oracle so the two cannot drift. Real corpora use ~50 (the Lee et al.
+    * threshold); 8 keeps the small synthetic docs exercising the merge. */
+  val DefaultSubstrW = 8
+
+  /** Exact substring-level duplication spans — the cross-document twin of
+    * the document-level dedups above, after Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr dedup):
+    * any `w`-token window whose text occurs ≥2 times ANYWHERE in the corpus
+    * (other documents or a repeat within the same one) is duplicated, and
+    * per document the overlapping/adjacent duplicated windows merge into
+    * maximal token spans `[span_start, span_end)` — the regions a training
+    * pipeline would cut (vs dropping whole near-dup documents).
+    *
+    * Scale shape (the paper's suffix array is a single-machine structure;
+    * this is its keyed-shuffle reformulation): window generation is
+    * MAP-ONLY (one `transform` over the pre-split token array), and only
+    * `(doc_id, start, 64-bit window hash)` ever leaves the scan — never
+    * window text. Duplication is one hash aggregation keyed by window hash
+    * (map-side partials absorb hot boilerplate windows; the join back is
+    * AQE-skew-splittable, unlike a count-over-window which would pin every
+    * occurrence of one hash into a single task), and span merging is one
+    * per-document sort — gaps-and-islands over windows of identical width
+    * `w`: a window starting ≤ `w` after its predecessor overlaps or abuts
+    * it, so islands are exactly the maximal covered spans. Output volume is
+    * spans, not windows. */
+  def substrDedup(documents: DataFrame, w: Int = DefaultSubstrW): DataFrame = {
+    val wins = documents
+      .selectExpr("doc_id", s"${Shingles.ws} AS ws")
+      .where(s"size(ws) >= $w")
+      .selectExpr("doc_id",
+        s"""explode(transform(sequence(0, size(ws) - $w), s -> named_struct(
+           |  'start', CAST(s AS BIGINT),
+           |  'h', substring(md5(concat_ws(' ', slice(ws, s + 1, $w))), 1, 16)))) AS win""".stripMargin)
+      .selectExpr("doc_id", "win.start AS start", "win.h AS h")
+    val dupKeys = wins.groupBy("h").agg(count(lit(1)).as("n")).where("n >= 2").select("h")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("start")
+    wins.join(dupKeys, Seq("h"))
+      .select("doc_id", "start")
+      // starts are distinct within a doc, so RANGE/ROWS framing coincide
+      .withColumn("ni", when(col("start") - lag("start", 1).over(byDoc) <= w, lit(0)).otherwise(lit(1)))
+      .withColumn("g", sum("ni").over(byDoc))
+      .groupBy("doc_id", "g")
+      .agg(min("start").as("span_start"), (max("start") + lit(w)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .orderBy("doc_id", "span_start")
+  }
+
   /** SimHash sketch width and pigeonhole-block layout. 60 bits (top 15 hex
     * chars of md5): the widest md5 prefix that still fits a SIGNED 64-bit
     * int in every engine (16 hex chars can set the sign bit — DuckDB has no

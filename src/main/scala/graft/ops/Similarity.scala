@@ -165,42 +165,54 @@ object Similarity {
     * adds are associative/commutative, so reduce order is immaterial and
     * the DuckDB replay is unaffected. Output: per-cluster size, min member
     * id, and total inertia under the final centroids. */
-  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+  /** Index of the argmin-squared-distance centroid; first strict min in
+    * array order = smallest cluster id on ties (callers keep `cs` sorted by
+    * cluster id). Static, so RDD lambdas referencing it close cleanly. */
+  private def nearestIdx(cs: Array[(Long, Array[Long])], x: Array[Long]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val m = cs(c)._2
+      var d = 0L
+      var i = 0
+      while (i < m.length) { val t = x(i) - m(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The shared `(vec_id, 2^-20-grid vector)` projection behind [[kmeans]]
+    * and [[semanticDedup]] (float→double and ×2^20 are exact). */
+  private def gridDs(embeddings: DataFrame) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val xs = embeddings.selectExpr(
+    embeddings.selectExpr(
       "CAST(vec_id AS BIGINT) AS vec_id",
       s"transform(${asDouble("embedding")}, v -> CAST(floor(v * 1048576) AS BIGINT)) AS x")
       .as[(Long, Array[Long])]
+  }
+
+  /** Lloyd-trained centroids: first-`k`-id seeds then `rounds` update
+    * rounds, each ONE typed assignment scan + elementwise `reduceByKey`
+    * (k·(dim+1) longs cross the shuffle; the driver holds k·dim longs).
+    * Returned sorted by cluster id so [[nearestIdx]]'s first-strict-min tie
+    * break = smallest id — shared by [[kmeans]] and [[semanticDedup]] so
+    * both replay identically in the oracle. */
+  private def lloydCentroids(xs: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+                             k: Int, rounds: Int): Array[(Long, Array[Long])] = {
+    val spark = xs.sparkSession
     var cents: Array[(Long, Array[Long])] = xs.where(s"vec_id < $k")
       .collect().sortBy(_._1)
     require(cents.length == k, s"kmeans: need vec_ids 0..${k - 1} as seeds, found ${cents.length}")
-
-    // one assignment pass: (cluster id, vec_id, squared distance, x);
-    // `prev` must be sorted by cluster id so first-strict-min = smallest id
-    def assigned(prev: Array[(Long, Array[Long])]) = {
-      val bc = spark.sparkContext.broadcast(prev)
-      (bc, xs.rdd.map { case (vid, x) =>
-        val cs = bc.value
-        var best = 0
-        var bestD = Long.MaxValue
-        var c = 0
-        while (c < cs.length) {
-          val m = cs(c)._2
-          var d = 0L
-          var i = 0
-          while (i < m.length) { val t = x(i) - m(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
+    for (_ <- 1 to rounds) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val sums = xs.rdd
+        .map { case (_, x) =>
+          val cs = bc.value
+          (cs(nearestIdx(cs, x))._1, (x, 1L))
         }
-        (cs(best)._1, vid, bestD, x)
-      })
-    }
-
-    for (_ <- 1 until iters) {
-      val (bc, a) = assigned(cents)
-      val sums = a
-        .map { case (cl, _, _, x) => (cl, (x, 1L)) }
         .reduceByKey { (p, q) =>
           val s = p._1.clone() // never mutate a shuffled buffer in place
           var i = 0
@@ -212,6 +224,28 @@ object Similarity {
       // Long / truncates toward zero = SQL DIV; absent clusters died
       cents = sums.map { case (cl, (s, n)) => (cl, s.map(_ / n)) }.sortBy(_._1)
     }
+    cents
+  }
+
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val xs = gridDs(embeddings)
+    val cents = lloydCentroids(xs, k, iters - 1)
+
+    // final pass: (cluster id, vec_id, squared distance)
+    def assigned(prev: Array[(Long, Array[Long])]) = {
+      val bc = spark.sparkContext.broadcast(prev)
+      (bc, xs.rdd.map { case (vid, x) =>
+        val cs = bc.value
+        val best = nearestIdx(cs, x)
+        val m = cs(best)._2
+        var d = 0L
+        var i = 0
+        while (i < m.length) { val t = x(i) - m(i); d += t * t; i += 1 }
+        (cs(best)._1, vid, d, x)
+      })
+    }
     val (bcFin, aFin) = assigned(cents)
     val out = aFin
       .map { case (cl, vid, d, _) => (cl, (1L, vid, d)) }
@@ -222,6 +256,77 @@ object Similarity {
         .map { case (cl, (n, minId, inertia)) => (cl, n, minId, inertia) })
       .toDF("cluster", "n_members", "min_vec_id", "inertia")
       .orderBy("cluster")
+  }
+
+  /** Cosine threshold for [[semanticDedup]] — shared with the DuckDB
+    * oracle so the two cannot drift. 0.4 matches [[nearDupPairs]]'s default
+    * (the exact baseline this approximates), which the uniform-random test
+    * corpora actually exceed; semantic-dup thresholds on real embedding
+    * spaces run far higher (SemDeDup uses ~0.99+ on normalized CLIP/OPT
+    * embeddings). */
+  val DefaultSemThreshold = 0.4
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding space with the SAME deterministic integer-grid
+    * Lloyd rounds as [[kmeans]], then compare pairs only WITHIN each
+    * cluster — a vector is dropped iff some same-cluster vector with a
+    * SMALLER id has cosine ≥ threshold (min id of every duplicate group
+    * survives; deterministic, no random representative). Cross-cluster
+    * near-dups are missed BY DESIGN — that is the approximation that turns
+    * [[nearDupPairs]]'s O(n²) into Σ O(n_c²), and `k` is the knob: scale it
+    * so n/k vectors (× 8·dim bytes) fit one task comfortably — the paper
+    * runs k in the tens of thousands at web scale for exactly this bound.
+    *
+    * One typed pass fuses norm projection + grid quantization + cluster
+    * assignment (no join to attach clusters), then `flatMapGroups` per
+    * cluster runs the pairwise check with tight JIT'd dot loops and
+    * early-exit on the first smaller similar neighbor. The dot is the same
+    * left-to-right double fold as [[nearDupPairs]]/[[knnBruteForce]], so
+    * the DuckDB oracle replays training, assignment AND the pair verdicts
+    * bit-for-bit. Output: every vector with its cluster and survival flag. */
+  def semanticDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+                    threshold: Double = DefaultSemThreshold): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = lloydCentroids(gridDs(embeddings), k, iters - 1)
+    val bc = spark.sparkContext.broadcast(cents)
+    // NOT destroyed: the plan below is lazy and may re-execute this scan
+    withNorm(embeddings)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "v", "nv")
+      .as[(Long, Array[Double], Double)]
+      .map { case (vid, v, nv) =>
+        val x = new Array[Long](v.length)
+        var i = 0
+        while (i < v.length) { x(i) = math.floor(v(i) * 1048576).toLong; i += 1 }
+        val cs = bc.value
+        (vid, cs(nearestIdx(cs, x))._1, v, nv)
+      }
+      .groupByKey(_._2)
+      .flatMapGroups { (cl, it) =>
+        // one cluster per task — the operator's memory contract (see above)
+        val m = it.toArray.sortBy(_._1)
+        val kept = Array.fill(m.length)(true)
+        var j = 1
+        while (j < m.length) {
+          val (_, _, vj, nj) = m(j)
+          var i = 0
+          var hit = false
+          while (i < j && !hit) {
+            val vi = m(i)._3
+            var acc = 0.0
+            var p = 0
+            while (p < vj.length) { acc += vi(p) * vj(p); p += 1 }
+            if (acc / (m(i)._4 * nj) >= threshold) hit = true
+            i += 1
+          }
+          if (hit) kept(j) = false
+          j += 1
+        }
+        m.indices.iterator.map(j => (m(j)._1, cl, kept(j)))
+      }
+      .toDF("vec_id", "cluster", "kept")
+      .orderBy("vec_id")
   }
 
   val AnnPlanes = 8

@@ -116,4 +116,38 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
       ("banana", 2L, "0,2"),
       ("cherry", 2L, "0,1")))
   }
+
+  test("substrDedup merges overlapping duplicated windows into maximal spans") {
+    import graft.ops.Dedup
+    // docs 1 and 2 share their first 10 tokens -> duplicated 8-windows at
+    // starts 0,1,2 in each -> ONE merged span [0, 10) of 3 windows
+    val shared = "a b c d e f g h i j"
+    val d = docs(
+      1L -> s"$shared k l",
+      2L -> s"$shared x y",
+      3L -> "totally unrelated words with no duplicated runs at all here")
+    val got = Dedup.substrDedup(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got == List((1L, 0L, 10L, 3L), (2L, 0L, 10L, 3L)))
+  }
+
+  test("substrDedup finds WITHIN-document repeats and keeps gapped spans separate") {
+    import graft.ops.Dedup
+    // the 8-token run repeats at starts 0 and 9: gap 9 > w=8 -> two spans
+    val run = "p q r s t u v w"
+    val d = docs(4L -> s"$run Z $run")
+    val got = Dedup.substrDedup(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got == List((4L, 0L, 8L, 1L), (4L, 9L, 17L, 1L)))
+
+    // two identical 16-token docs: all 9 windows duplicated, adjacency
+    // (gap == w included) fuses them into one full-cover span [0, 16)
+    val full = "a b c d e f g h i j k l m n o p"
+    val got2 = Dedup.substrDedup(docs(5L -> full, 6L -> full)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got2 == List((5L, 0L, 16L, 9L), (6L, 0L, 16L, 9L)))
+
+    // docs shorter than the window (or null text) emit nothing, loudly not wrongly
+    assert(Dedup.substrDedup(docs(7L -> "too short")).collect().isEmpty)
+  }
 }
