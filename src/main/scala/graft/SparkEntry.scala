@@ -87,6 +87,7 @@ object SparkEntry {
     "d_pack" -> ((s, d) => DocTextOps.packSequences(docs(s, d))),
     "d_mix" -> ((s, d) => DocTextOps.mixCorpus(docs(s, d))),
     "d_bpe_train" -> ((s, d) => DocTextOps.bpeTrain(docs(s, d))),
+    "d_bpe_encode" -> ((s, d) => DocTextOps.bpeEncode(docs(s, d))),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "d_substr_dedup" -> ((s, d) => Dedup.substrDedup(docs(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
@@ -193,6 +194,29 @@ object SparkEntry {
 
   /** DuckDB: 32-bit int from the first 8 hex chars of md5. */
   private def dh32(col: String) = s"(('0x' || substr(md5($col), 1, 8))::BIGINT)"
+
+  /** CTE chain t0,p1,t1,…,p`k`,t`k` replaying [[graft.ops.DocTextOps]]'s
+    * BPE merge rounds (argmax pair by count DESC / pair ASC, padded-replace
+    * application) — shared by the `d_bpe_train` and `d_bpe_encode` oracles
+    * so the two replays cannot drift. */
+  private def bpeCtes(k: Int): String = {
+    val sb = new StringBuilder("WITH t0 AS (SELECT doc_id, text AS txt FROM documents)")
+    for (i <- 1 to k) {
+      val prev = s"t${i - 1}"
+      sb ++= s""",
+        |p$i AS (SELECT pr, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest([ws[j] || ' ' || ws[j+1] for j in range(1, len(ws))]) AS pr
+        |    FROM (SELECT string_split(txt, ' ') AS ws FROM $prev
+        |          WHERE len(string_split(txt, ' ')) >= 2))
+        |  GROUP BY 1 ORDER BY c DESC, pr LIMIT 1),
+        |t$i AS (SELECT doc_id, trim(replace(replace(
+        |    ' ' || replace(txt, ' ', '  ') || ' ',
+        |    ' ' || (SELECT replace(pr, ' ', '  ') FROM p$i) || ' ',
+        |    ' ' || (SELECT replace(pr, ' ', '@@') FROM p$i) || ' '),
+        |    '  ', ' ')) AS txt FROM $prev)""".stripMargin
+    }
+    sb.toString
+  }
 
   private val dShingleDocs =
     s"""docs AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents
@@ -1105,28 +1129,23 @@ object SparkEntry {
       // exhaustion exists for API safety on degenerate inputs, which this
       // fixed-round oracle deliberately does not model
       val k = graft.ops.DocTextOps.DefaultBpeMerges
-      val sb = new StringBuilder("WITH t0 AS (SELECT doc_id, text AS txt FROM documents)")
-      for (i <- 1 to k) {
-        val prev = s"t${i - 1}"
-        sb ++= s""",
-          |p$i AS (SELECT pr, count(*)::BIGINT AS c FROM (
-          |    SELECT unnest([ws[j] || ' ' || ws[j+1] for j in range(1, len(ws))]) AS pr
-          |    FROM (SELECT string_split(txt, ' ') AS ws FROM $prev
-          |          WHERE len(string_split(txt, ' ')) >= 2))
-          |  GROUP BY 1 ORDER BY c DESC, pr LIMIT 1),
-          |t$i AS (SELECT doc_id, trim(replace(replace(
-          |    ' ' || replace(txt, ' ', '  ') || ' ',
-          |    ' ' || (SELECT replace(pr, ' ', '  ') FROM p$i) || ' ',
-          |    ' ' || (SELECT replace(pr, ' ', '@@') FROM p$i) || ' '),
-          |    '  ', ' ')) AS txt FROM $prev)""".stripMargin
-      }
       val rows = (1 to k).map { i =>
         s"""SELECT CAST($i AS BIGINT) AS step, (SELECT pr FROM p$i) AS pair,
            |  (SELECT replace(pr, ' ', '@@') FROM p$i) AS merged,
            |  (SELECT c FROM p$i) AS pair_count,
            |  (SELECT sum(len(string_split(txt, ' ')))::BIGINT FROM t$i) AS corpus_tokens_after""".stripMargin
       }
-      sb.toString + "\n" + rows.mkString("\nUNION ALL\n") + "\nORDER BY step"
+      bpeCtes(k) + "\n" + rows.mkString("\nUNION ALL\n") + "\nORDER BY step"
+    },
+    // replays DocTextOps.bpeEncode: the same merge-round chain, read out
+    // per document instead of per round
+    "d_bpe_encode" -> {
+      val k = graft.ops.DocTextOps.DefaultBpeMerges
+      s"""${bpeCtes(k)}
+         |SELECT doc_id, len(string_split(txt, ' '))::BIGINT AS n_tokens,
+         |  ((length(txt) - length(replace(txt, '@@', ''))) // 2)::BIGINT AS n_merges,
+         |  md5(txt) AS encoded_md5
+         |FROM t$k WHERE txt IS NOT NULL ORDER BY doc_id""".stripMargin
     },
     "d_mix" -> {
       // one copy of the target table, shared with the Spark-side default

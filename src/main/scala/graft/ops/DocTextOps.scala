@@ -583,7 +583,27 @@ object DocTextOps {
     *
     * At 100 TB real trainers run on a sample; the per-round cost here is
     * the honest full-corpus shape. */
-  def bpeTrain(documents: DataFrame, merges: Int = DefaultBpeMerges): DataFrame = {
+  def bpeTrain(documents: DataFrame, merges: Int = DefaultBpeMerges): DataFrame =
+    bpeTrainImpl(documents, merges)._1
+
+  /** BPE ENCODING — apply the [[bpeTrain]]-learned merge vocabulary to the
+    * corpus and emit per-document token stats: the "tokenize with the real
+    * learned vocab" pass that follows training in every tokenizer build.
+    * The encoded corpus IS the trainer's lazily-stacked replace chain (one
+    * codegen'd scan re-running the k merges — no second implementation to
+    * drift), so `n_merges` counts applied `@@` joints exactly and the md5
+    * pins the full encoded text cross-engine. Null-text rows encode to
+    * nothing and are excluded, mirroring the trainer's pair scan. */
+  def bpeEncode(documents: DataFrame, merges: Int = DefaultBpeMerges): DataFrame =
+    bpeTrainImpl(documents, merges)._2
+      .where("txt IS NOT NULL")
+      .selectExpr("doc_id",
+        "CAST(size(split(txt, ' ')) AS BIGINT) AS n_tokens",
+        "CAST((length(txt) - length(replace(txt, '@@', ''))) DIV 2 AS BIGINT) AS n_merges",
+        "md5(txt) AS encoded_md5")
+      .orderBy("doc_id")
+
+  private def bpeTrainImpl(documents: DataFrame, merges: Int): (DataFrame, DataFrame) = {
     val spark = documents.sparkSession
     import spark.implicits._
     var txt = documents.selectExpr("doc_id", "text AS txt")
@@ -682,12 +702,13 @@ object DocTextOps {
       afterCounts += txt.selectExpr("CAST(size(split(txt, ' ')) AS BIGINT) AS n")
         .agg(sum("n")).head().getLong(0)
     val toks = afterCounts.result()
-    out.result().zipWithIndex
+    val summary = out.result().zipWithIndex
       .map { case ((st, pair, merged, cnt, _), i) => (st, pair, merged, cnt, toks(i)) }
       .toDF("step", "pair", "merged", "pair_count", "corpus_tokens_after")
       .selectExpr("CAST(step AS BIGINT) AS step", "pair", "merged",
         "pair_count", "corpus_tokens_after")
       .orderBy("step")
+    (summary, txt)
   }
 
   /** Corpus MIXING — the data-mixture step of a pretraining build: given

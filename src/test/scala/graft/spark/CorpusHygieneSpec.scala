@@ -47,6 +47,14 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](DocTextOps.bpeTrain(docs((1L, "a  b"))))
   }
 
+  test("bpeEncode emits per-doc token stats under the learned merges") {
+    // round 1 merges "a b" (tie-break), round 2 merges "x x" greedily once
+    val d = docs((1L, "x x x"), (2L, "a b a b"))
+    val got = DocTextOps.bpeEncode(d, merges = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((1L, 2L, 1L), (2L, 2L, 2L)))
+  }
+
   test("chunk and mixCorpus reject invalid parameters loudly") {
     val d = docs((1L, "a b c"))
     intercept[IllegalArgumentException](DocTextOps.chunk(d, window = 4, stride = 8))
@@ -149,5 +157,36 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
 
     // docs shorter than the window (or null text) emit nothing, loudly not wrongly
     assert(Dedup.substrDedup(docs(7L -> "too short")).collect().isEmpty)
+  }
+
+  test("substrDedup matches a brute-force sequential reference on dense random corpora") {
+    import graft.ops.Dedup
+    // 3-word vocab + w=4 forces heavy window repetition within and across
+    // docs — the stress case for the gaps-and-islands merge
+    val w = 4
+    for (seed <- Seq(11, 97, 3023)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0L until 12L).map { id =>
+        id -> Seq.fill(3 + rnd.nextInt(20))(Seq("a", "b", "c")(rnd.nextInt(3))).mkString(" ")
+      }
+      // sequential reference: count every w-window, merge duplicated starts
+      val wins = corpus.flatMap { case (id, t) =>
+        val ws = t.split(" ", -1)
+        (0 to ws.length - w).map(s => (id, s.toLong, ws.slice(s, s + w).mkString(" ")))
+      }
+      val dupTexts = wins.groupBy(_._3).filter(_._2.size >= 2).keySet
+      val want = wins.filter(p => dupTexts(p._3)).groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+        val starts = ps.map(_._2).sorted
+        val spans = starts.foldLeft(List.empty[(Long, Long, Long)]) {
+          case ((s0, e0, n0) :: rest, s) if s <= e0 => (s0, math.max(e0, s + w), n0 + 1) :: rest
+          case (acc, s) => (s, s + w, 1L) :: acc
+        }.reverse
+        spans.map { case (s, e, n) => (id, s, e, n) }
+      }.sortBy(p => (p._1, p._2))
+      val got = Dedup.substrDedup(docs(corpus: _*), w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+      assert(got == want.toList, s"seed $seed")
+      assert(got.nonEmpty, s"seed $seed must exercise the merge")
+    }
   }
 }
