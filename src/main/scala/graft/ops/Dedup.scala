@@ -264,7 +264,10 @@ object Dedup {
     * per-document sort — gaps-and-islands over windows of identical width
     * `w`: a window starting ≤ `w` after its predecessor overlaps or abuts
     * it, so islands are exactly the maximal covered spans. Output volume is
-    * spans, not windows. */
+    * spans, not windows. The window stream is deliberately REGENERATED on
+    * the probe side of the join (two scans of the corpus) rather than
+    * cached: re-running a codegen'd projection is cheaper at corpus scale
+    * than materializing ~one row per corpus token. */
   def substrDedup(documents: DataFrame, w: Int = DefaultSubstrW): DataFrame = {
     val wins = documents
       .selectExpr("doc_id", s"${Shingles.ws} AS ws")
