@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
 
-import graft.ops.{Dedup, DocTextOps, EventOps, Evolution, GraphOps, Incremental, Layout, Multimodal, Similarity}
+import graft.ops.{Dedup, DocTextOps, EventOps, Evolution, FixedLog, GraphOps, Incremental, Layout, Multimodal, Selection, Similarity}
 import graft.queries.Relational
 import graft.pipeline.Pipeline
 
@@ -77,6 +77,10 @@ object SparkEntry {
     "d_kmv_distinct" -> ((s, d) => DocTextOps.kmvDistinct(docs(s, d))),
     "d_downselect" -> ((s, d) => DocTextOps.downselect(docs(s, d))),
     "d_decontaminate" -> ((s, d) => DocTextOps.decontaminate(docs(s, d))),
+    "d_bloom_decontaminate" -> ((s, d) => DocTextOps.bloomDecontaminate(docs(s, d))),
+    "d_lm_score" -> ((s, d) => Selection.lmScore(docs(s, d))),
+    "d_dsir_weights" -> ((s, d) => Selection.dsirWeights(docs(s, d))),
+    "d_source_cap" -> ((s, d) => Selection.sourceCap(docs(s, d))),
     "d_repetition" -> ((s, d) => DocTextOps.repetitionSignals(docs(s, d))),
     "d_cms_freq" -> ((s, d) => DocTextOps.cmsFreq(docs(s, d))),
     "d_hist_quantiles" -> ((s, d) => DocTextOps.histQuantiles(docs(s, d))),
@@ -1044,6 +1048,78 @@ object SparkEntry {
         |FROM g d LEFT JOIN bench b USING (g)
         |WHERE d.doc_id % 97 != 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // replays DocTextOps.bloomDecontaminate: the filter's set bits as a
+    // DISTINCT position table (4 disjoint md5 slices per bench gram), a
+    // probe gram is a bloom hit iff all 4 of its positions are set
+    "d_bloom_decontaminate" -> {
+      val m = graft.ops.DocTextOps.DefaultBloomBits
+      def pos(g: String) = s"('0x' || substr(md5($g), 1 + 8 * CAST(r AS INT), 8))::BIGINT % $m"
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') ws FROM documents
+         |              WHERE len(string_split(text, ' ')) >= 4),
+         |g AS (SELECT doc_id,
+         |        unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         |                              for i in range(1, len(ws) - 2)])) AS g
+         |      FROM docs),
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+         |bits AS (SELECT DISTINCT ${pos("g")} AS pos FROM bench, range(0, 4) t(r)),
+         |probe AS (SELECT doc_id, g FROM g WHERE doc_id % 97 != 0),
+         |ph AS (SELECT doc_id, g, count(bits.pos) = 4 AS bhit
+         |       FROM (SELECT doc_id, g, ${pos("g")} AS pos FROM probe, range(0, 4) t(r)) p
+         |       LEFT JOIN bits USING (pos) GROUP BY doc_id, g),
+         |eh AS (SELECT p.doc_id, p.g, b.g IS NOT NULL AS ehit
+         |       FROM probe p LEFT JOIN bench b USING (g))
+         |SELECT ph.doc_id, count(*)::BIGINT AS n_grams,
+         |  sum(CASE WHEN bhit THEN 1 ELSE 0 END)::BIGINT AS n_bloom_hits,
+         |  sum(CASE WHEN ehit THEN 1 ELSE 0 END)::BIGINT AS n_exact_hits,
+         |  (sum(CASE WHEN bhit THEN 1 ELSE 0 END)
+         |    - sum(CASE WHEN ehit THEN 1 ELSE 0 END))::BIGINT AS fp_grams,
+         |  sum(CASE WHEN bhit THEN 1 ELSE 0 END) > 0 AS flagged
+         |FROM ph JOIN eh USING (doc_id, g)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // replays Selection.lmScore: add-one bigram counts from the refLang
+    // slice, fixed-point log2 (FixedLog — engine-exact integer math)
+    "d_lm_score" -> {
+      val lp = FixedLog.duck("coalesce(ref.c, 0) + 1")
+      s"""WITH big AS (SELECT doc_id, lang,
+         |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents
+         |        WHERE len(string_split(text, ' ')) >= 2)),
+         |ref AS (SELECT g, count(*)::BIGINT AS c FROM big
+         |        WHERE lang = '${Selection.DefaultRefLang}' GROUP BY 1)
+         |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+         |  sum($lp)::BIGINT AS lm_log2_x64,
+         |  sum($lp)::BIGINT // count(*) AS avg_log2_x64
+         |FROM big b LEFT JOIN ref USING (g)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // replays Selection.dsirWeights: hashed bigram buckets, negated
+    // target-vs-raw fixed-point log ratio
+    "d_dsir_weights" -> {
+      val w = s"${FixedLog.duck("tbl.r + 1")} - ${FixedLog.duck("tbl.t + 1")}"
+      s"""WITH bx AS (SELECT doc_id, lang, ${dh32("g")} % ${Selection.DefaultDsirBuckets} AS b
+         |  FROM (SELECT doc_id, lang,
+         |          unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+         |        FROM (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents
+         |              WHERE len(string_split(text, ' ')) >= 2))),
+         |tbl AS (SELECT b, sum(CASE WHEN lang = '${Selection.DefaultRefLang}' THEN 1 ELSE 0 END)::BIGINT AS t,
+         |               count(*)::BIGINT AS r FROM bx GROUP BY 1)
+         |SELECT bx.doc_id, count(*)::BIGINT AS n_bigrams,
+         |  sum($w)::BIGINT AS neg_log2_x64,
+         |  sum($w)::BIGINT // count(*) AS avg_neg_log2_x64
+         |FROM bx JOIN tbl USING (b)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // replays Selection.sourceCap (the two-stage top-k == one window here)
+    "d_source_cap" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000)
+         |      // len(string_split(text, ' ')) AS diversity_ppm
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |                                   ORDER BY diversity_ppm DESC, doc_id) AS rk FROM s)
+         |SELECT doc_id, source, diversity_ppm, rk::BIGINT AS rk
+         |FROM r WHERE rk <= ${Selection.DefaultSourceCap} ORDER BY source, rk""".stripMargin,
     "d_repetition" ->
       """WITH base AS (SELECT doc_id, CAST(length(text) AS BIGINT) nc, string_split(text, ' ') ws
         |              FROM documents WHERE len(string_split(text, ' ')) >= 3),

@@ -323,6 +323,95 @@ object DocTextOps {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter width (bits) for [[bloomDecontaminate]] — shared with the
+    * DuckDB oracle. 4096 bits is deliberately tight against these corpora's
+    * few-hundred benchmark n-grams so false positives actually occur and
+    * get pinned by the oracle (the same why-so-small rationale as
+    * [[cmsFreq]]'s width); real decon filters run 2^30+ bits. */
+  val DefaultBloomBits = 4096
+
+  /** Bloom-filter DECONTAMINATION — the broadcast-membership formulation of
+    * [[decontaminate]], and the shape that survives when the benchmark
+    * n-gram SET itself outgrows a broadcast hash join (Dolma/RedPajama-scale
+    * decon runs exactly this: a bits-only filter over eval n-grams): build
+    * an `mBits`-bit Bloom filter over the benchmark n-grams (4 hash rows =
+    * the [[Shingles.sliceU32]] disjoint md5 slices), then probe each
+    * training document's n-grams with a MAP-ONLY scan against the broadcast
+    * bits — the corpus is never shuffled and the driver holds mBits/8 bytes
+    * regardless of benchmark size.
+    *
+    * Self-validating like [[cmsFreq]]/[[kmvDistinct]]: the exact semi-join
+    * verdict is computed alongside, so the output exposes the filter's ONE
+    * permitted error mode — `n_bloom_hits ≥ n_exact_hits` always (a Bloom
+    * filter has no false negatives; SelectionSpec asserts it) and `fp_grams`
+    * measures the false-positive surplus at this width. Building the filter
+    * is one bitset per PARTITION OR-folded together, so what crosses to the
+    * driver is `partitions × mBits/8` bytes, never n-gram rows. */
+  def bloomDecontaminate(documents: DataFrame, n: Int = 4, benchMod: Long = 97L,
+                         mBits: Int = DefaultBloomBits): DataFrame = {
+    require(mBits % 64 == 0, s"bloomDecontaminate: mBits must be a multiple of 64, got $mBits")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val words = mBits / 64
+    val m = mBits.toLong
+    val grams = documents.where(s"size(split(text, ' ')) >= $n")
+      .selectExpr("doc_id", s"${Shingles.ws} AS ws")
+      .selectExpr("doc_id", s"explode(${Shingles.grams(n)}) AS g")
+    val bench = grams.where(s"doc_id % $benchMod = 0").select("g").distinct()
+    val filter = bench.as[String].rdd
+      .mapPartitions { it =>
+        val bits = new Array[Long](words)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.foreach { g =>
+          val dig = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var r = 0
+          while (r < 4) {
+            val pos = (Shingles.sliceU32(dig, r) % m).toInt
+            bits(pos >>> 6) |= 1L << (pos & 63)
+            r += 1
+          }
+        }
+        Iterator.single(bits)
+      }
+      .fold(new Array[Long](words)) { (a, b) =>
+        val out = a.clone() // never mutate fold's zero/partials in place
+        var i = 0
+        while (i < words) { out(i) |= b(i); i += 1 }
+        out
+      }
+    val bc = spark.sparkContext.broadcast(filter)
+    // NOT destroyed: the probe plan below is lazy and may re-execute
+    val bloomHits = grams.where(s"doc_id % $benchMod != 0")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val bits = bc.value
+        it.map { case (id, g) =>
+          val dig = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var hit = true
+          var r = 0
+          while (r < 4 && hit) {
+            val pos = (Shingles.sliceU32(dig, r) % m).toInt
+            if ((bits(pos >>> 6) & (1L << (pos & 63))) == 0L) hit = false
+            r += 1
+          }
+          (id, if (hit) 1L else 0L)
+        }
+      }
+      .toDF("doc_id", "hit")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("hit").as("n_bloom_hits"))
+    val exact = grams.where(s"doc_id % $benchMod != 0")
+      .join(broadcast(bench.withColumn("ehit", lit(1L))), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("ehit"), lit(0L))).as("n_exact_hits"))
+    bloomHits.join(exact, Seq("doc_id"))
+      .selectExpr("doc_id", "n_grams", "n_bloom_hits", "n_exact_hits",
+        "n_bloom_hits - n_exact_hits AS fp_grams",
+        "n_bloom_hits > 0 AS flagged")
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition quality signals: the character share of the
     * single most frequent bigram, and of all duplicated trigrams — the
     * standard signals for machine-generated/boilerplate text. Both gram
@@ -390,9 +479,7 @@ object DocTextOps {
               val dig = md.digest(ws(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
               var r = 0
               while (r < d0) {
-                val h = ((dig(4 * r) & 0xffL) << 24) | ((dig(4 * r + 1) & 0xffL) << 16) |
-                  ((dig(4 * r + 2) & 0xffL) << 8) | (dig(4 * r + 3) & 0xffL)
-                acc(r)((h % w0).toInt) += 1
+                acc(r)((Shingles.sliceU32(dig, r) % w0).toInt) += 1
                 r += 1
               }
               i += 1
@@ -859,6 +946,14 @@ object Shingles {
   /** 32-bit integer hash of a shingle string via md5 hex — identical in any
     * engine with md5: first 8 hex chars as unsigned int. */
   def h32(col: String): String = s"CAST(conv(substring(md5($col), 1, 8), 16, 10) AS BIGINT)"
+
+  /** Unsigned 32-bit value from md5 digest bytes `[4r, 4r+4)` — the
+    * disjoint-slice rule (one digest, up to 4 independent-enough hash rows)
+    * shared by [[DocTextOps.cmsFreq]], [[DocTextOps.bloomDecontaminate]]
+    * and their DuckDB oracles (`substr(md5(x), 1 + 8*r, 8)` hex-decoded). */
+  def sliceU32(dig: Array[Byte], r: Int): Long =
+    ((dig(4 * r) & 0xffL) << 24) | ((dig(4 * r + 1) & 0xffL) << 16) |
+      ((dig(4 * r + 2) & 0xffL) << 8) | (dig(4 * r + 3) & 0xffL)
 
   /** 60-bit hash: first 15 md5 hex chars — the widest md5 prefix that is
     * still non-negative in a SIGNED 64-bit int in every engine. */
