@@ -94,6 +94,7 @@ object SparkEntry {
     "d_bpe_encode" -> ((s, d) => DocTextOps.bpeEncode(docs(s, d))),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "d_substr_dedup" -> ((s, d) => Dedup.substrDedup(docs(s, d))),
+    "d_substr_cut" -> ((s, d) => Dedup.substrCut(docs(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
     "d_incr_dedup" -> ((s, d) => Dedup.incrementalMinhash(docs(s, d))),
@@ -221,6 +222,32 @@ object SparkEntry {
     }
     sb.toString
   }
+
+  /** CTE chain `d,wins0,wins,dup,isl,grp,spans` replaying
+    * [[graft.ops.Dedup.substrDedup]] — windows as a list comprehension
+    * (DuckDB's `range()` cannot be lateral over a column), 64-bit
+    * md5-prefix window keys, the same gaps-and-islands merge, ending in
+    * `spans(doc_id, span_start, span_end, n_windows)`; shared by the
+    * `d_substr_dedup` and `d_substr_cut` oracles so the find and apply
+    * replays cannot drift. */
+  private def substrCtes(w: Int): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |           WHERE len(string_split(text, ' ')) >= $w),
+       |wins0 AS (SELECT doc_id, unnest([{'start': CAST(i - 1 AS BIGINT),
+       |    'h': substr(md5(array_to_string(ws[i : i + ${w - 1}], ' ')), 1, 16)}
+       |    for i in range(1, len(ws) - ${w - 2})]) AS win FROM d),
+       |wins AS (SELECT doc_id, win.start AS start, win.h AS h FROM wins0),
+       |dup AS (SELECT doc_id, start FROM wins
+       |        JOIN (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2) dk USING (h)),
+       |isl AS (SELECT doc_id, start,
+       |    CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) <= $w
+       |         THEN 0 ELSE 1 END AS ni FROM dup),
+       |grp AS (SELECT doc_id, start,
+       |    sum(ni) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM isl),
+       |spans AS (SELECT doc_id, min(start) AS span_start, max(start) + $w AS span_end,
+       |    count(*)::BIGINT AS n_windows
+       |  FROM grp GROUP BY doc_id, g)""".stripMargin
 
   private val dShingleDocs =
     s"""docs AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents
@@ -1374,29 +1401,31 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e_kmeans" -> kmeansOracle,
     "e_semantic_dedup" -> semanticDedupOracle,
-    // replays Dedup.substrDedup: windows as a list comprehension (DuckDB's
-    // range() cannot be lateral over a column), 64-bit md5-prefix window
-    // keys, then the same gaps-and-islands merge
-    "d_substr_dedup" -> {
-      val w = Dedup.DefaultSubstrW
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-         |           WHERE len(string_split(text, ' ')) >= $w),
-         |wins0 AS (SELECT doc_id, unnest([{'start': CAST(i - 1 AS BIGINT),
-         |    'h': substr(md5(array_to_string(ws[i : i + ${w - 1}], ' ')), 1, 16)}
-         |    for i in range(1, len(ws) - ${w - 2})]) AS win FROM d),
-         |wins AS (SELECT doc_id, win.start AS start, win.h AS h FROM wins0),
-         |dup AS (SELECT doc_id, start FROM wins
-         |        JOIN (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2) dk USING (h)),
-         |isl AS (SELECT doc_id, start,
-         |    CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) <= $w
-         |         THEN 0 ELSE 1 END AS ni FROM dup),
-         |grp AS (SELECT doc_id, start,
-         |    sum(ni) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS g
-         |  FROM isl)
-         |SELECT doc_id, min(start) AS span_start, max(start) + $w AS span_end,
-         |  count(*)::BIGINT AS n_windows
-         |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin
-    },
+    // replays Dedup.substrDedup: the shared span CTE chain (substrCtes),
+    // read out as the maximal duplicated spans
+    "d_substr_dedup" ->
+      s"""${substrCtes(Dedup.DefaultSubstrW)}
+         |SELECT doc_id, span_start, span_end, n_windows
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+    // replays Dedup.substrCut: the same spans, applied — every token whose
+    // 0-based index falls inside a span is removed, survivors re-joined
+    "d_substr_cut" ->
+      s"""${substrCtes(Dedup.DefaultSubstrW)},
+         |tok AS (SELECT doc_id, tk.i AS i, tk.t AS t
+         |        FROM (SELECT doc_id,
+         |                unnest([{'i': CAST(i - 1 AS BIGINT), 't': ws[i]}
+         |                        for i in range(1, len(ws) + 1)]) AS tk
+         |              FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents
+         |                    WHERE text IS NOT NULL))),
+         |cut AS (SELECT tok.doc_id, tok.i, tok.t, count(s.doc_id) > 0 AS cut
+         |        FROM tok LEFT JOIN spans s
+         |          ON tok.doc_id = s.doc_id AND tok.i >= s.span_start AND tok.i < s.span_end
+         |        GROUP BY tok.doc_id, tok.i, tok.t)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN NOT cut THEN 1 ELSE 0 END)::BIGINT AS n_kept_tokens,
+         |  sum(CASE WHEN cut THEN 1 ELSE 0 END)::BIGINT AS n_cut_tokens,
+         |  md5(coalesce(string_agg(CASE WHEN NOT cut THEN t END, ' ' ORDER BY i), '')) AS cleaned_md5
+         |FROM cut GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_pagerank" -> pagerankOracle,
     "m_features" ->
       s"""SELECT doc_id, $dModality AS modality,

@@ -291,6 +291,40 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** The APPLY step of [[substrDedup]] — Lee et al.'s pipeline does not
+    * just FIND duplicated substrings, it cuts them and trains on the
+    * remainder: removes every duplicated token span from every document
+    * and emits the cleaned corpus (md5-pinned text plus before/kept/cut
+    * token counts). Documents untouched by any span round-trip exactly
+    * (split-on-space then join-with-space is the identity, so
+    * `cleaned_md5 == md5(text)` for them — asserted in the spec).
+    *
+    * Shape at 100 TB: spans per document are disjoint and each ≥ `w`
+    * tokens wide, so `collect_list` holds ≤ n_tokens/w structs — bounded
+    * by the document, not the corpus; the join back to the text is a plain
+    * equi-join on doc_id, and the cut itself is a per-row array filter.
+    * The `exists` probe is O(tokens·spans) per row — fine while spans stay
+    * sparse; a corpus where most tokens sit in spans would warrant a typed
+    * sorted-merge walk instead. */
+  def substrCut(documents: DataFrame, w: Int = DefaultSubstrW): DataFrame = {
+    val spans = substrDedup(documents, w)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    documents.where("text IS NOT NULL")
+      .selectExpr("doc_id", "text", s"${Shingles.ws} AS ws")
+      .join(spans, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "CAST(size(ws) AS BIGINT) AS n_tokens",
+        // order-independent probe, so collect_list's nondeterministic span
+        // order cannot leak into the result
+        """filter(ws, (t, i) -> spans IS NULL OR
+          |  NOT exists(spans, s -> i >= s.span_start AND i < s.span_end)) AS kept""".stripMargin)
+      .selectExpr("doc_id", "n_tokens",
+        "CAST(size(kept) AS BIGINT) AS n_kept_tokens",
+        "n_tokens - size(kept) AS n_cut_tokens",
+        "md5(concat_ws(' ', kept)) AS cleaned_md5")
+      .orderBy("doc_id")
+  }
+
   /** SimHash sketch width and pigeonhole-block layout. 60 bits (top 15 hex
     * chars of md5): the widest md5 prefix that still fits a SIGNED 64-bit
     * int in every engine (16 hex chars can set the sign bit — DuckDB has no

@@ -159,6 +159,33 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
     assert(Dedup.substrDedup(docs(7L -> "too short")).collect().isEmpty)
   }
 
+  test("substrCut removes exactly the spans; untouched docs round-trip byte-for-byte") {
+    import graft.ops.Dedup
+    val shared = "a b c d e f g h i j"
+    val clean = "totally unrelated words with no duplicated runs at all here"
+    val d = docs(
+      1L -> s"$shared k l",
+      2L -> s"$shared x y",
+      3L -> clean,
+      7L -> "too short")
+    val got = Dedup.substrCut(d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def md5(s: String) = spark.sql(s"SELECT md5('$s')").head().getString(0)
+    // docs 1/2: span [0,10) cut, survivors are the 2 trailing tokens
+    assert(got(1L) === ((12L, 2L, 10L, md5("k l"))))
+    assert(got(2L) === ((12L, 2L, 10L, md5("x y"))))
+    // untouched docs: split-then-join is the identity
+    assert(got(3L) === ((10L, 10L, 0L, md5(clean))))
+    assert(got(7L) === ((2L, 2L, 0L, md5("too short"))))
+    // a fully-duplicated doc cuts to the empty string
+    val full = "a b c d e f g h i j k l m n o p"
+    val wiped = Dedup.substrCut(docs(5L -> full, 6L -> full)).collect()
+    wiped.foreach { r =>
+      assert(r.getLong(2) === 0L)
+      assert(r.getString(4) === md5(""))
+    }
+  }
+
   test("substrDedup matches a brute-force sequential reference on dense random corpora") {
     import graft.ops.Dedup
     // 3-word vocab + w=4 forces heavy window repetition within and across
