@@ -686,7 +686,7 @@ object SparkEntry {
     // dropped before batch 2 — a store that leaks `legacy` fails on schema
     "d_schema_evolve" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  CAST(doc_id * 3 + 1 AS BIGINT) AS v1,
+        |  CAST(doc_id * 3 + 1 AS BIGINT) AS val1,
         |  CASE WHEN doc_id % 3 = 0 THEN NULL
         |       ELSE CAST(doc_id * 2 AS BIGINT) END AS extra
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -108,11 +108,13 @@ final class SnapshotStore(val root: String) {
     * current read schema, and a dropped NAME cannot be re-added later
     * (this store identifies columns by name, not Iceberg field ids — name
     * reuse would resurrect pre-drop values out of old data files, so
-    * [[append]] rejects it instead). */
+    * [[append]] rejects it instead). A renamed column is dropped by its
+    * CURRENT name (the rename chain applies before the drop set on every
+    * read, so dropping the new name removes the pre-rename data too). */
   def dropColumn(spark: SparkSession, col: String): Long = {
     val dataIds = dataSnapshots
     require(dataIds.nonEmpty, "dropColumn: table has no data snapshots")
-    val current = applyDrops(readMerged(spark, dataIds), Long.MaxValue).columns.toSet
+    val current = applyEvolution(readMerged(spark, dataIds), Long.MaxValue).columns.toSet
     require(current.contains(col),
       s"dropColumn: '$col' is not in the current schema ${current.toSeq.sorted.mkString("[", ",", "]")}")
     val stage = Paths.get(root, "data", s"stage-${java.util.UUID.randomUUID}")
@@ -123,6 +125,76 @@ final class SnapshotStore(val root: String) {
         "drop_cols" -> cumulative.toSeq.sorted.mkString(",")),
       () => true).get
   }
+
+  private val RenameColsRe = """"rename_cols": "([^"]*)"""".r
+
+  private def encodeChain(chain: Seq[(String, String)]): String =
+    chain.map { case (f, t) => s"$f>$t" }.mkString(",")
+
+  /** Cumulative ORDERED rename chain as of snapshot `asOf`. Every rename
+    * commit records the FULL history in commit order, and replacement
+    * manifests (compaction/upsert) carry it forward — so the chain at any
+    * point is simply the longest recorded list at or below `asOf` (length
+    * is monotone in commit id; order inside the string is the commit
+    * order, which [[applyRenameChain]] must respect for chains like
+    * a→b then b→c). */
+  def renamedColumns(asOf: Long = Long.MaxValue): Seq[(String, String)] =
+    manifestIds.filter(_ <= asOf).foldLeft(Seq.empty[(String, String)]) { (best, id) =>
+      val m = manifestDir.resolve(s"$id.json")
+      if (!Files.exists(m)) best
+      else {
+        val cur = RenameColsRe.findFirstMatchIn(
+          new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+          .toSeq.flatMap(_.group(1).split(',').filter(_.nonEmpty).map { e =>
+            val i = e.indexOf('>')
+            (e.substring(0, i), e.substring(i + 1))
+          })
+        if (cur.length > best.length) cur else best
+      }
+    }
+
+  /** RENAME-COLUMN schema evolution — the third manifest-only op next to
+    * ADD (schema-merge reads) and DROP: data files are untouched; readers
+    * apply the rename chain on the fly (old files surface the value under
+    * the new name); appends after the rename write the new name; the next
+    * compaction materializes it physically. Because this store identifies
+    * columns by NAME, the old name is permanently retired — [[append]]
+    * rejects it like a dropped name (new data under a retired name would
+    * be folded into the renamed column out of old files) — and the target
+    * must be genuinely fresh: not in the current schema, never dropped,
+    * never itself retired by an earlier rename (either reuse would make
+    * old data files ambiguous). Chains (a→b, later b→c) compose in commit
+    * order. Time travel honors the chain: a snapshot read below the
+    * rename's id still surfaces the old name. */
+  def renameColumn(spark: SparkSession, from: String, to: String): Long = {
+    require(from != to, s"renameColumn: '$from' -> '$to' is a no-op")
+    Seq(from, to).foreach(c => require(!c.exists(">,\"".contains(_)),
+      s"renameColumn: column name '$c' must not contain '>', ',' or quotes"))
+    val dataIds = dataSnapshots
+    require(dataIds.nonEmpty, "renameColumn: table has no data snapshots")
+    val chain = renamedColumns()
+    val dropped = droppedColumns()
+    val current = applyEvolution(readMerged(spark, dataIds), Long.MaxValue).columns.toSet
+    require(current.contains(from),
+      s"renameColumn: '$from' is not in the current schema ${current.toSeq.sorted.mkString("[", ",", "]")}")
+    require(!current.contains(to), s"renameColumn: '$to' already exists in the schema")
+    require(!dropped.contains(to),
+      s"renameColumn: '$to' was DROPPED from this table — name reuse would " +
+        "resurrect pre-drop values out of old data files; pick a fresh name")
+    require(!chain.exists(_._1 == to),
+      s"renameColumn: '$to' is the retired source of an earlier rename — " +
+        "reusing it would fold new data into that rename's target out of old files")
+    val stage = Paths.get(root, "data", s"stage-${java.util.UUID.randomUUID}")
+    Files.createDirectories(stage)
+    commitStaged(stage,
+      () => Map("schema_only" -> "true",
+        "rename_cols" -> encodeChain(chain :+ (from -> to))),
+      () => true).get
+  }
+
+  /** The current name of `col` after every rename at or below `asOf`. */
+  def currentName(col: String, asOf: Long = Long.MaxValue): String =
+    renamedColumns(asOf).foldLeft(col) { case (c, (f, t)) => if (c == f) t else c }
 
   /** The id of the newest committed COMPACTED snapshot (0 if none). The
     * compacted snapshot rewrites older data under a NEWER id, so any
@@ -148,6 +220,7 @@ final class SnapshotStore(val root: String) {
       meta: Map[String, String] = Map.empty,
       statsCol: Option[String] = None): Long = {
     requireNoDroppedNames(df)
+    requireNoRetiredNames(df)
     val stage = stageWrite(df)
     val withStats = meta ++ stagedStats(df.sparkSession, stage, statsCol)
     commitStaged(stage, () => withStats, () => true).get
@@ -263,7 +336,9 @@ final class SnapshotStore(val root: String) {
       statsCol: Option[String] = None,
       cleanup: Boolean = true): Long = {
     val droppedAtPlan = droppedColumns() // one manifest scan, reused below
+    val chainAtPlan = renamedColumns()
     requireNoDroppedNames(updates, droppedAtPlan)
+    requireNoRetiredNames(updates, chainAtPlan)
     val live = dataSnapshots
     if (live.isEmpty) return append(updates, statsCol = statsCol)
     val keys = updates.select(keyCol).distinct().localCheckpoint(true)
@@ -273,16 +348,23 @@ final class SnapshotStore(val root: String) {
       s"CAST(min($keyCol) AS LONG) AS mn", s"CAST(max($keyCol) AS LONG) AS mx").head()
     val candidates = live.filter { id =>
       snapshotStats(id) match {
-        case Some((c, mn, mx)) if c == keyCol && !keyRange.isNullAt(0) =>
+        // stats may be recorded under a pre-rename name; values are unchanged
+        case Some((c, mn, mx)) if currentName(c) == keyCol && !keyRange.isNullAt(0) =>
           mx >= keyRange.getLong(0) && mn <= keyRange.getLong(1)
         case _ => true // no usable stats: must probe
       }
     }
     val affected = candidates.filter { id =>
-      read(spark, id).join(keys, Seq(keyCol), "left_semi").limit(1).count() > 0
+      // probe under the CURRENT schema, not the snapshot's own era — a
+      // pre-rename snapshot must resolve the key by its current name
+      applyDropSet(
+        applyRenameChain(spark.read.parquet(dataPathOf(id).toString), chainAtPlan),
+        droppedAtPlan)
+        .join(keys, Seq(keyCol), "left_semi").limit(1).count() > 0
     }
     if (affected.isEmpty) return append(updates, statsCol = statsCol)
-    val survivors = applyDropSet(readMerged(spark, affected), droppedAtPlan)
+    val survivors = applyDropSet(
+        applyRenameChain(readMerged(spark, affected), chainAtPlan), droppedAtPlan)
       .join(keys, Seq(keyCol), "left_anti")
     // union SCHEMA = survivors ∪ updates: an update column the affected
     // snapshots never carried must land (survivors surface it as NULL),
@@ -307,12 +389,15 @@ final class SnapshotStore(val root: String) {
     val dropMeta =
       if (droppedAtPlan.isEmpty) Map.empty[String, String]
       else Map("drop_cols" -> droppedAtPlan.toSeq.sorted.mkString(","))
+    val renameMeta =
+      if (chainAtPlan.isEmpty) Map.empty[String, String]
+      else Map("rename_cols" -> encodeChain(chainAtPlan))
     val id = commitStaged(stage,
       // ledger marks carried GLOBALLY (not just from the replaced inputs):
       // txnLastBatch scans newest-first, so a replacement manifest must
       // dominate every older mark for every app — and re-evaluated per
       // commit attempt so a mark committed during our id race is included
-      () => Map("replaces" -> affected.mkString(",")) ++ dropMeta ++ globalTxns ++ stats,
+      () => Map("replaces" -> affected.mkString(",")) ++ dropMeta ++ renameMeta ++ globalTxns ++ stats,
       // abort if the LIVE SET changed at all since planning: a retired
       // input means double-replace, and a concurrent APPEND may have
       // landed rows with matching keys that this rewrite would silently
@@ -387,9 +472,45 @@ final class SnapshotStore(val root: String) {
         "use a fresh column name")
   }
 
-  /** Project away the columns dropped as of `asOf` (no-op when none). */
-  private def applyDrops(df: DataFrame, asOf: Long): DataFrame =
-    applyDropSet(df, droppedColumns(asOf))
+  /** The full schema-evolution projection as of `asOf`: the rename chain
+    * first (files written before a rename surface the value under the new
+    * name), then the drop set (whose names are post-rename by
+    * construction — [[dropColumn]] validates against the evolved schema).
+    * The two cannot interleave incorrectly: a drop's name can never be a
+    * rename source (a renamed-away name is not in the schema to drop) and
+    * a rename target can never be a dropped name ([[renameColumn]] rejects
+    * it), so chain-then-set is order-exact. */
+  private def applyEvolution(df: DataFrame, asOf: Long): DataFrame =
+    applyDropSet(applyRenameChain(df, renamedColumns(asOf)), droppedColumns(asOf))
+
+  /** Apply the ordered rename chain to a (possibly mixed-era) relation:
+    * both names present (old files + post-rename files under mergeSchema)
+    * → fold the old column into the new one (disjoint by construction —
+    * [[append]] rejects the retired name, so no row carries both); only
+    * the old name → plain rename; only the new name (post-compaction) →
+    * no-op. Exact name matching, like every other store surface. */
+  private def applyRenameChain(df: DataFrame, chain: Seq[(String, String)]): DataFrame =
+    chain.foldLeft(df) { case (d, (f, t)) =>
+      val has = d.columns.toSet
+      if (has(f) && has(t))
+        d.withColumn(t, org.apache.spark.sql.functions.coalesce(d(t), d(f))).drop(f)
+      else if (has(f)) d.withColumnRenamed(f, t)
+      else d
+    }
+
+  /** Loud retired-name guard, the rename twin of [[requireNoDroppedNames]]:
+    * writing under a rename's SOURCE name would fold the new data into the
+    * rename's target out of old files. Pass a precomputed chain to avoid a
+    * second manifest scan per op. */
+  private def requireNoRetiredNames(df: DataFrame,
+                                    chain: Seq[(String, String)] = null): Unit = {
+    val c = if (chain == null) renamedColumns() else chain
+    val renamedTo = c.toMap
+    val clash = df.columns.filter(renamedTo.contains).sorted
+    require(clash.isEmpty,
+      clash.map(f => s"'$f' (renamed to '${renamedTo(f)}')").mkString(", ") +
+        ": these columns were RENAMED on this table; write the new name(s)")
+  }
 
   private def applyDropSet(df: DataFrame, dropped: Set[String]): DataFrame =
     if (dropped.isEmpty) df else df.drop(dropped.toSeq.sorted: _*)
@@ -400,7 +521,7 @@ final class SnapshotStore(val root: String) {
     require(snapshots.contains(id), s"snapshot $id not committed")
     require(!isSchemaOnly(id),
       s"snapshot $id is a metadata-only (schema) commit — it has no data to read")
-    applyDrops(spark.read.parquet(dataPathOf(id).toString), id)
+    applyEvolution(spark.read.parquet(dataPathOf(id).toString), id)
   }
 
   /** One relation over several snapshots with ADD-COLUMN schema evolution:
@@ -410,8 +531,8 @@ final class SnapshotStore(val root: String) {
     * newest requested id vanish from the relation). Every multi-snapshot
     * read below goes through here (a plain multi-path read would silently
     * project everything onto the FIRST file's schema, dropping later
-    * columns). Callers pass data ids only and apply [[applyDrops]] at their
-    * own asOf bound (a drop commit can be NEWER than the newest data id in
+    * columns). Callers pass data ids only and apply [[applyEvolution]] at their
+    * own asOf bound (a schema commit can be NEWER than the newest data id in
     * the range, so the bound is the range end, not `ids.max`). */
   private def readMerged(spark: SparkSession, ids: Seq[Long]): DataFrame =
     spark.read.option("mergeSchema", "true")
@@ -433,7 +554,7 @@ final class SnapshotStore(val root: String) {
         "the retired snapshots were rewritten; restart from a full read (from=0)")
     val ids = dataSnapshots.filter(id => id > fromExclusive && id <= toInclusive)
     require(ids.nonEmpty, s"no data snapshots in ($fromExclusive, $toInclusive]")
-    applyDrops(readMerged(spark, ids), toInclusive)
+    applyEvolution(readMerged(spark, ids), toInclusive)
   }
 
   /** Column stats recorded for snapshot `id` at append time:
@@ -512,6 +633,7 @@ final class SnapshotStore(val root: String) {
       statsCol: Option[String] = None): Option[Long] = {
     require(!appId.contains("\""), s"appId must not contain quotes: $appId")
     requireNoDroppedNames(df)
+    requireNoRetiredNames(df)
     def fresh = !txnLastBatch(appId).exists(_ >= batchId)
     if (!fresh) return None // cheap pre-check before staging any data
     val stage = stageWrite(df)
@@ -528,7 +650,7 @@ final class SnapshotStore(val root: String) {
     val s = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
     def f(k: String) = (s""""$k": "([^"]*)"""").r.findFirstMatchIn(s).map(_.group(1))
     for {
-      c <- f("stats_col") if c == col
+      c <- f("stats_col") if currentName(c) == col
       enc <- f("file_stats")
     } yield enc.split(';').toSeq.filter(_.nonEmpty).map { e =>
       val Array(name, mn, mx) = e.split(':')
@@ -556,7 +678,7 @@ final class SnapshotStore(val root: String) {
     snapshots.filter(id => id > fromExclusive && id <= toInclusive)
       .partition { id =>
         snapshotStats(id) match {
-          case Some((c, mn, mx)) if c == col => mx >= lo && mn <= hi
+          case Some((c, mn, mx)) if currentName(c) == col => mx >= lo && mn <= hi
           case _ => true
         }
       }
@@ -593,7 +715,7 @@ final class SnapshotStore(val root: String) {
       else // everything pruned: empty result with the table's schema
         spark.read.parquet(dataPathOf(all.head).toString)
           .where(org.apache.spark.sql.functions.lit(false))
-    applyDrops(base, toInclusive).where(s"$col BETWEEN $lo AND $hi")
+    applyEvolution(base, toInclusive).where(s"$col BETWEEN $lo AND $hi")
   }
 
   /** Compact every live snapshot with id ≤ `upToInclusive` into ONE new
@@ -622,22 +744,28 @@ final class SnapshotStore(val root: String) {
     // the set is still carried in the replacement manifest so drops keep
     // projecting any older non-compacted data and keep rejecting re-adds
     val dropped = droppedColumns()
-    val merged = applyDropSet(readMerged(spark, dataInputs), dropped)
+    val chain = renamedColumns()
+    val merged = applyDropSet(applyRenameChain(readMerged(spark, dataInputs), chain), dropped)
     val stage = stageWrite(merged)
     // stats survive compaction when every data input carries them for the
     // same column: merged range = [min of mins, max of maxes] — no extra job
     val inStats = dataInputs.map(snapshotStats)
     val stats =
       if (inStats.forall(_.isDefined) && inStats.flatten.map(_._1).distinct.size == 1)
-        Seq("stats_col" -> inStats.flatten.head._1,
+        // the rewrite stored the column under its CURRENT name — map the
+        // carried stats name through the chain so pruning keeps working
+        Seq("stats_col" -> currentName(inStats.flatten.head._1),
           "stats_min" -> inStats.flatten.map(_._2).min.toString,
           "stats_max" -> inStats.flatten.map(_._3).max.toString)
       else Nil
     val dropMeta =
       if (dropped.isEmpty) Map.empty[String, String]
       else Map("drop_cols" -> dropped.toSeq.sorted.mkString(","))
+    val renameMeta =
+      if (chain.isEmpty) Map.empty[String, String]
+      else Map("rename_cols" -> encodeChain(chain))
     val id = commitStaged(stage,
-      () => Map("replaces" -> inputs.mkString(",")) ++ dropMeta ++ globalTxns ++ stats,
+      () => Map("replaces" -> inputs.mkString(",")) ++ dropMeta ++ renameMeta ++ globalTxns ++ stats,
       () => inputs.forall(snapshots.contains))
       .getOrElse(throw new IllegalStateException(
         "compact aborted: an input snapshot was retired by a concurrent commit"))

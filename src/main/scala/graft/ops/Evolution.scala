@@ -15,11 +15,13 @@ import graft.io.SnapshotStore
   * The registered `d_schema_evolve` query drives the full lifecycle —
   * append → ADD-COLUMN append → DROP-COLUMN (metadata-only commit) →
   * compaction (carries the drop set, removes the column physically) →
-  * post-drop append — and returns the final read. The DuckDB oracle
-  * recomputes the expected relation directly from `documents`, so a store
-  * that leaks the dropped column (schema mismatch), loses the added column,
-  * or resurrects pre-drop values fails the driver gate, not just a unit
-  * test. */
+  * RENAME-COLUMN (metadata-only; compacted files keep the old physical
+  * name and must surface the new one) → post-rename append — and returns
+  * the final read. The DuckDB oracle recomputes the expected relation
+  * directly from `documents`, so a store that leaks the dropped column
+  * (schema mismatch), loses the added column, resurrects pre-drop values,
+  * or mis-merges the renamed column across file eras fails the driver
+  * gate, not just a unit test. */
 object Evolution {
 
   /** Deterministic evolved-store round trip over the documents table.
@@ -41,13 +43,17 @@ object Evolution {
       val dropId = store.dropColumn(spark, "legacy")
       // compaction folds the drop into the data files and carries the set
       store.compact(spark, upToInclusive = dropId)
+      // RENAME after compaction: the old files (physical `v1`) must surface
+      // the value under `val1`, and the post-rename append writes `val1`
+      store.renameColumn(spark, "v1", "val1")
       store.append(base.where("doc_id % 3 = 2").drop("legacy")
+        .withColumnRenamed("v1", "val1")
         .withColumn("extra", expr("CAST(doc_id * 2 AS BIGINT)")))
       // materialize before the temp store is deleted (the table is a
       // per-source-doc projection — small by construction); the sort goes
       // ON TOP of the checkpoint so the returned plan still guarantees it
       store.readRange(spark, 0L, store.latest.get)
-        .select("doc_id", "v1", "extra")
+        .select("doc_id", "val1", "extra")
         .localCheckpoint(true)
         .orderBy("doc_id")
     } finally {

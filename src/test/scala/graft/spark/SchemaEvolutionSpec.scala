@@ -87,6 +87,92 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkFixture {
       store.upsert(spark, Seq((5L, "q", 50L)).toDF("k", "v", "legacy"), "k"))
   }
 
+  test("renameColumn: manifest-only, old files surface the new name, time travel intact") {
+    import spark.implicits._
+    val store = freshStore("rename")
+    val s1 = store.append(Seq((1L, "x")).toDF("k", "v"))
+    val rid = store.renameColumn(spark, "v", "val")
+    assert(store.isSchemaOnly(rid))
+    // data files untouched: the physical dir still has the OLD name
+    assert(spark.read.parquet(store.dataLocation(s1).toString).columns.contains("v"))
+    // reads surface the new name, with pre-rename values under it
+    val got = store.readRange(spark, 0L, rid)
+    assert(got.columns.sorted.toSeq === Seq("k", "val"))
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "x")))
+    // time travel below the rename still sees the old name
+    assert(store.read(spark, s1).columns.sorted.toSeq === Seq("k", "v"))
+    // post-rename appends write the new name; the retired name is rejected
+    val s3 = store.append(Seq((2L, "y")).toDF("k", "val"))
+    val e = intercept[IllegalArgumentException](
+      store.append(Seq((3L, "z")).toDF("k", "v")))
+    assert(e.getMessage.contains("RENAMED"))
+    // mixed eras merge: old files' values fold into the renamed column
+    val all = store.readRange(spark, 0L, s3).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("val")).toMap
+    assert(all === Map(1L -> "x", 2L -> "y"))
+    // guards: unknown source, existing/retired target
+    intercept[IllegalArgumentException](store.renameColumn(spark, "nope", "q"))
+    intercept[IllegalArgumentException](store.renameColumn(spark, "val", "k"))
+    intercept[IllegalArgumentException](store.renameColumn(spark, "k", "v"))
+  }
+
+  test("rename chains compose; compaction materializes and carries the chain") {
+    import spark.implicits._
+    val store = freshStore("renamechain")
+    store.append(Seq((1L, 10L)).toDF("k", "a"))
+    store.renameColumn(spark, "a", "b")
+    store.append(Seq((2L, 20L)).toDF("k", "b"))
+    val r2 = store.renameColumn(spark, "b", "c")
+    // a -> b -> c composes in commit order across mixed-era files
+    val got = store.readRange(spark, 0L, r2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("c")).toMap
+    assert(got === Map(1L -> 10L, 2L -> 20L))
+    val cid = store.compact(spark, upToInclusive = r2)
+    // physically materialized under the final name
+    assert(spark.read.parquet(store.dataLocation(cid).toString)
+      .columns.sorted.toSeq === Seq("c", "k"))
+    // the chain is carried: both retired names stay rejected after cleanup
+    assert(store.renamedColumns() === Seq("a" -> "b", "b" -> "c"))
+    intercept[IllegalArgumentException](store.append(Seq((3L, 30L)).toDF("k", "a")))
+    intercept[IllegalArgumentException](store.append(Seq((3L, 30L)).toDF("k", "b")))
+    // and post-compaction reads/appends under the final name work
+    val s4 = store.append(Seq((3L, 30L)).toDF("k", "c"))
+    assert(store.readRange(spark, 0L, s4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("c")).toMap ===
+      Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+  }
+
+  test("rename interacts with drop and upsert; stats keep pruning across the rename") {
+    import spark.implicits._
+    val store = freshStore("renamemix")
+    store.append(Seq((1L, "x", 10L)).toDF("k", "v", "aux"), statsCol = Some("k"))
+    store.append(Seq((2L, "y", 20L)).toDF("k", "v", "aux"), statsCol = Some("k"))
+    store.renameColumn(spark, "k", "id")
+    // upsert keyed by the NEW name over pre-rename snapshots
+    val uid = store.upsert(spark,
+      Seq((2L, "Y", 21L), (3L, "z", 30L)).toDF("id", "v", "aux"), "id")
+    // by NAME: mergeSchema's column order follows file listing order,
+    // which is not deterministic across runs
+    val rows = store.readRange(spark, 0L, uid).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(rows === Map(1L -> "x", 2L -> "Y", 3L -> "z"))
+    // dropping by the CURRENT name removes pre-rename data too
+    store.renameColumn(spark, "aux", "aux2")
+    val did = store.dropColumn(spark, "aux2")
+    assert(store.readRange(spark, 0L, did).columns.sorted.toSeq === Seq("id", "v"))
+    // the retired old name cannot return even after its target was dropped
+    intercept[IllegalArgumentException](store.append(Seq((4L, "w", 1L)).toDF("id", "v", "aux")))
+    // a rename target may not reuse a dropped or retired name
+    intercept[IllegalArgumentException](store.renameColumn(spark, "v", "aux2"))
+    intercept[IllegalArgumentException](store.renameColumn(spark, "v", "aux"))
+    // snapshot stats recorded under the OLD name still prune under the new:
+    // rows with id in [5,6] live only in the last append below
+    val s5 = store.append(Seq((5L, "p")).toDF("id", "v"), statsCol = Some("id"))
+    val (kept, skipped) = store.pruneSnapshots(0L, s5, "id", 5L, 6L)
+    assert(kept.contains(s5))
+    assert(skipped.nonEmpty, "pre-rename stats under 'k' must still prune id-range reads")
+  }
+
   test("upsert: new columns land as evolution; omitting a live column is rejected") {
     import spark.implicits._
     val store = freshStore("partial")
