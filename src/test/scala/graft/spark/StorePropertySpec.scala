@@ -9,7 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.io.SnapshotStore
 
 /** Model-based randomized exercise of the SnapshotStore op surface: a
-  * seeded sequence of append / add-column append / dropColumn / compact /
+  * seeded sequence of append / add-column append / dropColumn / renameColumn /
+  * compact /
   * upsert is replayed against an in-memory model, asserting after every
   * few ops that `readRange(0, latest)` returns exactly the model's rows
   * (missing columns as NULL, dropped columns absent) — the whole-store
@@ -82,7 +83,7 @@ class StorePropertySpec extends AnyFunSuite with SparkFixture {
     var batchMark = 0L // exactly-once ledger model for app "prop"
 
     for (op <- 1 to 24) {
-      rng.nextInt(6) match {
+      rng.nextInt(7) match {
         case 0 => // plain append over the current visible schema
           val cols = allCols.filterNot(dropped.contains)
           val rows = freshRows(1 + rng.nextInt(3), cols)
@@ -127,6 +128,22 @@ class StorePropertySpec extends AnyFunSuite with SparkFixture {
         case 3 => // compact everything so far
           if (store.snapshots.size >= 2)
             store.compact(spark, upToInclusive = store.latest.get)
+        case 6 => // RENAME-COLUMN: old rows must surface under the new name
+          val candidates = allCols.filterNot(dropped.contains)
+          if (candidates.nonEmpty) {
+            val c = candidates(rng.nextInt(candidates.size))
+            val c2 = s"r$nextCol"; nextCol += 1
+            store.renameColumn(spark, c, c2)
+            allCols = allCols.map(x => if (x == c) c2 else x)
+            model.foreach { case (k, m) =>
+              if (m.contains(c)) model(k) = m - c + (c2 -> m(c))
+            }
+            // the retired source name must be rejected loudly
+            intercept[IllegalArgumentException] {
+              store.append(writeDf(freshRows(1, Seq(c)), Seq(c)))
+            }
+            nextKey -= 1 // the rejected row never landed; reuse its key
+          }
         case 4 => // upsert: update some existing keys + insert a new one
           val cols = allCols.filterNot(dropped.contains)
           val keys = model.keys.toVector
