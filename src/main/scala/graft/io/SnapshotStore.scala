@@ -194,7 +194,12 @@ final class SnapshotStore(val root: String) {
 
   /** The current name of `col` after every rename at or below `asOf`. */
   def currentName(col: String, asOf: Long = Long.MaxValue): String =
-    renamedColumns(asOf).foldLeft(col) { case (c, (f, t)) => if (c == f) t else c }
+    resolveName(renamedColumns(asOf), col)
+
+  /** [[currentName]] against a PRECOMPUTED chain — the per-snapshot loops
+    * below must not re-scan every manifest per id (O(n²) at 10^3+ commits). */
+  private def resolveName(chain: Seq[(String, String)], col: String): String =
+    chain.foldLeft(col) { case (c, (f, t)) => if (c == f) t else c }
 
   /** The id of the newest committed COMPACTED snapshot (0 if none). The
     * compacted snapshot rewrites older data under a NEWER id, so any
@@ -349,7 +354,7 @@ final class SnapshotStore(val root: String) {
     val candidates = live.filter { id =>
       snapshotStats(id) match {
         // stats may be recorded under a pre-rename name; values are unchanged
-        case Some((c, mn, mx)) if currentName(c) == keyCol && !keyRange.isNullAt(0) =>
+        case Some((c, mn, mx)) if resolveName(chainAtPlan, c) == keyCol && !keyRange.isNullAt(0) =>
           mx >= keyRange.getLong(0) && mn <= keyRange.getLong(1)
         case _ => true // no usable stats: must probe
       }
@@ -643,14 +648,19 @@ final class SnapshotStore(val root: String) {
   }
 
   /** Per-file (basename, min, max) stats recorded for snapshot `id`, if
-    * the manifest carries them for `col`. */
-  def fileStats(id: Long, col: String): Option[Seq[(String, Long, Long)]] = {
+    * the manifest carries them for `col` (under its recorded pre-rename
+    * name or the current one). */
+  def fileStats(id: Long, col: String): Option[Seq[(String, Long, Long)]] =
+    fileStats(id, col, renamedColumns())
+
+  private def fileStats(id: Long, col: String,
+      chain: Seq[(String, String)]): Option[Seq[(String, Long, Long)]] = {
     val m = manifestDir.resolve(s"$id.json")
     if (!Files.exists(m)) return None
     val s = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
     def f(k: String) = (s""""$k": "([^"]*)"""").r.findFirstMatchIn(s).map(_.group(1))
     for {
-      c <- f("stats_col") if currentName(c) == col
+      c <- f("stats_col") if resolveName(chain, c) == col
       enc <- f("file_stats")
     } yield enc.split(';').toSeq.filter(_.nonEmpty).map { e =>
       val Array(name, mn, mx) = e.split(':')
@@ -663,7 +673,11 @@ final class SnapshotStore(val root: String) {
     * stats; None when the manifest has no file stats for `col` (caller
     * reads the whole snapshot — stats only ever PRUNE). */
   def pruneFiles(id: Long, col: String, lo: Long, hi: Long): Option[(Seq[String], Int)] =
-    fileStats(id, col).map { fs =>
+    pruneFiles(id, col, lo, hi, renamedColumns())
+
+  private def pruneFiles(id: Long, col: String, lo: Long, hi: Long,
+      chain: Seq[(String, String)]): Option[(Seq[String], Int)] =
+    fileStats(id, col, chain).map { fs =>
       val (keep, skip) = fs.partition { case (_, mn, mx) => mx >= lo && mn <= hi }
       (keep.map { case (name, _, _) => dataPathOf(id).resolve(name).toString }, skip.size)
     }
@@ -674,14 +688,16 @@ final class SnapshotStore(val root: String) {
     * exactly `col` cannot intersect [lo,hi]. Snapshots without stats for
     * that column are conservatively kept — stats only ever PRUNE. */
   def pruneSnapshots(fromExclusive: Long, toInclusive: Long,
-      col: String, lo: Long, hi: Long): (Seq[Long], Seq[Long]) =
+      col: String, lo: Long, hi: Long): (Seq[Long], Seq[Long]) = {
+    val chain = renamedColumns() // once, not per snapshot
     snapshots.filter(id => id > fromExclusive && id <= toInclusive)
       .partition { id =>
         snapshotStats(id) match {
-          case Some((c, mn, mx)) if currentName(c) == col => mx >= lo && mn <= hi
+          case Some((c, mn, mx)) if resolveName(chain, c) == col => mx >= lo && mn <= hi
           case _ => true
         }
       }
+  }
 
   /** [[readRange]] plus two-level predicate pruning — the manifest analog
     * of Iceberg's file skipping: snapshots whose recorded stats range for
