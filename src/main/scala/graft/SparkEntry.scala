@@ -95,6 +95,7 @@ object SparkEntry {
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "d_substr_dedup" -> ((s, d) => Dedup.substrDedup(docs(s, d))),
     "d_substr_cut" -> ((s, d) => Dedup.substrCut(docs(s, d))),
+    "d_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(docs(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
     "d_incr_dedup" -> ((s, d) => Dedup.incrementalMinhash(docs(s, d))),
@@ -1407,6 +1408,35 @@ object SparkEntry {
       s"""${substrCtes(Dedup.DefaultSubstrW)}
          |SELECT doc_id, span_start, span_end, n_windows
          |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+    // replays Dedup.winnowPairs: gram hashes as a list comprehension, each
+    // window's rightmost-minimum via list_reduce (b.h <= a.h keeps the
+    // LATER gram — the paper's tie rule), then the df-capped pair join
+    "d_winnow_pairs" -> {
+      val (k, w) = (Dedup.WinnowK, Dedup.WinnowW)
+      val gram = (1 until k).foldLeft("ws[i]")((acc, j) => s"$acc || ' ' || ws[i+$j]")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents
+         |           WHERE len(string_split(text, ' ')) >= ${k + w - 1}),
+         |hv AS (SELECT doc_id,
+         |         [('0x' || substr(md5($gram), 1, 8))::BIGINT
+         |          for i in range(1, len(ws) - ${k - 2})] AS hs FROM d),
+         |sel AS (SELECT doc_id, unnest([
+         |    list_reduce([{'h': hs[j], 'p': CAST(j - 1 AS BIGINT)} for j in range(i, i + $w)],
+         |                (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END)
+         |    for i in range(1, len(hs) - ${w - 2})]) AS s FROM hv),
+         |prints AS (SELECT DISTINCT doc_id, s.h AS h FROM sel),
+         |sets AS (SELECT doc_id, count(DISTINCT s.h)::BIGINT AS n FROM sel GROUP BY 1),
+         |ok AS (SELECT h FROM prints GROUP BY h HAVING count(*) <= ${Dedup.DefaultDfCap}),
+         |pp AS (SELECT doc_id, h FROM prints JOIN ok USING (h)),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+         |          FROM pp a JOIN pp b ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared, sa.n AS a_prints, sb.n AS b_prints,
+         |  shared * 1000000 // least(sa.n, sb.n) AS containment_ppm
+         |FROM pairs JOIN sets sa ON sa.doc_id = doc_a
+         |           JOIN sets sb ON sb.doc_id = doc_b
+         |WHERE shared >= ${Dedup.WinnowMinShared}
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // replays Dedup.substrCut: the same spans, applied — every token whose
     // 0-based index falls inside a span is removed, survivors re-joined
     "d_substr_cut" ->

@@ -239,6 +239,109 @@ object Dedup {
       .where(s"jaccard_ppm >= $thresholdPpm")
       .orderBy("doc_a", "doc_b")
 
+  /** Winnowing parameters, shared with the DuckDB oracle: gram width
+    * (tokens per k-gram), selection-window width (consecutive gram hashes
+    * per window), and the minimum shared fingerprints for a reported pair.
+    * The guarantee is the paper's: any shared run of at least
+    * `k + w - 1` tokens yields at least one shared fingerprint. */
+  val WinnowK = 3
+  val WinnowW = 4
+  val WinnowMinShared = 2L
+
+  /** Document fingerprinting by WINNOWING (Schleimer, Wilkerson, Aiken
+    * 2003, "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS algorithm): hash every `k`-token gram, slide a `w`-hash window,
+    * and select each window's minimum hash (RIGHTMOST on ties, the paper's
+    * rule); the selected (hash, position) set is the document's
+    * fingerprint. Pairs sharing ≥ `minShared` distinct fingerprint hashes
+    * are reported with a containment score — the CONTAINMENT detector next
+    * to [[minhashLsh]] (whole-document resemblance) and [[substrDedup]]
+    * (exact spans): a small document pasted into a large one shares most
+    * of ITS fingerprints while Jaccard over the union stays tiny.
+    *
+    * Scale shape: selection is MAP-ONLY per-row array algebra (the
+    * winnowing density guarantee bounds fingerprints to ~2/(w+1) of the
+    * grams); pair-finding is the same df-capped equi-join as
+    * [[ngramJaccard]] — a boilerplate fingerprint shared by more than
+    * `dfCap` documents is excluded (visibly, by the cap contract) instead
+    * of exploding into a hot O(df²) key. Containment is integer ppm
+    * against the SMALLER fingerprint set, so pasted-subset pairs score
+    * near 10^6 regardless of size skew. */
+  def winnowPairs(documents: DataFrame, k: Int = WinnowK, w: Int = WinnowW,
+                  minShared: Long = WinnowMinShared,
+                  dfCap: Long = DefaultDfCap): DataFrame = {
+    val prints = winnowFingerprints(documents, k, w)
+    val sets = prints.groupBy("doc_id")
+      .agg(countDistinct("h").as("n_prints"))
+    val dfOk = prints.groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
+      .where(s"df <= $dfCap")
+      .select("h")
+    val p = prints.select("doc_id", "h").distinct().join(dfOk, Seq("h"))
+    p.as("a").join(p.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(s"shared >= $minShared")
+      .join(sets.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_prints", "a_prints"), Seq("doc_a"))
+      .join(sets.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_prints", "b_prints"), Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b", "shared", "a_prints", "b_prints",
+        "shared * 1000000 DIV least(a_prints, b_prints) AS containment_ppm")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The selected (doc_id, gram position, gram hash) winnowing
+    * fingerprints — one row per selected window minimum, deduplicated by
+    * position (adjacent windows usually re-select the same gram).
+    *
+    * A JIT'd typed kernel, not SQL array algebra: the nested
+    * transform/aggregate form gets its gram-hash array INLINED into every
+    * window reference by projection collapse, recomputing the full md5
+    * gram array per access — measured 113 s for 500 sf0.01 docs vs ~1 s
+    * here. Each gram is hashed exactly once (`Shingles.sliceU32(dig, 0)`
+    * == the oracle's first-8-hex-chars rule), and the window walk keeps
+    * the paper's rightmost-minimum tie rule (`<=` updates on later
+    * grams). */
+  private[ops] def winnowFingerprints(documents: DataFrame, k: Int, w: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val ws = if (text == null) null else text.split(" ", -1)
+          if (ws == null || ws.length < k + w - 1) Iterator.empty
+          else {
+            val n = ws.length - k + 1
+            val hs = new Array[Long](n)
+            var i = 0
+            while (i < n) {
+              val sb = new java.lang.StringBuilder(ws(i))
+              var j = 1
+              while (j < k) { sb.append(' ').append(ws(i + j)); j += 1 }
+              hs(i) = Shingles.sliceU32(
+                md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 0)
+              i += 1
+            }
+            val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+            var s = 0
+            while (s <= n - w) {
+              var best = s
+              var j = s + 1
+              while (j < s + w) { if (hs(j) <= hs(best)) best = j; j += 1 }
+              out += ((best.toLong, hs(best)))
+              s += 1
+            }
+            out.iterator.map { case (p, h) => (id, p, h) }
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "h")
+  }
+
   /** Window width (tokens) for [[substrDedup]] — shared with the DuckDB
     * oracle so the two cannot drift. Real corpora use ~50 (the Lee et al.
     * threshold); 8 keeps the small synthetic docs exercising the merge. */

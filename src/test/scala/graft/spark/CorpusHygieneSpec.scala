@@ -186,6 +186,67 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("winnowPairs matches a sequential winnowing reference on random corpora") {
+    import graft.ops.Dedup
+    def h32(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    def fingerprints(text: String, k: Int, w: Int): Set[Long] = {
+      val ws = text.split(" ", -1)
+      if (ws.length < k + w - 1) return Set.empty
+      val hs = (0 to ws.length - k).map(i => h32(ws.slice(i, i + k).mkString(" ")))
+      (0 to hs.length - w).map { i =>
+        var best = i
+        for (j <- i + 1 until i + w) if (hs(j) <= hs(best)) best = j // rightmost min
+        hs(best)
+      }.toSet
+    }
+    // 5-token vocab: repeated grams force equal hashes, exercising the
+    // rightmost tie rule; 40 docs push hot grams over the df cap
+    for (seed <- Seq(5, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0L until 40L).map { id =>
+        id -> Seq.fill(6 + rnd.nextInt(10))("w" + rnd.nextInt(5)).mkString(" ")
+      }
+      val fp = corpus.map { case (id, t) =>
+        id -> fingerprints(t, Dedup.WinnowK, Dedup.WinnowW)
+      }.toMap
+      val df = fp.toSeq.flatMap { case (id, s) => s.map(h => (h, id)) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val okH = df.filter(_._2 <= Dedup.DefaultDfCap).keySet
+      val ids = corpus.map(_._1)
+      val want = (for {
+        a <- ids; b <- ids if a < b
+        sh = (fp(a) & fp(b) & okH).size
+        if sh >= Dedup.WinnowMinShared
+      } yield (a, b, sh.toLong, fp(a).size.toLong, fp(b).size.toLong,
+        sh.toLong * 1000000L / math.min(fp(a).size, fp(b).size)))
+        .sortBy(t => (t._1, t._2))
+      val got = Dedup.winnowPairs(docs(corpus: _*)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("winnowing guarantee: a shared k+w-1 token run yields a shared fingerprint") {
+    import graft.ops.Dedup
+    // run of exactly k+w-1 = 6 tokens; everything else disjoint
+    val d = docs(
+      1L -> "a1 a2 s1 s2 s3 s4 s5 s6",
+      2L -> "s1 s2 s3 s4 s5 s6 b1 b2 b3")
+    val got = Dedup.winnowPairs(d, minShared = 1L).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    // identical documents: every fingerprint shared, containment exactly 1e6
+    val same = "p q r s t u v w x y z"
+    val eq = Dedup.winnowPairs(docs(5L -> same, 6L -> same), minShared = 1L).collect()
+    assert(eq.length === 1)
+    assert(eq.head.getLong(2) === eq.head.getLong(3)) // shared == a_prints
+    assert(eq.head.getLong(5) === 1000000L)
+  }
+
   test("substrDedup matches a brute-force sequential reference on dense random corpora") {
     import graft.ops.Dedup
     // 3-word vocab + w=4 forces heavy window repetition within and across
