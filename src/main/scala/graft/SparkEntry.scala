@@ -115,6 +115,7 @@ object SparkEntry {
     "e_centroids" -> ((s, d) => Similarity.labelCentroids(embs(s, d))),
     "e_kmeans" -> ((s, d) => Similarity.kmeans(embs(s, d))),
     "e_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(embs(s, d))),
+    "e_ann_pq" -> ((s, d) => Similarity.annPq(embs(s, d))),
     "d_pagerank" -> ((s, d) => GraphOps.pagerank(docs(s, d))),
     // multimodal plumbing
     "m_features" -> ((s, d) => Multimodal.features(docs(s, d)).drop("mean_byte")),
@@ -383,6 +384,65 @@ object SparkEntry {
       }
     }
     (sb.toString, s"a$iters")
+  }
+
+  /** Replays [[Similarity.annPq]]: per-subspace Lloyd codebook chains on
+    * vector slices (same integer grid, same smallest-cl argmin via the
+    * struct-min), the encode assignment, per-query ADC tables, table-sum
+    * approximate ranking, and the exact-grid-top-k validation flag. */
+  private def pqOracle: String = {
+    val m = Similarity.PqSubspaces
+    val ks = Similarity.PqCodebook
+    val rounds = Similarity.PqTrainRounds
+    val (nQ, k) = (20, 5)
+    val dim = 64
+    val dsub = dim / m
+    val sb = new StringBuilder
+    sb ++= "WITH x AS (SELECT CAST(vec_id AS BIGINT) vec_id, [CAST(floor(v::DOUBLE * 1048576) AS BIGINT) for v in embedding] AS x FROM embeddings)"
+    for (s <- 0 until m) {
+      val (lo, hi) = (s * dsub + 1, (s + 1) * dsub)
+      sb ++= s",\nxs$s AS (SELECT vec_id, x[$lo:$hi] AS x FROM x)"
+      sb ++= s",\ns${s}c0 AS (SELECT vec_id AS cl, x AS m FROM xs$s WHERE vec_id < $ks)"
+      var prev = s"s${s}c0"
+      for (it <- 1 to rounds + 1) { // last assignment = the encode pass
+        sb ++= s""",
+          |s${s}a$it AS (SELECT vec_id, x, min((d, cl))[2] AS cl FROM (
+          |  SELECT x.vec_id, x.x, c.cl, ${dLloydDist("x.x", "c.m", dsub)} AS d
+          |  FROM xs$s x, $prev c) GROUP BY 1, 2)""".stripMargin
+        if (it <= rounds) {
+          sb ++= s""",
+            |s${s}c$it AS (SELECT cl, list(s // n ORDER BY pos) AS m FROM (
+            |  SELECT cl, i AS pos, sum(x[i]) AS s, count(*) AS n
+            |  FROM s${s}a$it, range(1, ${dsub + 1}) r(i) GROUP BY 1, 2) GROUP BY cl)""".stripMargin
+          prev = s"s${s}c$it"
+        }
+      }
+      // per-query exact subspace distance to every surviving centroid
+      sb ++= s""",
+        |dq$s AS (SELECT q.vec_id AS query_id, c.cl, ${dLloydDist("q.x", "c.m", dsub)} AS d
+        |         FROM xs$s q, s${s}c$rounds c WHERE q.vec_id < $nQ),
+        |contrib$s AS (SELECT dq.query_id, e.vec_id AS neighbor_id, dq.d
+        |              FROM s${s}a${rounds + 1} e JOIN dq$s dq USING (cl))""".stripMargin
+    }
+    val unions = (0 until m).map(s => s"SELECT * FROM contrib$s").mkString("\nUNION ALL ")
+    sb ++= s""",
+      |adist AS (SELECT query_id, neighbor_id, sum(d)::BIGINT AS adist
+      |          FROM ($unions)
+      |          WHERE neighbor_id != query_id GROUP BY 1, 2),
+      |aranked AS (SELECT query_id, neighbor_id, adist,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+      |  FROM adist),
+      |exact AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |                       ORDER BY ${dLloydDist("q.x", "x.x", dim)}, x.vec_id) AS er
+      |  FROM x q JOIN x ON x.vec_id != q.vec_id WHERE q.vec_id < $nQ)
+      |SELECT a.query_id, a.rank::BIGINT AS rank, a.neighbor_id, a.adist,
+      |  e.neighbor_id IS NOT NULL AS in_exact_topk
+      |FROM aranked a LEFT JOIN (SELECT query_id, neighbor_id FROM exact WHERE er <= $k) e
+      |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      |WHERE a.rank <= $k
+      |ORDER BY a.query_id, a.rank""".stripMargin
+    sb.toString
   }
 
   private def kmeansOracle: String = {
@@ -1402,6 +1462,7 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e_kmeans" -> kmeansOracle,
     "e_semantic_dedup" -> semanticDedupOracle,
+    "e_ann_pq" -> pqOracle,
     // replays Dedup.substrDedup: the shared span CTE chain (substrCtes),
     // read out as the maximal duplicated spans
     "d_substr_dedup" ->

@@ -329,6 +329,114 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** PQ layout shared with the DuckDB oracle: subspace count, per-subspace
+    * codebook size, and training rounds. 8×16 over dim 64 compresses each
+    * vector to 8 code bytes — the memory story that lets an ANN index of
+    * 10^12 vectors live in RAM (64 floats → m codes; FAISS's IVFPQ). */
+  val PqSubspaces = 8
+  val PqCodebook = 16
+  val PqTrainRounds = 2
+
+  /** PRODUCT-QUANTIZATION ANN (Jégou, Douze, Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search" — FAISS's PQ): split each
+    * grid vector into `m` subspaces, Lloyd-train a `ks`-centroid codebook
+    * per subspace, encode every vector as its m nearest-centroid codes,
+    * and answer queries by ASYMMETRIC DISTANCE (ADC): the query precomputes
+    * an m×ks table of exact subspace distances, and a candidate's
+    * approximate distance is m table lookups — no vector ever touched at
+    * query time. Everything runs on the shared 2^-20 integer grid with
+    * smallest-id tie-breaks, so the DuckDB oracle replays training,
+    * encoding, and every ADC ranking bit-for-bit.
+    *
+    * Scale shape: ONE scan per training round fits ALL m codebooks
+    * (keyed (subspace, cluster) partial sums — m·ks·(dim/m+1) longs cross
+    * the shuffle, nothing scales with the corpus); the driver holds
+    * m·ks·dim/m longs of codebooks plus the nQueries·m·ks ADC tables; the
+    * query pass is map-only against those broadcasts, and only top-k
+    * candidates per query survive the ranking. Self-validating like
+    * [[annRecall]]: the same pass computes the EXACT grid distance, and
+    * each returned row carries whether it belongs to the exact top-k —
+    * the PQ approximation error is visible in the output, never silent. */
+  def annPq(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
+            m: Int = PqSubspaces, ks: Int = PqCodebook,
+            trainRounds: Int = PqTrainRounds): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val xs = gridDs(embeddings)
+    val seeds = xs.filter(_._1 < ks).collect().sortBy(_._1)
+    require(seeds.length == ks,
+      s"annPq: need vec_ids 0..${ks - 1} as codebook seeds, found ${seeds.length}")
+    val dim = seeds.head._2.length
+    require(dim % m == 0, s"annPq: dim $dim is not divisible into $m subspaces")
+    val d = dim / m
+    def sub(x: Array[Long], s: Int): Array[Long] =
+      java.util.Arrays.copyOfRange(x, s * d, s * d + d)
+    // ---- train: one scan per round updates ALL m codebooks
+    var books: Array[Array[(Long, Array[Long])]] =
+      Array.tabulate(m)(s => seeds.map { case (id, x) => (id, sub(x, s)) })
+    for (_ <- 1 to trainRounds) {
+      val bc = spark.sparkContext.broadcast(books)
+      val sums = xs.rdd
+        .flatMap { case (_, x) =>
+          val bs = bc.value
+          Iterator.tabulate(m) { s =>
+            val sv = sub(x, s)
+            ((s, bs(s)(nearestIdx(bs(s), sv))._1), (sv, 1L))
+          }
+        }
+        .reduceByKey { (p, q) =>
+          val sm = p._1.clone() // never mutate a shuffled buffer in place
+          var i = 0
+          while (i < sm.length) { sm(i) += q._1(i); i += 1 }
+          (sm, p._2 + q._2)
+        }
+        .collect()
+      bc.destroy()
+      // integer mean (SQL DIV); clusters that lost every member die
+      books = Array.tabulate(m)(s =>
+        sums.collect { case ((`s`, cl), (sm, n)) => (cl, sm.map(_ / n)) }.sortBy(_._1))
+    }
+    // ---- per-query ADC tables: exact subspace distance to every centroid
+    val qs = xs.filter(_._1 < nQueries).collect().sortBy(_._1)
+    def sqdist(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L
+      var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    val qtabs = qs.map { case (qid, qx) =>
+      (qid, qx, Array.tabulate(m)(s => books(s).map { case (_, c) => sqdist(sub(qx, s), c) }))
+    }
+    // ---- encode + ADC + exact distance in ONE map-only pass
+    // NOT destroyed: the plan below is lazy and may re-execute this scan
+    val bcB = spark.sparkContext.broadcast(books)
+    val bcQ = spark.sparkContext.broadcast(qtabs)
+    val scored = xs.rdd
+      .flatMap { case (id, x) =>
+        val bs = bcB.value
+        val code = new Array[Int](m)
+        var s = 0
+        while (s < m) { code(s) = nearestIdx(bs(s), sub(x, s)); s += 1 }
+        bcQ.value.iterator.filter(_._1 != id).map { case (qid, qx, tabs) =>
+          var a = 0L
+          var t = 0
+          while (t < m) { a += tabs(t)(code(t)); t += 1 }
+          (qid, id, a, sqdist(qx, x))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "adist", "edist")
+    val byQ = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+    scored
+      .withColumn("rank",
+        row_number().over(byQ.orderBy(col("adist"), col("neighbor_id"))).cast("long"))
+      .withColumn("erank",
+        row_number().over(byQ.orderBy(col("edist"), col("neighbor_id"))))
+      .where(s"rank <= $k")
+      .selectExpr("query_id", "rank", "neighbor_id", "adist",
+        s"erank <= $k AS in_exact_topk")
+      .orderBy("query_id", "rank")
+  }
+
   val AnnPlanes = 8
 
   /** Max embedding dimensionality the literal hyperplane arrays cover. */

@@ -12,6 +12,25 @@ import graft.pipeline.Pipeline
   * case. Also home of the monster-conversation fold guard trip test. */
 class AnnTrainSpec extends AnyFunSuite with SparkFixture {
 
+  test("annPq: ranks are dense top-k and a planted exact duplicate wins rank 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val raw = (0L until 120L).map(id => (id, Array.fill(64)(rnd.nextFloat()), 0))
+    // plant: vector 50 is byte-identical to query 0 — its codes hit the
+    // per-subspace MINIMUM of query 0's ADC table in every subspace, so no
+    // other vector can score a smaller approximate distance
+    val rows = raw.map { case (id, v, l) => (id, if (id == 50L) raw.head._2 else v, l) }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.annPq(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // dense ranks 1..5 for each of the 20 queries
+    assert(got.map(t => (t._1, t._2)).toSet ===
+      (for (q <- 0L until 20L; rk <- 1L to 5L) yield (q, rk)).toSet)
+    val q0 = got.filter(_._1 == 0L).sortBy(_._2)
+    assert(q0.head._3 === 50L, s"planted duplicate must rank first, got ${q0.head}")
+    assert(q0.head._5, "the duplicate is also the exact nearest neighbor")
+  }
+
   private val dim = 8
   private val nClusters = 8
   private val perCluster = 30
