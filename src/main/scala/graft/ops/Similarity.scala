@@ -523,9 +523,6 @@ object Similarity {
     var grid: Array[Array[Long]] = xs.where(s"vec_id < $nCells")
       .as[(Long, Array[Long])].collect().sortBy(_._1).map(_._2)
     require(grid.nonEmpty, s"annIvf: corpus has no vec_id < $nCells to seed cells")
-    require(grid.length.toLong * grid.map(_.length).max <= (1L << 18),
-      "annIvf: inlined centroid literals would exceed a sane expression size — " +
-        "for this many cells/dims switch assignment to a broadcast join + argmax window")
     // trainMod > 1 trains on a deterministic 1/trainMod md5 hash-bucket
     // SAMPLE (the rule shared with stratifiedSample — isolation-decidable,
     // oracle-replayable): the 100 TB knob, where a full per-round scan is
@@ -580,27 +577,67 @@ object Similarity {
           "is empty or degenerate; lower trainMod (need >> 64*nCells sampled rows)")
       grid = grid.indices.map(i => upd.getOrElse(i, grid(i))).toArray
     }
-    // /2^20 is a power-of-two division: exact in DOUBLE, so the literal the
-    // executors parse equals what any engine derives from the same rounds
+    // /2^20 is a power-of-two division: exact in DOUBLE, so what the
+    // executors receive equals what any engine derives from the same rounds
     val cents: Array[Array[Double]] = grid.map(_.map(_ / 1048576.0))
-    def lit(d: Double) = s"CAST('$d' AS DOUBLE)"
-    val simArray = cents.map { cv =>
-      val norm = math.sqrt(cv.map(x => x * x).sum)
-      val cl = s"array(${cv.map(lit).mkString(",")})"
-      s"(${dotExpr(cl, "v")} / (nv * ${lit(norm)}))"
-    }.mkString("array(", ",", ")")
-    val base = withNorm(embeddings)
-      .selectExpr("vec_id", "v", "nv", s"$simArray AS csims")
-      .selectExpr("vec_id", "v", "nv",
-        "CAST(array_position(csims, array_max(csims)) - 1 AS INT) AS cell", "csims")
-    val corpus = base.select("vec_id", "v", "nv", "cell")
-    val queries = base.where(s"vec_id < $nQueries")
-      .selectExpr("vec_id AS query_id", "v AS qv", "nv AS nq",
-        // nProbe nearest cells: sort (−sim, cell) asc, take the prefix
-        s"""transform(slice(array_sort(zip_with(csims, sequence(0, ${cents.length - 1}),
-           |  (s, i) -> named_struct('negs', -s, 'idx', i))), 1, $nProbe),
-           |  x -> CAST(x.idx AS INT)) AS probes""".stripMargin)
-      .selectExpr("query_id", "qv", "nq", "explode(probes) AS cell")
+    val cnorms: Array[Double] = cents.map(cv => math.sqrt(cv.map(x => x * x).sum))
+    // cell assignment + query probes as ONE JIT'd typed pass against a
+    // broadcast of the centroids (the kmeans/semanticDedup pattern — the
+    // former inlined-literal SQL form evaluated nCells INTERPRETED
+    // aggregate(zip_with(...)) dot products per row, measured ~4× this
+    // kernel's cost, and its 2^18-literal expression-size cap is gone).
+    // Bit-exactness is preserved: the dot is the same left-to-right IEEE
+    // fold with zero seed, cell is the FIRST maximum (strict >, with
+    // Double.compare so a hypothetical NaN still sorts greatest like
+    // Spark's array_max), probes are (sim DESC, cell ASC) selection — so
+    // the DuckDB oracle replays unchanged.
+    // NOT destroyed: the plan below is lazy and may re-execute this scan.
+    val bcC = spark.sparkContext.broadcast((cents, cnorms))
+    val assigned = withNorm(embeddings)
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "v", "nv")
+      .as[(Long, Array[Double], Double)]
+      .map { case (vid, v, nv) =>
+        val (cs, ns) = bcC.value
+        val sims = new Array[Double](cs.length)
+        var best = 0
+        var c = 0
+        while (c < cs.length) {
+          val m = cs(c)
+          var acc = 0.0
+          var i = 0
+          while (i < m.length) { acc += m(i) * v(i); i += 1 }
+          sims(c) = acc / (nv * ns(c))
+          if (java.lang.Double.compare(sims(c), sims(best)) > 0) best = c
+          c += 1
+        }
+        val probes =
+          if (vid >= nQueries) null
+          else {
+            // nProbe nearest cells by (sim DESC, cell ASC): repeated
+            // selection of the best unchosen index — nProbe·nCells compares
+            val out = new Array[Int](math.min(nProbe, cs.length))
+            val taken = new Array[Boolean](cs.length)
+            var p = 0
+            while (p < out.length) {
+              var sel = -1
+              var j = 0
+              while (j < cs.length) {
+                if (!taken(j) &&
+                    (sel < 0 || java.lang.Double.compare(sims(j), sims(sel)) > 0)) sel = j
+                j += 1
+              }
+              taken(sel) = true
+              out(p) = sel
+              p += 1
+            }
+            out
+          }
+        (vid, v, nv, best, probes)
+      }
+      .toDF("vec_id", "v", "nv", "cell", "probes")
+    val corpus = assigned.select("vec_id", "v", "nv", "cell")
+    val queries = assigned.where(s"vec_id < $nQueries")
+      .selectExpr("vec_id AS query_id", "v AS qv", "nv AS nq", "explode(probes) AS cell")
     corpus
       .join(queries, Seq("cell"))
       .where("vec_id != query_id")
