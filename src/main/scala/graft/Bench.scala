@@ -99,8 +99,13 @@ object Bench {
     // of this line): total + the flagship transcript queries — if a warm
     // number ever inflates again, this says whether the time went to
     // collection (environmental / heap pressure) or to the query's compute
-    val gcKeys = Seq("t_extract", "t_segment", "t_xml", "t_lineage")
-    val gcs = (gcKeys.flatMap(k => warmGc.get(k).map(v => "\"" + k + "\":" + v)) :+
+    // ... plus ANY query that collected >200 ms this pass — when a warm
+    // number swings several× between runs (the e_ann_* pattern: adjacent
+    // queries trade ~5 s while their sum holds), this pins whether the
+    // inflated draw sat in GC
+    val gcKeys = Seq("t_extract", "t_segment", "t_xml", "t_lineage") ++
+      warmGc.collect { case (k, v) if v > 200 => k }.toSeq.sorted
+    val gcs = (gcKeys.distinct.flatMap(k => warmGc.get(k).map(v => "\"" + k + "\":" + v)) :+
       ("\"total\":" + warmGc.values.sum))
       .mkString("{", ",", "}")
     val total = warm.values.sum

@@ -116,6 +116,7 @@ object SparkEntry {
     "e_kmeans" -> ((s, d) => Similarity.kmeans(embs(s, d))),
     "e_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(embs(s, d))),
     "e_ann_pq" -> ((s, d) => Similarity.annPq(embs(s, d))),
+    "e_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(embs(s, d))),
     "d_pagerank" -> ((s, d) => GraphOps.pagerank(docs(s, d))),
     // multimodal plumbing
     "m_features" -> ((s, d) => Multimodal.features(docs(s, d)).drop("mean_byte")),
@@ -437,6 +438,108 @@ object SparkEntry {
       |                       ORDER BY ${dLloydDist("q.x", "x.x", dim)}, x.vec_id) AS er
       |  FROM x q JOIN x ON x.vec_id != q.vec_id WHERE q.vec_id < $nQ)
       |SELECT a.query_id, a.rank::BIGINT AS rank, a.neighbor_id, a.adist,
+      |  e.neighbor_id IS NOT NULL AS in_exact_topk
+      |FROM aranked a LEFT JOIN (SELECT query_id, neighbor_id FROM exact WHERE er <= $k) e
+      |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      |WHERE a.rank <= $k
+      |ORDER BY a.query_id, a.rank""".stripMargin
+    sb.toString
+  }
+
+  /** Replays [[Similarity.annIvfPq]]: the coarse Lloyd chain with
+    * dead-cell keep (the [[annIvfOracle]] rule), per-vector integer
+    * residuals, per-subspace residual codebook chains with dead-code drop
+    * (the [[pqOracle]] rule), probe ranking by (coarse distance, cell),
+    * the per-(query, probed-cell) ADC contributions summed across
+    * subspaces, and the exact-grid-top-k validation flag. All squared-L2
+    * integer arithmetic — `//` and Java `/` both truncate toward zero, so
+    * the signed residual means replay exactly. */
+  private def ivfPqOracle: String = {
+    val nCells = Similarity.IvfPqCells
+    val nProbe = Similarity.IvfPqProbe
+    val cr = Similarity.IvfPqCoarseRounds
+    val m = Similarity.PqSubspaces
+    val ks = Similarity.PqCodebook
+    val rounds = Similarity.PqTrainRounds
+    val (nQ, k) = (20, 5)
+    val dim = 64
+    val dsub = dim / m
+    val sb = new StringBuilder
+    sb ++= "WITH x AS (SELECT CAST(vec_id AS BIGINT) vec_id, [CAST(floor(v::DOUBLE * 1048576) AS BIGINT) for v in embedding] AS x FROM embeddings)"
+    // ---- coarse chain: seeds = vec_id < nCells, dead cells KEEP their
+    // previous centroid (cell indices must stay stable)
+    sb ++= s",\ng0 AS (SELECT vec_id AS cl, x AS m FROM x WHERE vec_id < $nCells)"
+    var prev = "g0"
+    for (it <- 1 to cr) {
+      sb ++= s""",
+        |ga$it AS (SELECT vec_id, x, min((d, cl))[2] AS cl FROM (
+        |  SELECT x.vec_id, x.x, c.cl, ${dLloydDist("x.x", "c.m", dim)} AS d
+        |  FROM x, $prev c) GROUP BY 1, 2),
+        |g$it AS (SELECT p.cl, coalesce(u.m, p.m) AS m FROM $prev p LEFT JOIN (
+        |  SELECT cl, list(s // n ORDER BY pos) AS m FROM (
+        |    SELECT cl, i AS pos, sum(x[i]) AS s, count(*) AS n
+        |    FROM ga$it, range(1, ${dim + 1}) r(i) GROUP BY 1, 2) GROUP BY cl) u ON u.cl = p.cl)""".stripMargin
+      prev = s"g$it"
+    }
+    // ---- final assignment + integer residuals
+    sb ++= s""",
+      |asg AS (SELECT vec_id, min((d, cl))[2] AS cell FROM (
+      |  SELECT x.vec_id, c.cl, ${dLloydDist("x.x", "c.m", dim)} AS d
+      |  FROM x, $prev c) GROUP BY 1),
+      |rs AS (SELECT a.vec_id, a.cell, [q.x[i] - c.m[i] for i in range(1, ${dim + 1})] AS r
+      |       FROM asg a JOIN x q ON q.vec_id = a.vec_id JOIN $prev c ON c.cl = a.cell)""".stripMargin
+    // ---- per-subspace residual codebook chains; last assignment = encode
+    for (s <- 0 until m) {
+      val (lo, hi) = (s * dsub + 1, (s + 1) * dsub)
+      sb ++= s",\nr$s AS (SELECT vec_id, r[$lo:$hi] AS x FROM rs)"
+      sb ++= s",\nb${s}c0 AS (SELECT vec_id AS cl, x AS m FROM r$s WHERE vec_id < $ks)"
+      var bp = s"b${s}c0"
+      for (it <- 1 to rounds + 1) {
+        sb ++= s""",
+          |b${s}a$it AS (SELECT vec_id, x, min((d, cl))[2] AS cl FROM (
+          |  SELECT x.vec_id, x.x, c.cl, ${dLloydDist("x.x", "c.m", dsub)} AS d
+          |  FROM r$s x, $bp c) GROUP BY 1, 2)""".stripMargin
+        if (it <= rounds) {
+          sb ++= s""",
+            |b${s}c$it AS (SELECT cl, list(s // n ORDER BY pos) AS m FROM (
+            |  SELECT cl, i AS pos, sum(x[i]) AS s, count(*) AS n
+            |  FROM b${s}a$it, range(1, ${dsub + 1}) r(i) GROUP BY 1, 2) GROUP BY cl)""".stripMargin
+          bp = s"b${s}c$it"
+        }
+      }
+    }
+    // ---- probes by (coarse distance, cell), query residual per probed cell
+    sb ++= s""",
+      |qp AS (SELECT query_id, cl AS cell FROM (
+      |  SELECT query_id, cl, row_number() OVER (PARTITION BY query_id ORDER BY d, cl) AS rn
+      |  FROM (SELECT x.vec_id AS query_id, c.cl, ${dLloydDist("x.x", "c.m", dim)} AS d
+      |        FROM x, $prev c WHERE x.vec_id < $nQ)) WHERE rn <= $nProbe),
+      |qr AS (SELECT p.query_id, p.cell, [q.x[i] - c.m[i] for i in range(1, ${dim + 1})] AS qr
+      |       FROM qp p JOIN x q ON q.vec_id = p.query_id JOIN $prev c ON c.cl = p.cell)""".stripMargin
+    // ---- ADC contributions: candidate's code centroid vs query residual
+    for (s <- 0 until m) {
+      val (lo, hi) = (s * dsub + 1, (s + 1) * dsub)
+      sb ++= s""",
+        |ct$s AS (SELECT q.query_id, a.vec_id AS neighbor_id, a.cell,
+        |    ${dLloydDist("q.qs", "bk.m", dsub)} AS dd
+        |  FROM (SELECT query_id, cell, qr[$lo:$hi] AS qs FROM qr) q
+        |  JOIN asg a ON a.cell = q.cell AND a.vec_id != q.query_id
+        |  JOIN b${s}a${rounds + 1} e ON e.vec_id = a.vec_id
+        |  JOIN b${s}c$rounds bk ON bk.cl = e.cl)""".stripMargin
+    }
+    val unions = (0 until m).map(s => s"SELECT * FROM ct$s").mkString("\nUNION ALL ")
+    sb ++= s""",
+      |adist AS (SELECT query_id, neighbor_id, cell, sum(dd)::BIGINT AS adist
+      |          FROM ($unions) GROUP BY 1, 2, 3),
+      |aranked AS (SELECT query_id, neighbor_id, cell, adist,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+      |  FROM adist),
+      |exact AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |                       ORDER BY ${dLloydDist("q.x", "x.x", dim)}, x.vec_id) AS er
+      |  FROM x q JOIN x ON x.vec_id != q.vec_id WHERE q.vec_id < $nQ)
+      |SELECT a.query_id, a.rank::BIGINT AS rank, a.neighbor_id,
+      |  CAST(a.cell AS INT) AS cell, a.adist,
       |  e.neighbor_id IS NOT NULL AS in_exact_topk
       |FROM aranked a LEFT JOIN (SELECT query_id, neighbor_id FROM exact WHERE er <= $k) e
       |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
@@ -1463,6 +1566,7 @@ object SparkEntry {
     "e_kmeans" -> kmeansOracle,
     "e_semantic_dedup" -> semanticDedupOracle,
     "e_ann_pq" -> pqOracle,
+    "e_ann_ivfpq" -> ivfPqOracle,
     // replays Dedup.substrDedup: the shared span CTE chain (substrCtes),
     // read out as the maximal duplicated spans
     "d_substr_dedup" ->

@@ -437,6 +437,209 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVFPQ layout shared with the DuckDB oracle: coarse cell count, probe
+    * width, and coarse training rounds (the PQ side reuses [[PqSubspaces]]/
+    * [[PqCodebook]]/[[PqTrainRounds]]). 16 cells keeps every cell populated
+    * on the 500-vector test corpora; production runs √n cells. */
+  val IvfPqCells = 16
+  val IvfPqProbe = 3
+  val IvfPqCoarseRounds = 2
+
+  /** Index of the argmin-squared-distance centroid over PLAIN centroid
+    * arrays (first strict min in array order = smallest cell index on
+    * ties) — the [[nearestIdx]] twin for index-keyed codebooks, shared by
+    * [[annIvf]] training and [[annIvfPq]]. */
+  private def nearestCell(cs: Array[Array[Long]], x: Array[Long]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val m = cs(c)
+      var d = 0L
+      var i = 0
+      while (i < m.length) { val t = x(i) - m(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF-PQ — the COMPOSED production index (Jégou et al. 2011 §IV;
+    * FAISS's IVFPQ): [[annIvf]]'s coarse cells prune the search to
+    * `nProbe` inverted lists, and [[annPq]]'s product quantizer encodes
+    * each vector's RESIDUAL (x − its cell centroid) into m code bytes, so
+    * the index holds one cell id + m bytes per vector — the shape that
+    * keeps 10^12 vectors in RAM *and* sublinear to search, where flat PQ
+    * still scans every code and flat IVF still stores full vectors.
+    *
+    * Everything runs on the 2^-20 integer grid with squared-L2 distances
+    * (residual subtraction is exact in Long, unlike cosine residuals), so
+    * coarse training, residual codebook training, encoding, probe choice
+    * and every ADC ranking replay bit-for-bit in the DuckDB oracle. Ties
+    * break toward the smaller cell / code / neighbor id everywhere.
+    *
+    * Scale shape: coarse training = [[annIvf]]'s (one scan + one
+    * nCells·dim aggregation per round); codebook training = [[annPq]]'s
+    * (ONE scan per round fits all m books, keyed (subspace, code) partial
+    * sums) over residuals computed on the fly; the query pass is map-only
+    * against driver-held broadcasts (books: m·ks·dim/m longs; per-query
+    * ADC tables: nQueries·nProbe·m·ks longs) and emits ONLY candidates in
+    * probed cells — ~nProbe/nCells of the corpus per query, never
+    * all-pairs. Self-validating like [[annPq]]: a second scan computes the
+    * exact grid top-k and every returned row carries its membership, so
+    * both error sources (unprobed cells + PQ distortion) are visible. */
+  def annIvfPq(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
+               nCells: Int = IvfPqCells, nProbe: Int = IvfPqProbe,
+               coarseRounds: Int = IvfPqCoarseRounds,
+               m: Int = PqSubspaces, ks: Int = PqCodebook,
+               trainRounds: Int = PqTrainRounds): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val xs = gridDs(embeddings)
+
+    // ---- coarse cells: first-nCells id seeds, Lloyd rounds, dead cells
+    // keep their previous centroid so cell INDICES stay stable (the
+    // annIvf rule; index == seed vec_id after the contiguity require)
+    var coarse: Array[Array[Long]] = xs.where(s"vec_id < $nCells")
+      .collect().sortBy(_._1).map(_._2)
+    require(coarse.length == nCells,
+      s"annIvfPq: need vec_ids 0..${nCells - 1} as cell seeds, found ${coarse.length}")
+    val dim = coarse.head.length
+    require(dim % m == 0, s"annIvfPq: dim $dim is not divisible into $m subspaces")
+    val d = dim / m
+    for (_ <- 1 to coarseRounds) {
+      val bc = spark.sparkContext.broadcast(coarse)
+      val sums = xs.rdd
+        .map { case (_, x) => (nearestCell(bc.value, x), (x, 1L)) }
+        .reduceByKey { (p, q) =>
+          val s = p._1.clone() // never mutate a shuffled buffer in place
+          var i = 0
+          while (i < s.length) { s(i) += q._1(i); i += 1 }
+          (s, p._2 + q._2)
+        }
+        .collect()
+      bc.destroy()
+      val upd = sums.map { case (c, (s, n)) => c -> s.map(_ / n) }.toMap
+      coarse = coarse.indices.map(i => upd.getOrElse(i, coarse(i))).toArray
+    }
+
+    def sub(x: Array[Long], s: Int): Array[Long] =
+      java.util.Arrays.copyOfRange(x, s * d, s * d + d)
+    def residual(x: Array[Long], c: Array[Long]): Array[Long] = {
+      val r = new Array[Long](x.length)
+      var i = 0
+      while (i < x.length) { r(i) = x(i) - c(i); i += 1 }
+      r
+    }
+    def sqdist(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L
+      var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+
+    // ---- residual codebooks: seeds = the first ks vectors' residuals
+    // under the trained coarse quantizer; then annPq's one-scan-per-round
+    // trainer over on-the-fly residuals (dead codes die, books stay
+    // sorted by seed id = smallest-id tie-break via first-strict-min)
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    // NOT destroyed: every pass below (training, scoring, exact) reuses it
+    val seeds = xs.filter(_._1 < ks).collect().sortBy(_._1)
+    require(seeds.length == ks,
+      s"annIvfPq: need vec_ids 0..${ks - 1} as codebook seeds, found ${seeds.length}")
+    var books: Array[Array[(Long, Array[Long])]] =
+      Array.tabulate(m) { s =>
+        seeds.map { case (id, x) => (id, sub(residual(x, coarse(nearestCell(coarse, x))), s)) }
+      }
+    for (_ <- 1 to trainRounds) {
+      val bc = spark.sparkContext.broadcast(books)
+      val sums = xs.rdd
+        .flatMap { case (_, x) =>
+          val cs = bcCoarse.value
+          val r = residual(x, cs(nearestCell(cs, x)))
+          val bs = bc.value
+          Iterator.tabulate(m) { s =>
+            val sv = sub(r, s)
+            ((s, bs(s)(nearestIdx(bs(s), sv))._1), (sv, 1L))
+          }
+        }
+        .reduceByKey { (p, q) =>
+          val sm = p._1.clone() // never mutate a shuffled buffer in place
+          var i = 0
+          while (i < sm.length) { sm(i) += q._1(i); i += 1 }
+          (sm, p._2 + q._2)
+        }
+        .collect()
+      bc.destroy()
+      books = Array.tabulate(m)(s =>
+        sums.collect { case ((`s`, cl), (sm, n)) => (cl, sm.map(_ / n)) }.sortBy(_._1))
+    }
+
+    // ---- per-query: nProbe nearest cells by (squared L2, cell idx), and
+    // per probed cell the m×ks ADC table over the QUERY residual there
+    val qs = xs.filter(_._1 < nQueries).collect().sortBy(_._1)
+    val qinfo = qs.map { case (qid, qx) =>
+      val byCell = coarse.indices
+        .map(c => (sqdist(qx, coarse(c)), c)).sorted.take(nProbe)
+      val probes = byCell.map(_._2).toArray
+      val tabs: Map[Int, Array[Array[Long]]] = probes.map { c =>
+        val qr = residual(qx, coarse(c))
+        c -> Array.tabulate(m)(s => books(s).map { case (_, e) => sqdist(sub(qr, s), e) })
+      }.toMap
+      (qid, qx, probes, tabs)
+    }
+
+    // ---- map-only scoring: encode each row once, emit only (query,
+    // probed-cell) hits. NOT destroyed: the plan below is lazy.
+    val bcB = spark.sparkContext.broadcast(books)
+    val bcQ = spark.sparkContext.broadcast(qinfo)
+    val scored = xs.rdd
+      .flatMap { case (id, x) =>
+        val cs = bcCoarse.value
+        val cell = nearestCell(cs, x)
+        val r = residual(x, cs(cell))
+        val bs = bcB.value
+        val code = new Array[Int](m)
+        var s = 0
+        while (s < m) { code(s) = nearestIdx(bs(s), sub(r, s)); s += 1 }
+        bcQ.value.iterator
+          .filter { case (qid, _, probes, _) => qid != id && probes.contains(cell) }
+          .map { case (qid, _, _, tabs) =>
+            val t = tabs(cell)
+            var a = 0L
+            var i = 0
+            while (i < m) { a += t(i)(code(i)); i += 1 }
+            (qid, id, cell, a)
+          }
+      }
+      .toDF("query_id", "neighbor_id", "cell", "adist")
+    // exact grid top-k over the WHOLE corpus (second scan, validation
+    // only): candidates outside probed cells are invisible to `scored`,
+    // so the flag must not be derived from it
+    val exact = xs.rdd
+      .flatMap { case (id, x) =>
+        bcQ.value.iterator.filter(_._1 != id).map { case (qid, qx, _, _) =>
+          (qid, id, sqdist(qx, x))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "edist")
+      .withColumn("er", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("edist"), col("neighbor_id"))))
+      .where(s"er <= $k")
+      .select("query_id", "neighbor_id")
+      .withColumn("in_exact_topk", org.apache.spark.sql.functions.lit(true))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))).cast("long"))
+      .where(s"rank <= $k")
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .selectExpr("query_id", "rank", "neighbor_id", "cell", "adist",
+        "coalesce(in_exact_topk, false) AS in_exact_topk")
+      .orderBy("query_id", "rank")
+  }
+
   val AnnPlanes = 8
 
   /** Max embedding dimensionality the literal hyperplane arrays cover. */
@@ -488,9 +691,11 @@ object Similarity {
     *     training and still hash-match. Training removes the "recall
     *     depends on the first nCells vectors being spread out" failure
     *     mode of raw id-seeded cells (r3 verdict #3);
-    *  2. assignment: one codegen'd pass computes each row's argmax-cosine
-    *     cell against centroid LITERALS (k·dim doubles from the training
-    *     loop, inlined — NO K× row blowup and NO shuffle to assign);
+    *  2. assignment: ONE JIT'd typed pass computes each row's argmax-cosine
+    *     cell (and, for query rows, the probe list) against a k·dim-double
+    *     centroid BROADCAST — no K× row blowup and no shuffle to assign,
+    *     and the dot is the same left-to-right IEEE fold the SQL form (and
+    *     the DuckDB oracle) computes, so results are bit-identical;
     *  3. probe: each query searches its `nProbe` nearest cells; candidates
     *     come from an equi-join on cell id (shuffle keyed by cell, never
     *     all-pairs), exact cosine rerank, top-k per query.

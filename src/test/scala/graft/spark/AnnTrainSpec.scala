@@ -31,6 +31,27 @@ class AnnTrainSpec extends AnyFunSuite with SparkFixture {
     assert(q0.head._5, "the duplicate is also the exact nearest neighbor")
   }
 
+  test("annIvfPq: dense top-k, planted duplicate wins rank 1 in its own cell") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val raw = (0L until 120L).map(id => (id, Array.fill(64)(rnd.nextFloat()), 0))
+    // vector 50 is byte-identical to query 0: same coarse cell (probed
+    // first), identical residual, so its codes hit the per-subspace ADC
+    // row minimum — no candidate can score a smaller approximate distance
+    val rows = raw.map { case (id, v, l) => (id, if (id == 50L) raw.head._2 else v, l) }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.annIvfPq(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4), r.getBoolean(5)))
+    assert(got.map(t => (t._1, t._2)).toSet ===
+      (for (q <- 0L until 20L; rk <- 1L to 5L) yield (q, rk)).toSet)
+    val q0 = got.filter(_._1 == 0L).sortBy(_._2)
+    assert(q0.head._3 === 50L, s"planted duplicate must rank first, got ${q0.head}")
+    assert(q0.head._6, "the duplicate is also the exact nearest neighbor")
+    // candidates only ever come from probed cells
+    val cellsPerQuery = got.groupBy(_._1).values.map(_.map(_._4).distinct.size)
+    assert(cellsPerQuery.forall(_ <= Similarity.IvfPqProbe))
+  }
+
   private val dim = 8
   private val nClusters = 8
   private val perCluster = 30
