@@ -657,25 +657,8 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0
   }
 
-  private lazy val planeLit: IndexedSeq[String] = (0 until AnnPlanes).map { p =>
-    val comps = (0 until MaxDim).map(d => s"CAST('${planeComponent(p, d)}' AS DOUBLE)")
-    s"array(${comps.mkString(",")})"
-  }
-
-  /** Sign-bit LSH bucket key over AnnPlanes literal hyperplanes. Guarded:
-    * embeddings wider than the precomputed hyperplanes fail loudly (the
-    * padded `zip_with` would otherwise null the dot product and silently
-    * collapse every row into bucket 0 — ANN degenerating to all-pairs). */
-  private def bucketExpr(v: String): String = {
-    val bits = (0 until AnnPlanes).map { p =>
-      val dot = s"aggregate(zip_with($v, slice(${planeLit(p)}, 1, size($v)), " +
-        "(x, w) -> x * w), CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)"
-      s"IF($dot >= 0, ${1 << p}, 0)"
-    }
-    s"IF(size($v) <= $MaxDim, ${bits.mkString(" + ")}, " +
-      s"CAST(raise_error(concat('annLsh: embedding dimension ', size($v), " +
-      s"' exceeds the $MaxDim-dim precomputed hyperplanes')) AS INT))"
-  }
+  private lazy val planeArr: Array[Array[Double]] =
+    Array.tabulate(AnnPlanes, MaxDim)(planeComponent)
 
   /** IVF (inverted-file) approximate nearest neighbors — the coarse-
     * quantizer scale path next to the hyperplane-LSH one:
@@ -877,8 +860,37 @@ object Similarity {
     * Same output schema as [[knnBruteForce]] (plus the neighbor's bucket
     * id) so recall is directly measurable. */
   def annLsh(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // sign-bit bucket key as ONE JIT'd typed pass against the hyperplane
+    // broadcast (the annIvf assignment pattern — the former inlined-literal
+    // SQL form ran AnnPlanes interpreted aggregate(zip_with(...)) dots per
+    // row): same left-to-right IEEE fold and primitive `>= 0` sign rule,
+    // so the DuckDB oracle replays unchanged. Embeddings wider than the
+    // precomputed hyperplanes still fail loudly (a padded dot would
+    // silently collapse every row into bucket 0 — ANN degenerating to
+    // all-pairs). NOT destroyed: the plan below is lazy.
+    val bcP = spark.sparkContext.broadcast(planeArr)
     val base = withNorm(embeddings)
-      .selectExpr("vec_id", "v", "nv", s"CAST(${bucketExpr("v")} AS BIGINT) AS bucket")
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "v", "nv")
+      .as[(Long, Array[Double], Double)]
+      .map { case (vid, v, nv) =>
+        val ps = bcP.value
+        require(v.length <= MaxDim,
+          s"annLsh: embedding dimension ${v.length} exceeds the $MaxDim-dim precomputed hyperplanes")
+        var bucket = 0L
+        var p = 0
+        while (p < ps.length) {
+          val w = ps(p)
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) { acc += v(i) * w(i); i += 1 }
+          if (acc >= 0) bucket |= 1L << p
+          p += 1
+        }
+        (vid, v, nv, bucket)
+      }
+      .toDF("vec_id", "v", "nv", "bucket")
     val probeList = probeMasks.map(m => s"CAST(bucket ^ $m AS BIGINT)")
       .mkString("array(", ",", ")")
     val queries = base.where(s"vec_id < $nQueries")
