@@ -117,6 +117,7 @@ object SparkEntry {
     "e_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(embs(s, d))),
     "e_ann_pq" -> ((s, d) => Similarity.annPq(embs(s, d))),
     "e_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(embs(s, d))),
+    "e_ann_incr" -> ((s, d) => Similarity.annIvfAppend(embs(s, d))),
     "d_pagerank" -> ((s, d) => GraphOps.pagerank(docs(s, d))),
     // multimodal plumbing
     "m_features" -> ((s, d) => Multimodal.features(docs(s, d)).drop("mean_byte")),
@@ -444,6 +445,55 @@ object SparkEntry {
       |WHERE a.rank <= $k
       |ORDER BY a.query_id, a.rank""".stripMargin
     sb.toString
+  }
+
+  /** Replays [[Similarity.annIvfAppend]]: [[annIvfOracle]]'s chain with
+    * training restricted to the STANDING slice (outside the shared
+    * deltaMod rule), cells seeded from the first nCells standing ids under
+    * a DENSE rank (= Spark's array index), frozen-centroid assignment and
+    * search over the FULL corpus, and the from_delta provenance flag. */
+  private def annIvfAppendOracle: String = {
+    val (nCells, nProbe, nQ, k, trainIters, dim) = (32, 3, 20, 5, 2, 64)
+    val dm = Similarity.IvfAppendDeltaMod
+    def dist(x: String, m: String) = dLloydDist(x, m, dim)
+    val train = new StringBuilder
+    train ++= s"xg AS (SELECT vec_id, [CAST(floor(e * 1048576) AS BIGINT) for e in v] AS x FROM base),\n"
+    train ++= s"xb AS (SELECT * FROM xg WHERE (vec_id % $dm) != ${dm - 1}),\n"
+    train ++= s"t0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, x AS m FROM " +
+      s"(SELECT vec_id, x FROM xb ORDER BY vec_id LIMIT $nCells))"
+    var prev = "t0"
+    for (it <- 1 to trainIters) {
+      train ++= s""",
+                   |ta$it AS (SELECT vec_id, x, min((d, cl))[2] AS cl FROM (
+                   |  SELECT xb.vec_id, xb.x, c.cl, ${dist("xb.x", "c.m")} AS d FROM xb, $prev c) GROUP BY 1, 2),
+                   |t$it AS (SELECT p.cl, coalesce(u.m, p.m) AS m FROM $prev p LEFT JOIN (
+                   |  SELECT cl, list(s // n ORDER BY pos) AS m FROM (
+                   |    SELECT cl, i AS pos, sum(x[i]) AS s, count(*) AS n
+                   |    FROM ta$it, range(1, ${dim + 1}) r(i) GROUP BY 1, 2) GROUP BY cl) u ON u.cl = p.cl)""".stripMargin
+      prev = s"t$it"
+    }
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$train,
+       |cents AS (SELECT cl AS cent_id, [mm / 1048576.0 for mm in m] AS cv FROM $prev),
+       |simsq AS (SELECT b.vec_id, c.cent_id, ${dCos("b.v", "c.cv")} AS csim
+       |          FROM base b CROSS JOIN cents c),
+       |ranked AS (SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+       |  FROM simsq),
+       |assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cent_id AS cell
+       |           FROM ranked WHERE vec_id < $nQ AND rn <= $nProbe),
+       |cand AS (SELECT p.query_id, CAST(a.cell AS INT) AS cell, b.vec_id AS neighbor_id,
+       |           ${dCos("q.v", "b.v")} AS sim
+       |         FROM probes p
+       |         JOIN assign a ON a.cell = p.cell
+       |         JOIN base b ON b.vec_id = a.vec_id AND b.vec_id != p.query_id
+       |         JOIN base q ON q.vec_id = p.query_id)
+       |SELECT query_id, rank, neighbor_id, cell, sim,
+       |  (neighbor_id % $dm) = ${dm - 1} AS from_delta FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM cand) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** Replays [[Similarity.annIvfPq]]: the coarse Lloyd chain with
@@ -1567,6 +1617,7 @@ object SparkEntry {
     "e_semantic_dedup" -> semanticDedupOracle,
     "e_ann_pq" -> pqOracle,
     "e_ann_ivfpq" -> ivfPqOracle,
+    "e_ann_incr" -> annIvfAppendOracle,
     // replays Dedup.substrDedup: the shared span CTE chain (substrCtes),
     // read out as the maximal duplicated spans
     "d_substr_dedup" ->

@@ -507,21 +507,8 @@ object Similarity {
     val dim = coarse.head.length
     require(dim % m == 0, s"annIvfPq: dim $dim is not divisible into $m subspaces")
     val d = dim / m
-    for (_ <- 1 to coarseRounds) {
-      val bc = spark.sparkContext.broadcast(coarse)
-      val sums = xs.rdd
-        .map { case (_, x) => (nearestCell(bc.value, x), (x, 1L)) }
-        .reduceByKey { (p, q) =>
-          val s = p._1.clone() // never mutate a shuffled buffer in place
-          var i = 0
-          while (i < s.length) { s(i) += q._1(i); i += 1 }
-          (s, p._2 + q._2)
-        }
-        .collect()
-      bc.destroy()
-      val upd = sums.map { case (c, (s, n)) => c -> s.map(_ / n) }.toMap
-      coarse = coarse.indices.map(i => upd.getOrElse(i, coarse(i))).toArray
-    }
+    coarse = ivfTrainCells(xs, coarse, coarseRounds,
+      "annIvfPq: coarse training round updated no cell — empty corpus")
 
     def sub(x: Array[Long], s: Int): Array[Long] =
       java.util.Arrays.copyOfRange(x, s * d, s * d + d)
@@ -705,10 +692,8 @@ object Similarity {
     require(trainMod >= 1, "annIvf: trainMod must be >= 1")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val xs = embeddings.selectExpr(
-      "CAST(vec_id AS BIGINT) AS vec_id",
-      s"transform(${asDouble("embedding")}, e -> CAST(floor(e * 1048576) AS BIGINT)) AS x")
-    var grid: Array[Array[Long]] = xs.where(s"vec_id < $nCells")
+    val xs = gridDs(embeddings).toDF("vec_id", "x")
+    val grid: Array[Array[Long]] = xs.where(s"vec_id < $nCells")
       .as[(Long, Array[Long])].collect().sortBy(_._1).map(_._2)
     require(grid.nonEmpty, s"annIvf: corpus has no vec_id < $nCells to seed cells")
     // trainMod > 1 trains on a deterministic 1/trainMod md5 hash-bucket
@@ -721,31 +706,74 @@ object Similarity {
     val trainSet =
       if (trainMod == 1) xs
       else xs.where(s"${Shingles.h32("CAST(vec_id AS STRING)")} % $trainMod = 0")
-    // training rounds run as a JIT'd typed map + elementwise reduceByKey,
-    // NOT SQL array lambdas: higher-order expressions are interpreted (no
-    // whole-stage codegen), ~2× the round cost measured. The integer
-    // arithmetic (squared L2 on the grid, first-min tie toward the smaller
-    // cell index, SUM-then-truncating-divide) is identical either way, so
-    // the DuckDB oracle replay is unaffected. Sum order is immaterial:
-    // exact Long adds are associative/commutative.
-    for (_ <- 1 to trainIters) {
+    val trained = ivfTrainCells(trainSet.as[(Long, Array[Long])], grid, trainIters,
+      s"annIvf: training round updated no cell — the 1/$trainMod hash sample " +
+        "is empty or degenerate; lower trainMod (need >> 64*nCells sampled rows)")
+    ivfSearch(embeddings, trained, nQueries, k, nProbe)
+      .orderBy("query_id", "rank")
+  }
+
+  /** INCREMENTAL IVF index maintenance — the daily-batch shape of
+    * [[annIvf]] (FAISS `add()` after `train()`; the ANN twin of
+    * [[graft.ops.Dedup.incrementalMinhash]]): the STANDING index is the
+    * corpus slice outside the delta rule, its cells seeded from the first
+    * `nCells` standing ids and Lloyd-trained on the STANDING slice only;
+    * the delta batch (`vec_id % deltaMod = deltaMod−1`, the shared
+    * isolation-decidable rule) then joins the index by FROZEN-centroid
+    * assignment — one map-only pass per arriving batch, O(delta·nCells)
+    * work, the centroids never retrained — and is immediately searchable:
+    * queries probe the merged index, and every returned neighbor carries
+    * `from_delta` so the gate pins that appended vectors actually surface.
+    *
+    * (This self-contained query recomputes the standing side's assignments
+    * too; a production index stores them — the refresh cost is the delta
+    * pass alone. The trade training defers is drift: a delta distribution
+    * far from the training slice degrades recall until a retrain —
+    * exactly why FAISS separates train() from add().) */
+  def annIvfAppend(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
+                   nCells: Int = 32, nProbe: Int = 3, trainIters: Int = 2,
+                   deltaMod: Int = IvfAppendDeltaMod): DataFrame = {
+    require(deltaMod >= 2, "annIvfAppend: deltaMod must be >= 2")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val xs = gridDs(embeddings).toDF("vec_id", "x")
+    val isDelta = s"(vec_id % $deltaMod) = ${deltaMod - 1}"
+    val standing = xs.where(s"NOT $isDelta").as[(Long, Array[Long])]
+    // seeds: the nCells smallest STANDING ids (dense cell index = seed rank)
+    val seed = standing.orderBy("vec_id").limit(nCells)
+      .collect().sortBy(_._1).map(_._2)
+    require(seed.length == nCells,
+      s"annIvfAppend: standing slice has ${seed.length} < $nCells vectors to seed cells")
+    val trained = ivfTrainCells(standing, seed, trainIters,
+      "annIvfAppend: training round updated no cell — empty standing slice")
+    ivfSearch(embeddings, trained, nQueries, k, nProbe)
+      .withColumn("from_delta", expr(s"(neighbor_id % $deltaMod) = ${deltaMod - 1}"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Delta-slice modulus for [[annIvfAppend]] — shared with the DuckDB
+    * oracle so the two cannot drift. */
+  val IvfAppendDeltaMod = 4
+
+  /** Lloyd rounds for IVF cells over `train`, from the index-keyed `seed`
+    * grid; a cell that loses every member KEEPS its previous centroid so
+    * cell indices stay stable. One JIT'd typed map + elementwise
+    * `reduceByKey` per round (higher-order SQL lambdas are interpreted,
+    * ~2× the round cost measured); the integer arithmetic (squared L2 on
+    * the grid, first-min tie toward the smaller cell index,
+    * SUM-then-truncating-divide — Long `/` = SQL DIV = DuckDB `//`) is
+    * engine-exact and sum order is immaterial (exact Long adds commute),
+    * so the DuckDB oracles replay every round. Shared by [[annIvf]],
+    * [[annIvfAppend]] and [[annIvfPq]]'s coarse quantizer. */
+  private def ivfTrainCells(train: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+                            seed: Array[Array[Long]], iters: Int,
+                            emptyMsg: String): Array[Array[Long]] = {
+    val spark = train.sparkSession
+    var grid = seed
+    for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(grid)
-      val sums = trainSet.as[(Long, Array[Long])].rdd
-        .map { case (_, x) =>
-          val cents = bc.value
-          var best = 0
-          var bestD = Long.MaxValue
-          var c = 0
-          while (c < cents.length) {
-            val m = cents(c)
-            var d = 0L
-            var i = 0
-            while (i < m.length) { val t = x(i) - m(i); d += t * t; i += 1 }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          (best, (x, 1L))
-        }
+      val sums = train.rdd
+        .map { case (_, x) => (nearestCell(bc.value, x), (x, 1L)) }
         .reduceByKey { (a, b) =>
           val s = a._1.clone() // never mutate a shuffled buffer in place
           var i = 0
@@ -755,16 +783,25 @@ object Similarity {
         .collect()
       bc.destroy()
       val upd: Map[Int, Array[Long]] = sums.map { case (cl, (s, n)) =>
-        cl -> s.map(_ / n) // Long / truncates toward zero = SQL DIV = DuckDB //
+        cl -> s.map(_ / n)
       }.toMap
-      // loud, not silent: an over-aggressive trainMod that empties the
-      // sample would leave every centroid at its raw id-seed — exactly the
-      // fragile-seed failure mode training exists to remove
-      require(upd.nonEmpty,
-        s"annIvf: training round updated no cell — the 1/$trainMod hash sample " +
-          "is empty or degenerate; lower trainMod (need >> 64*nCells sampled rows)")
+      // loud, not silent: a degenerate training set would leave every
+      // centroid at its raw seed — the fragile-seed failure mode training
+      // exists to remove
+      require(upd.nonEmpty, emptyMsg)
       grid = grid.indices.map(i => upd.getOrElse(i, grid(i))).toArray
     }
+    grid
+  }
+
+  /** Frozen-centroid IVF search over the full corpus: one typed assignment
+    * pass, the cell equi-join, exact cosine rerank, top-k per query.
+    * Returns ranked rows WITHOUT a final sort (callers append their
+    * columns, then order). */
+  private def ivfSearch(embeddings: DataFrame, grid: Array[Array[Long]],
+                        nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     // /2^20 is a power-of-two division: exact in DOUBLE, so what the
     // executors receive equals what any engine derives from the same rounds
     val cents: Array[Array[Double]] = grid.map(_.map(_ / 1048576.0))
@@ -837,7 +874,6 @@ object Similarity {
           .orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
       .where(s"rank <= $k")
       .select("query_id", "rank", "neighbor_id", "cell", "sim")
-      .orderBy("query_id", "rank")
   }
 
   /** Probe masks for multi-probe LSH: the zero mask plus every 1- and 2-bit

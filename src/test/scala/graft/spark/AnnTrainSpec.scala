@@ -52,6 +52,29 @@ class AnnTrainSpec extends AnyFunSuite with SparkFixture {
     assert(cellsPerQuery.forall(_ <= Similarity.IvfPqProbe))
   }
 
+  test("annIvfAppend: a delta vector identical to a query surfaces at rank 1, flagged") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val raw = (0L until 160L).map(id => (id, Array.fill(64)(rnd.nextFloat()), 0))
+    // id 51 is in the DELTA slice (51 % 4 = 3) and byte-identical to query
+    // 0: the frozen-centroid assignment puts it in query 0's own cell
+    // (identical vector, identical cell), so the appended batch is
+    // immediately searchable and must win rank 1 with from_delta = true
+    assert(51L % Similarity.IvfAppendDeltaMod == Similarity.IvfAppendDeltaMod - 1)
+    val rows = raw.map { case (id, v, l) => (id, if (id == 51L) raw.head._2 else v, l) }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.annIvfAppend(emb, nCells = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(5)))
+    assert(got.map(t => (t._1, t._2)).toSet ===
+      (for (q <- 0L until 20L; rk <- 1L to 5L) yield (q, rk)).toSet)
+    val q0 = got.filter(_._1 == 0L).sortBy(_._2)
+    assert(q0.head._3 === 51L, s"planted delta duplicate must rank first, got ${q0.head}")
+    assert(q0.head._4, "rank-1 neighbor must be flagged from_delta")
+    // the flag marks exactly the delta slice
+    assert(got.forall(t => t._4 == (t._3 % Similarity.IvfAppendDeltaMod ==
+      Similarity.IvfAppendDeltaMod - 1)))
+  }
+
   private val dim = 8
   private val nClusters = 8
   private val perCluster = 30
