@@ -118,6 +118,7 @@ object SparkEntry {
     "e_ann_pq" -> ((s, d) => Similarity.annPq(embs(s, d))),
     "e_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(embs(s, d))),
     "e_ann_incr" -> ((s, d) => Similarity.annIvfAppend(embs(s, d))),
+    "e_ann_drift" -> ((s, d) => Similarity.annIvfDrift(embs(s, d))),
     "d_pagerank" -> ((s, d) => GraphOps.pagerank(docs(s, d))),
     // multimodal plumbing
     "m_features" -> ((s, d) => Multimodal.features(docs(s, d)).drop("mean_byte")),
@@ -452,11 +453,16 @@ object SparkEntry {
     * deltaMod rule), cells seeded from the first nCells standing ids under
     * a DENSE rank (= Spark's array index), frozen-centroid assignment and
     * search over the FULL corpus, and the from_delta provenance flag. */
-  private def annIvfAppendOracle: String = {
-    val (nCells, nProbe, nQ, k, trainIters, dim) = (32, 3, 20, 5, 2, 64)
-    val dm = Similarity.IvfAppendDeltaMod
+  /** CTE prefix `base,xg,xb,t0..tN` training STANDING-slice IVF cells with
+    * a DENSE index (= Spark's array position): xg = the 2^-20 grid, xb =
+    * the slice outside the deltaMod rule, seeds = the first nCells
+    * standing ids, then the Lloyd rounds with dead-cell keep. Shared by
+    * the `e_ann_incr` and `e_ann_drift` oracles so the training replays
+    * cannot drift. Returns (prefix, final-cells CTE name). */
+  private def standingIvfCtes(nCells: Int, trainIters: Int, dim: Int, dm: Int): (String, String) = {
     def dist(x: String, m: String) = dLloydDist(x, m, dim)
     val train = new StringBuilder
+    train ++= "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
     train ++= s"xg AS (SELECT vec_id, [CAST(floor(e * 1048576) AS BIGINT) for e in v] AS x FROM base),\n"
     train ++= s"xb AS (SELECT * FROM xg WHERE (vec_id % $dm) != ${dm - 1}),\n"
     train ++= s"t0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, x AS m FROM " +
@@ -472,8 +478,14 @@ object SparkEntry {
                    |    FROM ta$it, range(1, ${dim + 1}) r(i) GROUP BY 1, 2) GROUP BY cl) u ON u.cl = p.cl)""".stripMargin
       prev = s"t$it"
     }
-    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |$train,
+    (train.toString, prev)
+  }
+
+  private def annIvfAppendOracle: String = {
+    val (nCells, nProbe, nQ, k, trainIters, dim) = (32, 3, 20, 5, 2, 64)
+    val dm = Similarity.IvfAppendDeltaMod
+    val (train, prev) = standingIvfCtes(nCells, trainIters, dim, dm)
+    s"""$train,
        |cents AS (SELECT cl AS cent_id, [mm / 1048576.0 for mm in m] AS cv FROM $prev),
        |simsq AS (SELECT b.vec_id, c.cent_id, ${dCos("b.v", "c.cv")} AS csim
        |          FROM base b CROSS JOIN cents c),
@@ -494,6 +506,33 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM cand) WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Replays [[Similarity.annIvfDrift]]: the SAME standing-slice training
+    * chain ([[standingIvfCtes]]), then every vector's min-(d, cl) grid
+    * assignment with its squared distance, aggregated per cell into
+    * standing/delta counts, exact sums and truncating-integer means. */
+  private def annIvfDriftOracle: String = {
+    val (nCells, trainIters, dim) = (32, 2, 64)
+    val dm = Similarity.IvfAppendDeltaMod
+    val (train, prev) = standingIvfCtes(nCells, trainIters, dim, dm)
+    def s(cond: String) = s"sum(CASE WHEN $cond THEN 1 ELSE 0 END)::BIGINT"
+    def ds(cond: String) = s"coalesce(sum(CASE WHEN $cond THEN d END), 0)::BIGINT"
+    s"""$train,
+       |ad AS (SELECT vec_id, is_delta, m[2] AS cell, m[1] AS d FROM (
+       |  SELECT vec_id, (vec_id % $dm) = ${dm - 1} AS is_delta, min((d, cl)) AS m FROM (
+       |    SELECT xg.vec_id, c.cl, ${dLloydDist("xg.x", "c.m", dim)} AS d
+       |    FROM xg, $prev c) GROUP BY 1, 2))
+       |SELECT CAST(cell AS INT) AS cell,
+       |  ${s("NOT is_delta")} AS n_standing,
+       |  ${s("is_delta")} AS n_delta,
+       |  ${ds("NOT is_delta")} AS standing_sqdist_sum,
+       |  ${ds("is_delta")} AS delta_sqdist_sum,
+       |  CASE WHEN ${s("NOT is_delta")} > 0
+       |       THEN ${ds("NOT is_delta")} // ${s("NOT is_delta")} END AS standing_msd,
+       |  CASE WHEN ${s("is_delta")} > 0
+       |       THEN ${ds("is_delta")} // ${s("is_delta")} END AS delta_msd
+       |FROM ad GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Replays [[Similarity.annIvfPq]]: the coarse Lloyd chain with
@@ -1618,6 +1657,7 @@ object SparkEntry {
     "e_ann_pq" -> pqOracle,
     "e_ann_ivfpq" -> ivfPqOracle,
     "e_ann_incr" -> annIvfAppendOracle,
+    "e_ann_drift" -> annIvfDriftOracle,
     // replays Dedup.substrDedup: the shared span CTE chain (substrCtes),
     // read out as the maximal duplicated spans
     "d_substr_dedup" ->

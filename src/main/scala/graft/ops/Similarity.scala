@@ -398,14 +398,8 @@ object Similarity {
     }
     // ---- per-query ADC tables: exact subspace distance to every centroid
     val qs = xs.filter(_._1 < nQueries).collect().sortBy(_._1)
-    def sqdist(a: Array[Long], b: Array[Long]): Long = {
-      var acc = 0L
-      var i = 0
-      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
-      acc
-    }
     val qtabs = qs.map { case (qid, qx) =>
-      (qid, qx, Array.tabulate(m)(s => books(s).map { case (_, c) => sqdist(sub(qx, s), c) }))
+      (qid, qx, Array.tabulate(m)(s => books(s).map { case (_, c) => sqDist(sub(qx, s), c) }))
     }
     // ---- encode + ADC + exact distance in ONE map-only pass
     // NOT destroyed: the plan below is lazy and may re-execute this scan
@@ -421,7 +415,7 @@ object Similarity {
           var a = 0L
           var t = 0
           while (t < m) { a += tabs(t)(code(t)); t += 1 }
-          (qid, id, a, sqdist(qx, x))
+          (qid, id, a, sqDist(qx, x))
         }
       }
       .toDF("query_id", "neighbor_id", "adist", "edist")
@@ -449,6 +443,14 @@ object Similarity {
     * arrays (first strict min in array order = smallest cell index on
     * ties) — the [[nearestIdx]] twin for index-keyed codebooks, shared by
     * [[annIvf]] training and [[annIvfPq]]. */
+  /** Exact squared L2 between grid vectors. */
+  private def sqDist(a: Array[Long], b: Array[Long]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+    acc
+  }
+
   private def nearestCell(cs: Array[Array[Long]], x: Array[Long]): Int = {
     var best = 0
     var bestD = Long.MaxValue
@@ -518,12 +520,6 @@ object Similarity {
       while (i < x.length) { r(i) = x(i) - c(i); i += 1 }
       r
     }
-    def sqdist(a: Array[Long], b: Array[Long]): Long = {
-      var acc = 0L
-      var i = 0
-      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
-      acc
-    }
 
     // ---- residual codebooks: seeds = the first ks vectors' residuals
     // under the trained coarse quantizer; then annPq's one-scan-per-round
@@ -567,11 +563,11 @@ object Similarity {
     val qs = xs.filter(_._1 < nQueries).collect().sortBy(_._1)
     val qinfo = qs.map { case (qid, qx) =>
       val byCell = coarse.indices
-        .map(c => (sqdist(qx, coarse(c)), c)).sorted.take(nProbe)
+        .map(c => (sqDist(qx, coarse(c)), c)).sorted.take(nProbe)
       val probes = byCell.map(_._2).toArray
       val tabs: Map[Int, Array[Array[Long]]] = probes.map { c =>
         val qr = residual(qx, coarse(c))
-        c -> Array.tabulate(m)(s => books(s).map { case (_, e) => sqdist(sub(qr, s), e) })
+        c -> Array.tabulate(m)(s => books(s).map { case (_, e) => sqDist(sub(qr, s), e) })
       }.toMap
       (qid, qx, probes, tabs)
     }
@@ -606,7 +602,7 @@ object Similarity {
     val exact = xs.rdd
       .flatMap { case (id, x) =>
         bcQ.value.iterator.filter(_._1 != id).map { case (qid, qx, _, _) =>
-          (qid, id, sqdist(qx, x))
+          (qid, id, sqDist(qx, x))
         }
       }
       .toDF("query_id", "neighbor_id", "edist")
@@ -733,22 +729,70 @@ object Similarity {
   def annIvfAppend(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
                    nCells: Int = 32, nProbe: Int = 3, trainIters: Int = 2,
                    deltaMod: Int = IvfAppendDeltaMod): DataFrame = {
+    val trained = standingCents(embeddings, nCells, trainIters, deltaMod)
+    ivfSearch(embeddings, trained, nQueries, k, nProbe)
+      .withColumn("from_delta", expr(s"(neighbor_id % $deltaMod) = ${deltaMod - 1}"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[annIvfAppend]]'s index health monitor — the "is a retrain due yet"
+    * signal every frozen-centroid index needs: per cell, how many STANDING
+    * vs DELTA vectors it holds and their mean squared grid distance to the
+    * frozen centroid. A delta batch drawn from the training distribution
+    * shows `delta_msd ≈ standing_msd`; a drifted batch inflates `delta_msd`
+    * (and piles into few cells) long before recall visibly degrades —
+    * exactly the deferred cost [[annIvfAppend]]'s no-retrain trade accepts.
+    * Distances are measured in the trainer's own squared-L2 grid geometry
+    * (the geometry the centroids were optimized in), one map-only pass +
+    * one ≤nCells-row aggregation. Exactness contract: the per-cell Long
+    * sums are exact while n_cell·max_sqdist < 2^63 (grid vectors from
+    * [0,1)^64 bound max_sqdist ≈ 2^48, so ~32k vectors per cell); beyond
+    * that shard the sum by a vid-hash subkey — the metric is a diagnostic,
+    * never a training artifact. */
+  def annIvfDrift(embeddings: DataFrame, nCells: Int = 32, trainIters: Int = 2,
+                  deltaMod: Int = IvfAppendDeltaMod): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val grid = standingCents(embeddings, nCells, trainIters, deltaMod)
+    // NOT destroyed: the plan below is lazy and may re-execute this scan
+    val bc = spark.sparkContext.broadcast(grid)
+    gridDs(embeddings)
+      .map { case (vid, x) =>
+        val cs = bc.value
+        val c = nearestCell(cs, x)
+        (c, (vid % deltaMod) == (deltaMod - 1), sqDist(x, cs(c)))
+      }
+      .toDF("cell", "is_delta", "d")
+      .groupBy("cell")
+      .agg(
+        sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_standing"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+        coalesce(sum(when(!col("is_delta"), col("d"))), lit(0L)).as("standing_sqdist_sum"),
+        coalesce(sum(when(col("is_delta"), col("d"))), lit(0L)).as("delta_sqdist_sum"))
+      .selectExpr("cell", "n_standing", "n_delta",
+        "standing_sqdist_sum", "delta_sqdist_sum",
+        "CASE WHEN n_standing > 0 THEN standing_sqdist_sum DIV n_standing END AS standing_msd",
+        "CASE WHEN n_delta > 0 THEN delta_sqdist_sum DIV n_delta END AS delta_msd")
+      .orderBy("cell")
+  }
+
+  /** STANDING-slice IVF cells for [[annIvfAppend]]/[[annIvfDrift]]: seeds =
+    * the `nCells` smallest standing ids (dense cell index = seed rank),
+    * Lloyd rounds over the standing slice only. */
+  private def standingCents(embeddings: DataFrame, nCells: Int, trainIters: Int,
+                            deltaMod: Int): Array[Array[Long]] = {
     require(deltaMod >= 2, "annIvfAppend: deltaMod must be >= 2")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val xs = gridDs(embeddings).toDF("vec_id", "x")
-    val isDelta = s"(vec_id % $deltaMod) = ${deltaMod - 1}"
-    val standing = xs.where(s"NOT $isDelta").as[(Long, Array[Long])]
-    // seeds: the nCells smallest STANDING ids (dense cell index = seed rank)
+    val standing = xs.where(s"NOT ((vec_id % $deltaMod) = ${deltaMod - 1})")
+      .as[(Long, Array[Long])]
     val seed = standing.orderBy("vec_id").limit(nCells)
       .collect().sortBy(_._1).map(_._2)
     require(seed.length == nCells,
       s"annIvfAppend: standing slice has ${seed.length} < $nCells vectors to seed cells")
-    val trained = ivfTrainCells(standing, seed, trainIters,
+    ivfTrainCells(standing, seed, trainIters,
       "annIvfAppend: training round updated no cell — empty standing slice")
-    ivfSearch(embeddings, trained, nQueries, k, nProbe)
-      .withColumn("from_delta", expr(s"(neighbor_id % $deltaMod) = ${deltaMod - 1}"))
-      .orderBy("query_id", "rank")
   }
 
   /** Delta-slice modulus for [[annIvfAppend]] — shared with the DuckDB

@@ -73,6 +73,16 @@ class AnnTrainSpec extends AnyFunSuite with SparkFixture {
     // the flag marks exactly the delta slice
     assert(got.forall(t => t._4 == (t._3 % Similarity.IvfAppendDeltaMod ==
       Similarity.IvfAppendDeltaMod - 1)))
+    // drift monitor over the same index: every vector lands in exactly one
+    // cell, the standing/delta split matches the mod rule, and a mean
+    // never exceeds its cell's max contribution bound (sanity, not drift)
+    val drift = Similarity.annIvfDrift(emb, nCells = 16).collect()
+    assert(drift.map(_.getLong(1)).sum === 120L) // 160 ids, 40 are % 4 == 3
+    assert(drift.map(_.getLong(2)).sum === 40L)
+    drift.foreach { r =>
+      if (r.getLong(1) > 0) assert(r.getLong(5) * r.getLong(1) <= r.getLong(3))
+      if (r.getLong(2) > 0) assert(r.getLong(6) * r.getLong(2) <= r.getLong(4))
+    }
   }
 
   private val dim = 8
