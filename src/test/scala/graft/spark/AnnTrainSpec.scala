@@ -85,6 +85,34 @@ class AnnTrainSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("annIvfDrift: a drifted delta batch inflates delta_msd; an in-distribution one does not") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 320L).map(id => (id, Array.fill(64)(rnd.nextFloat()), 0))
+    // corpus-level mean squared distance: total sqdist / total count over cells
+    def msd(rows: Array[org.apache.spark.sql.Row], sumIdx: Int, nIdx: Int): Double =
+      rows.map(_.getLong(sumIdx)).sum.toDouble / rows.map(_.getLong(nIdx)).sum
+    // in-distribution delta: both slices uniform over the same cube, so the
+    // frozen standing-trained centroids explain the delta equally well
+    val inDist = base.toDF("vec_id", "embedding", "label")
+    val d1 = Similarity.annIvfDrift(inDist, nCells = 16).collect()
+    val (s1, del1) = (msd(d1, 3, 1), msd(d1, 4, 2))
+    assert(del1 <= s1 * 2.0,
+      s"in-distribution delta flagged as drifted: standing_msd=$s1 delta_msd=$del1")
+    // drifted delta: the arriving batch sits far outside the training cube —
+    // the monitor must light up long before anyone measures recall
+    val drifted = base.map { case (id, v, l) =>
+      (id, if (id % Similarity.IvfAppendDeltaMod == Similarity.IvfAppendDeltaMod - 1)
+        v.map(_ + 8.0f) else v, l)
+    }.toDF("vec_id", "embedding", "label")
+    val d2 = Similarity.annIvfDrift(drifted, nCells = 16).collect()
+    val (s2, del2) = (msd(d2, 3, 1), msd(d2, 4, 2))
+    assert(del2 >= s2 * 10.0,
+      s"drifted delta not flagged: standing_msd=$s2 delta_msd=$del2")
+    // the standing side's own fit is unchanged by what arrives in the delta
+    assert(d1.map(_.getLong(1)).sum === d2.map(_.getLong(1)).sum)
+  }
+
   private val dim = 8
   private val nClusters = 8
   private val perCluster = 30
