@@ -89,6 +89,7 @@ object SparkEntry {
     "d_chunk" -> ((s, d) => DocTextOps.chunk(docs(s, d))),
     "d_corpus_build" -> ((s, d) => DocTextOps.corpusBuild(docs(s, d))),
     "d_pack" -> ((s, d) => DocTextOps.packSequences(docs(s, d))),
+    "d_shard" -> ((s, d) => DocTextOps.shardCorpus(docs(s, d))),
     "d_mix" -> ((s, d) => DocTextOps.mixCorpus(docs(s, d))),
     "d_bpe_train" -> ((s, d) => DocTextOps.bpeTrain(docs(s, d))),
     "d_bpe_encode" -> ((s, d) => DocTextOps.bpeEncode(docs(s, d))),
@@ -1476,6 +1477,25 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, cum_before // 2048 AS pack_id,
         |  cum_before % 2048 AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // replays DocTextOps.shardCorpus: d_pack's cumulative chain grouped to
+    // packs, then the h32(pack_id)-keyed shard + within-shard rank
+    "d_shard" -> {
+      val ns = graft.ops.DocTextOps.DefaultShards
+      s"""WITH d AS (SELECT doc_id::BIGINT AS doc_id,
+         |             COALESCE(len(string_split(text, ' ')), 0)::BIGINT AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        COALESCE(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+         |      FROM d),
+         |p AS (SELECT cum_before // 2048 AS pack_id, count(*)::BIGINT AS n_docs,
+         |        sum(n_tokens)::BIGINT AS pack_tokens
+         |      FROM c GROUP BY 1),
+         |h AS (SELECT *, ${dh32("pack_id::VARCHAR")} AS h FROM p)
+         |SELECT pack_id, h % $ns AS shard,
+         |  row_number() OVER (PARTITION BY h % $ns ORDER BY h, pack_id)::BIGINT AS seq_idx,
+         |  n_docs, pack_tokens
+         |FROM h ORDER BY shard, seq_idx""".stripMargin
+    },
     "d_bpe_train" -> {
       // replays every merge round of DocTextOps.bpeTrain, unrolled like
       // the k-means oracle: per round, the argmax pair (count DESC, pair

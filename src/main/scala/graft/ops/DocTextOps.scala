@@ -615,6 +615,47 @@ object DocTextOps {
       .orderBy("doc_id")
   }
 
+  /** Default shard count for [[shardCorpus]] — shared with the DuckDB
+    * oracle so the two cannot drift. Real corpora pick the output file
+    * count (10^3–10^4); 8 keeps every shard populated on the small
+    * synthetic corpora. */
+  val DefaultShards = 8
+
+  /** SHARD + DETERMINISTIC SHUFFLE — the step a pretraining pipeline runs
+    * LAST, after [[packSequences]]: distribute the packed sequences over
+    * `nShards` output shards and fix a pseudo-random READ ORDER inside
+    * each, so training consumes the corpus decorrelated from document /
+    * crawl order without any runtime shuffle buffer (the "preshuffled
+    * shards" layout). Both decisions are pure functions of the pack id —
+    * shard = h32(pack_id) mod nShards, within-shard order = (h32, pack_id)
+    * — so every re-run, task retry, or engine reproduces the identical
+    * layout (the oracle replays it verbatim), unlike an RNG-seeded
+    * shuffle whose order depends on partition enumeration.
+    *
+    * Scale shape: packs number corpus_tokens/budget — 5·10^8 at 10^12
+    * tokens — and only (pack_id, counts) rows ever move: one keyed
+    * aggregation riding [[packSequences]]'s output, a map-only hash
+    * assignment, then ONE shuffle into `nShards` groups for the
+    * within-shard rank. The window partition count is nShards — a number
+    * the operator's caller CHOOSES (it is the output file count), so
+    * per-task volume is corpus/nShards by construction; a corpus too big
+    * for that invariant wants more shards, not a different plan. */
+  def shardCorpus(documents: DataFrame, budget: Long = 2048L,
+                  nShards: Int = DefaultShards): DataFrame = {
+    require(nShards >= 1, s"shardCorpus: nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    packSequences(documents, budget)
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+      .selectExpr("pack_id", "n_docs", "pack_tokens",
+        s"${Shingles.h32("CAST(pack_id AS STRING)")} AS h")
+      .withColumn("shard", expr(s"h % $nShards"))
+      .withColumn("seq_idx", row_number().over(
+        Window.partitionBy("shard").orderBy("h", "pack_id")).cast("long"))
+      .select("pack_id", "shard", "seq_idx", "n_docs", "pack_tokens")
+      .orderBy("shard", "seq_idx")
+  }
+
   /** END-TO-END CORPUS BUILD — the composition a pretraining data pipeline
     * actually runs, as ONE dataflow over the registered operators:
     * [[downselect]] (quality gate → exact-dedup canonicalization →

@@ -277,4 +277,33 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
       assert(got.nonEmpty, s"seed $seed must exercise the merge")
     }
   }
+
+  test("shardCorpus: deterministic pack permutation, dense per-shard ranks, hash order") {
+    // 40 docs of 1..5 tokens → 15 packs at budget 8, spread over 4 shards
+    val d = docs((0L until 40L).map(i =>
+      (i, Seq.fill((i % 5 + 1).toInt)("w").mkString(" "))): _*)
+    def run() = DocTextOps.shardCorpus(d, budget = 8L, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val got = run()
+    // a permutation of the packs: nothing lost, nothing duplicated
+    val packs = DocTextOps.packSequences(d, 8L).select("pack_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet === packs && got.length === packs.size)
+    // every doc and token is conserved through the pack grouping
+    assert(got.map(_._4).sum === 40L)
+    assert(got.map(_._5).sum === 120L)
+    // within each shard the read order is dense 1..n
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $sh ranks not dense")
+    }
+    // the layout is a pure function of the ids: a re-run is identical
+    assert(run().toSeq === got.toSeq)
+    // and the within-shard order genuinely decorrelates from pack order
+    // (deterministic data, so this either always holds or never does)
+    assert(got.groupBy(_._2).values.exists { rows =>
+      rows.sortBy(_._3).map(_._1).toSeq != rows.map(_._1).sorted.toSeq
+    }, "hash order degenerated to ascending pack ids in every shard")
+    intercept[IllegalArgumentException](DocTextOps.shardCorpus(d, nShards = 0))
+  }
 }
