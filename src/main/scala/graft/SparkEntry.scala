@@ -120,6 +120,7 @@ object SparkEntry {
     "e_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(embs(s, d))),
     "e_ann_incr" -> ((s, d) => Similarity.annIvfAppend(embs(s, d))),
     "e_ann_drift" -> ((s, d) => Similarity.annIvfDrift(embs(s, d))),
+    "e_ann_retrain" -> ((s, d) => Similarity.annIvfRetrain(embs(s, d))),
     "d_pagerank" -> ((s, d) => GraphOps.pagerank(docs(s, d))),
     // multimodal plumbing
     "m_features" -> ((s, d) => Multimodal.features(docs(s, d)).drop("mean_byte")),
@@ -534,6 +535,75 @@ object SparkEntry {
        |  CASE WHEN ${s("is_delta")} > 0
        |       THEN ${ds("is_delta")} // ${s("is_delta")} END AS delta_msd
        |FROM ad GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Replays [[Similarity.annIvfRetrain]]: the shared standing training
+    * chain ([[standingIvfCtes]]) gives the frozen cells; per scenario
+    * (`g0` = the raw grid, `g1` = delta compressed by `// RetrainDriftDiv`)
+    * the per-slice frozen fit, the `delta_msd > factor·standing_msd`
+    * decision, the warm-start Lloyd rounds seeded from the frozen cells
+    * (dead-cell keep) and the retrained fit — then a CASE on the decision
+    * picks the ACTIONED index's msd, exactly the loop the Spark side runs.
+    * All truncating-integer arithmetic on the nonnegative grid, so `//`
+    * and Java `/` agree. */
+  private def annIvfRetrainOracle: String = {
+    val (nCells, trainIters, dim) = (32, 2, 64)
+    val dm = Similarity.IvfAppendDeltaMod
+    val factor = Similarity.RetrainMsdFactor
+    val div = Similarity.RetrainDriftDiv
+    val (train, frozen) = standingIvfCtes(nCells, trainIters, dim, dm)
+    def dist(x: String, m: String) = dLloydDist(x, m, dim)
+    val sb = new StringBuilder(train)
+    sb ++= s""",
+      |g0 AS (SELECT vec_id, x FROM xg),
+      |g1 AS (SELECT vec_id, CASE WHEN (vec_id % $dm) = ${dm - 1}
+      |         THEN [xi // $div for xi in x] ELSE x END AS x FROM xg)""".stripMargin
+    for (s <- 0 to 1) {
+      sb ++= s""",
+        |f${s}a AS (SELECT vec_id, (vec_id % $dm) = ${dm - 1} AS is_delta,
+        |    min((d, cl))[1] AS d FROM (
+        |  SELECT g.vec_id, c.cl, ${dist("g.x", "c.m")} AS d FROM g$s g, $frozen c)
+        |  GROUP BY 1, 2),
+        |f$s AS (SELECT is_delta, count(*)::BIGINT AS n, sum(d)::BIGINT AS s
+        |        FROM f${s}a GROUP BY 1),
+        |due$s AS (SELECT (SELECT s // n FROM f$s WHERE is_delta) >
+        |  $factor * (SELECT s // n FROM f$s WHERE NOT is_delta) AS due)""".stripMargin
+      var prev = frozen
+      for (it <- 1 to trainIters) {
+        sb ++= s""",
+          |r${s}a$it AS (SELECT vec_id, x, min((d, cl))[2] AS cl FROM (
+          |  SELECT g.vec_id, g.x, c.cl, ${dist("g.x", "c.m")} AS d
+          |  FROM g$s g, $prev c) GROUP BY 1, 2),
+          |r$s$it AS (SELECT p.cl, coalesce(u.m, p.m) AS m FROM $prev p LEFT JOIN (
+          |  SELECT cl, list(s // n ORDER BY pos) AS m FROM (
+          |    SELECT cl, i AS pos, sum(x[i]) AS s, count(*) AS n
+          |    FROM r${s}a$it, range(1, ${dim + 1}) r(i) GROUP BY 1, 2) GROUP BY cl) u
+          |  ON u.cl = p.cl)""".stripMargin
+        prev = s"r$s$it"
+      }
+      sb ++= s""",
+        |rt${s}a AS (SELECT vec_id, (vec_id % $dm) = ${dm - 1} AS is_delta,
+        |    min((d, cl))[1] AS d FROM (
+        |  SELECT g.vec_id, c.cl, ${dist("g.x", "c.m")} AS d FROM g$s g, $prev c)
+        |  GROUP BY 1, 2),
+        |rt$s AS (SELECT is_delta, count(*)::BIGINT AS n, sum(d)::BIGINT AS s
+        |         FROM rt${s}a GROUP BY 1)""".stripMargin
+    }
+    def scen(s: Int, name: String) =
+      s"""SELECT '$name' AS scenario,
+         |  CASE WHEN f.is_delta THEN 'delta' ELSE 'standing' END AS slice,
+         |  f.n, f.s // f.n AS frozen_msd,
+         |  CASE WHEN (SELECT due FROM due$s) THEN r.s // r.n
+         |       ELSE f.s // f.n END AS result_msd,
+         |  (SELECT due FROM due$s) AS retrain_due
+         |FROM f$s f JOIN rt$s r USING (is_delta)""".stripMargin
+    sb ++= s"""
+      |SELECT scenario, slice, n, frozen_msd, result_msd, retrain_due FROM (
+      |${scen(0, "in_dist")}
+      |UNION ALL
+      |${scen(1, "drifted")}
+      |) ORDER BY scenario, slice""".stripMargin
+    sb.toString
   }
 
   /** Replays [[Similarity.annIvfPq]]: the coarse Lloyd chain with
@@ -1678,6 +1748,7 @@ object SparkEntry {
     "e_ann_ivfpq" -> ivfPqOracle,
     "e_ann_incr" -> annIvfAppendOracle,
     "e_ann_drift" -> annIvfDriftOracle,
+    "e_ann_retrain" -> annIvfRetrainOracle,
     // replays Dedup.substrDedup: the shared span CTE chain (substrCtes),
     // read out as the maximal duplicated spans
     "d_substr_dedup" ->

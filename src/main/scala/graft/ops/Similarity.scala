@@ -776,6 +776,97 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Retrain decision factor for [[annIvfRetrain]] — a retrain is due iff
+    * `delta_msd > RetrainMsdFactor · standing_msd` (both truncating-integer
+    * means in the trainer's squared-L2 grid geometry). Shared with the
+    * DuckDB oracle so the two cannot drift. */
+  val RetrainMsdFactor = 2L
+
+  /** Grid divisor for [[annIvfRetrain]]'s deterministically DRIFTED twin
+    * scenario: delta-slice grid vectors are compressed componentwise by
+    * `x DIV 64` (exact on the nonnegative [0,2^20) grid, where Java `/`,
+    * SQL DIV and DuckDB `//` agree), collapsing the arriving batch toward
+    * the origin — far outside the standing training cube, so the decision
+    * rule has a real drift to fire on. Shared with the oracle. */
+  val RetrainDriftDiv = 64L
+
+  /** RETRAIN-TRIGGER ACTION LOOP — closes [[annIvfDrift]]'s monitor→decide
+    * →act cycle (the loop a production frozen-centroid index runs on a
+    * schedule; FAISS leaves the re-`train()` decision to the caller — this
+    * is that caller): measure per-slice fit against the FROZEN standing-
+    * trained cells, decide `retrain_due = delta_msd > factor·standing_msd`,
+    * and when due WARM-START a Lloyd retrain — `trainIters` rounds over the
+    * full corpus seeded from the frozen centroids (dead cells keep their
+    * centroid, indices stay stable) — else pass the frozen index through
+    * untouched.
+    *
+    * BOTH decision branches are driver-visible: the loop runs on two
+    * deterministic scenarios of the same corpus — `in_dist` (the delta
+    * batch as stored; drawn from the training distribution, the rule must
+    * NOT fire and `result_msd = frozen_msd` bit-for-bit) and `drifted`
+    * (delta grids compressed by [[RetrainDriftDiv]]; the rule fires and
+    * the retrained index must repair the delta fit). Output: one row per
+    * (scenario, slice) with the vector count, frozen-index msd, the
+    * ACTIONED index's msd and the decision flag — all exact integer
+    * arithmetic, so the DuckDB oracle replays the monitor, the decision
+    * AND every warm-start round bit-for-bit.
+    *
+    * Scale shape: the monitor is one typed scan + a 2-row aggregation
+    * (the bounded collect feeding the decision); a retrain round is the
+    * same one-scan + k·(dim+1)-long shuffle as [[annIvf]]'s trainer —
+    * nothing scales with the corpus on the driver. Long sums stay exact
+    * while n·2^46 < 2^63 (~131k vectors; the drift monitor's documented
+    * bound — beyond it, shard the sum by a vid-hash subkey). */
+  def annIvfRetrain(embeddings: DataFrame, nCells: Int = 32, trainIters: Int = 2,
+                    deltaMod: Int = IvfAppendDeltaMod,
+                    factor: Long = RetrainMsdFactor,
+                    driftDiv: Long = RetrainDriftDiv): DataFrame = {
+    require(factor >= 1, s"annIvfRetrain: factor must be >= 1, got $factor")
+    require(driftDiv >= 2, s"annIvfRetrain: driftDiv must be >= 2, got $driftDiv")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val frozen = standingCents(embeddings, nCells, trainIters, deltaMod)
+    val base = gridDs(embeddings)
+    // per-slice (n, Σ sqdist to the nearest cell): ONE typed scan against
+    // the centroid broadcast + a 2-row aggregation, collected as the
+    // decision input (bounded: two rows of two longs)
+    def sliceStats(g: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+                   cents: Array[Array[Long]]): Map[Boolean, (Long, Long)] = {
+      val bc = spark.sparkContext.broadcast(cents)
+      val m = g.map { case (vid, x) =>
+          val cs = bc.value
+          ((vid % deltaMod) == (deltaMod - 1), sqDist(x, cs(nearestCell(cs, x))))
+        }
+        .toDF("is_delta", "d")
+        .groupBy("is_delta")
+        .agg(count(lit(1)).as("n"), sum("d").as("s"))
+        .as[(Boolean, Long, Long)].collect()
+        .map { case (dl, n, s) => dl -> ((n, s)) }.toMap
+      bc.destroy()
+      require(m.contains(true) && m.contains(false),
+        "annIvfRetrain: corpus must contain both standing and delta vectors")
+      m
+    }
+    val rows = Seq(false, true).flatMap { drift =>
+      val g = if (!drift) base
+        else base.map { case (vid, x) =>
+          (vid, if ((vid % deltaMod) == (deltaMod - 1)) x.map(_ / driftDiv) else x)
+        }
+      val fs = sliceStats(g, frozen)
+      val (nS, sS) = fs(false)
+      val (nD, sD) = fs(true)
+      val due = sD / nD > factor * (sS / nS)
+      val rs = if (!due) fs
+        else sliceStats(g, ivfTrainCells(g, frozen, trainIters,
+          "annIvfRetrain: retrain round updated no cell"))
+      val scen = if (drift) "drifted" else "in_dist"
+      Seq((scen, "standing", nS, sS / nS, rs(false)._2 / rs(false)._1, due),
+          (scen, "delta", nD, sD / nD, rs(true)._2 / rs(true)._1, due))
+    }
+    rows.toDF("scenario", "slice", "n", "frozen_msd", "result_msd", "retrain_due")
+      .orderBy("scenario", "slice")
+  }
+
   /** STANDING-slice IVF cells for [[annIvfAppend]]/[[annIvfDrift]]: seeds =
     * the `nCells` smallest standing ids (dense cell index = seed rank),
     * Lloyd rounds over the standing slice only. */

@@ -113,6 +113,43 @@ class AnnTrainSpec extends AnyFunSuite with SparkFixture {
     assert(d1.map(_.getLong(1)).sum === d2.map(_.getLong(1)).sum)
   }
 
+  test("annIvfRetrain: drifted scenario fires and warm-start retrain repairs the delta fit; in-dist passes the frozen index through") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 320L).map(id => (id, Array.fill(64)(rnd.nextFloat()), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.annIvfRetrain(emb, nCells = 16).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq(
+      ("drifted", "delta"), ("drifted", "standing"),
+      ("in_dist", "delta"), ("in_dist", "standing")))
+    val m = got.map(t => (t._1, t._2) -> t).toMap
+    // slice counts follow the shared mod rule (320 ids, 80 are % 4 == 3)
+    assert(got.filter(_._2 == "delta").forall(_._3 == 80L))
+    assert(got.filter(_._2 == "standing").forall(_._3 == 240L))
+    // in_dist: the decision must not fire and the frozen index IS the
+    // result — msd passthrough bit-for-bit, on both slices
+    assert(!m(("in_dist", "delta"))._6, "in-distribution delta tripped a retrain")
+    got.filter(_._1 == "in_dist").foreach(t =>
+      assert(t._5 === t._4, s"no-retrain branch must pass the frozen msd through: $t"))
+    // the rule is genuinely the msd comparison, visible in the outputs
+    val dd = m(("drifted", "delta")); val ds = m(("drifted", "standing"))
+    val id = m(("in_dist", "delta")); val is = m(("in_dist", "standing"))
+    assert(dd._4 > Similarity.RetrainMsdFactor * ds._4)
+    assert(id._4 <= Similarity.RetrainMsdFactor * is._4)
+    // drifted: fires, and the warm-start retrain actually repairs the
+    // drifted batch's fit (the loop's whole point)
+    assert(dd._6, s"drift did not trip the retrain rule: $dd")
+    assert(dd._5 < dd._4, s"retrain must reduce the drifted delta msd: $dd")
+    // a factor too high to trip leaves even the drifted scenario frozen
+    val lax = Similarity.annIvfRetrain(emb, nCells = 16, factor = 1000000L).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(lax.forall(t => !t._4 && t._3 === t._2))
+    intercept[IllegalArgumentException](Similarity.annIvfRetrain(emb, factor = 0L))
+    intercept[IllegalArgumentException](Similarity.annIvfRetrain(emb, driftDiv = 1L))
+  }
+
   private val dim = 8
   private val nClusters = 8
   private val perCluster = 30
