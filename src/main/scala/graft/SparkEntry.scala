@@ -81,6 +81,10 @@ object SparkEntry {
     "d_lm_score" -> ((s, d) => Selection.lmScore(docs(s, d))),
     "d_dsir_weights" -> ((s, d) => Selection.dsirWeights(docs(s, d))),
     "d_source_cap" -> ((s, d) => Selection.sourceCap(docs(s, d))),
+    "d_ngram_lm" -> ((s, d) => Selection.stupidBackoff(docs(s, d))),
+    "d_clf_train" -> ((s, d) => Selection.perceptronTrain(docs(s, d))),
+    "d_clf_score" -> ((s, d) => Selection.perceptronScore(docs(s, d))),
+    "d_hll_distinct" -> ((s, d) => DocTextOps.hllDistinct(docs(s, d))),
     "d_repetition" -> ((s, d) => DocTextOps.repetitionSignals(docs(s, d))),
     "d_cms_freq" -> ((s, d) => DocTextOps.cmsFreq(docs(s, d))),
     "d_hist_quantiles" -> ((s, d) => DocTextOps.histQuantiles(docs(s, d))),
@@ -206,6 +210,57 @@ object SparkEntry {
 
   /** DuckDB: 32-bit int from the first 8 hex chars of md5. */
   private def dh32(col: String) = s"(('0x' || substr(md5($col), 1, 8))::BIGINT)"
+
+  /** Shared CTE chain replaying [[graft.ops.Selection.perceptronTrain]]'s
+    * SEQUENTIAL averaged-perceptron updates: hashed-token feature counts,
+    * the hash-ordered bounded training set, dense per-example bucket
+    * vectors, then a RECURSIVE CTE `tr` that walks every (pass × example)
+    * step carrying the weight LIST, bias, and the Collins averaging
+    * accumulators — list_zip/list_transform keep the arithmetic in BIGINT
+    * so every margin replays bit-for-bit. Used by both `d_clf_train` and
+    * `d_clf_score` (which read the pass-boundary rows / the final
+    * accumulators respectively). */
+  private def perceptronCtes: String = {
+    val b = graft.ops.Selection.ClfBuckets
+    val trainN = graft.ops.Selection.ClfTrainN
+    val passes = graft.ops.Selection.ClfPasses
+    val lang = graft.ops.Selection.DefaultRefLang
+    s"""WITH RECURSIVE tok AS (SELECT doc_id,
+      |    (CASE WHEN lang = '$lang' THEN 1 ELSE -1 END)::BIGINT AS y,
+      |    unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |fx AS (SELECT doc_id, y, ${dh32("w")} % $b AS b, count(*)::BIGINT AS c
+      |       FROM tok GROUP BY 1, 2, 3),
+      |docs0 AS (SELECT DISTINCT doc_id, y FROM fx),
+      |xv AS (SELECT doc_id, map(list(b ORDER BY b), list(c ORDER BY b)) AS mp
+      |       FROM fx GROUP BY 1),
+      |train AS (SELECT doc_id, y,
+      |    row_number() OVER (ORDER BY ${dh32("doc_id::VARCHAR")}, doc_id) AS stp
+      |  FROM docs0 QUALIFY stp <= $trainN),
+      |nk AS (SELECT count(*)::BIGINT AS k FROM train),
+      |exs AS (SELECT t.stp, t.y,
+      |    list_transform(range(0, $b), i -> coalesce(map_extract(x.mp, i)[1], 0::BIGINT)) AS xl
+      |  FROM train t JOIN xv x USING (doc_id)),
+      |tr(s, w, bias, wsum, bsum, nupd) AS (
+      |  SELECT 0::BIGINT, [0::BIGINT for i in range($b)], 0::BIGINT,
+      |         [0::BIGINT for i in range($b)], 0::BIGINT, 0::BIGINT
+      |  UNION ALL
+      |  SELECT s + 1, wn, bn,
+      |    list_transform(list_zip(wsum, wn), p -> p[1] + p[2]),
+      |    bsum + bn,
+      |    nupd + (CASE WHEN mis THEN 1 ELSE 0 END)
+      |  FROM (
+      |    SELECT z.*,
+      |      CASE WHEN mis THEN list_transform(list_zip(w, exl), p -> p[1] + ey * p[2])
+      |           ELSE w END AS wn,
+      |      bias + CASE WHEN mis THEN ey ELSE 0 END AS bn
+      |    FROM (
+      |      SELECT t.*, e.y AS ey, e.xl AS exl,
+      |        e.y * (list_sum(list_transform(list_zip(t.w, e.xl), p -> p[1] * p[2]))::BIGINT
+      |               + t.bias) <= 0 AS mis
+      |      FROM tr t JOIN exs e ON e.stp = (t.s % (SELECT k FROM nk)) + 1
+      |      WHERE t.s < $passes * (SELECT k FROM nk)) z) )""".stripMargin
+  }
 
   /** CTE chain t0,p1,t1,…,p`k`,t`k` replaying [[graft.ops.DocTextOps]]'s
     * BPE merge rounds (argmax pair by count DESC / pair ASC, padded-replace
@@ -1366,6 +1421,100 @@ object SparkEntry {
          |SELECT lang, n_exact, hk, n_est,
          |  abs(n_est - n_exact) * 1000000 // n_exact AS err_ppm
          |FROM j ORDER BY lang""".stripMargin,
+    // replays DocTextOps.hllDistinct: per-(lang, register) max rho from the
+    // top-4/bottom-28 bit split of the 32-bit shingle hash, harmonic
+    // estimate scaled by 2^29, linear-counting branch on the FixedLog grid
+    "d_hll_distinct" -> {
+      val m = 1 << DocTextOps.HllP
+      val (wMod, pow29) = (1L << (32 - DocTextOps.HllP), 1L << (33 - DocTextOps.HllP))
+      val maxRho = 33 - DocTextOps.HllP
+      s"""WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents
+         |              WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (SELECT doc_id, lang,
+         |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |                        for i in range(1, len(ws) - 1)]) AS shs
+         |       FROM docs),
+         |hh AS (SELECT lang, unnest([${dh32("s")} for s in shs]) AS h FROM sh),
+         |rr AS (SELECT lang, h // $wMod AS reg, h % $wMod AS w FROM hh),
+         |mj AS (SELECT lang, reg,
+         |         max(CASE WHEN w = 0 THEN $maxRho ELSE $maxRho - length(bin(w)) END) AS mj
+         |       FROM rr GROUP BY 1, 2),
+         |ag AS (SELECT lang, count(*)::BIGINT AS n_regs_set,
+         |         sum(1::BIGINT << ($maxRho - mj))::BIGINT AS s_set FROM mj GROUP BY 1),
+         |ex AS (SELECT lang, count(DISTINCT h)::BIGINT AS n_exact FROM hh GROUP BY 1),
+         |j AS (SELECT ag.lang, n_regs_set, $m - n_regs_set AS v_zero,
+         |        s_set + ($m - n_regs_set) * $pow29 AS s_scaled, n_exact
+         |      FROM ag JOIN ex USING (lang)),
+         |j2 AS (SELECT *, ${DocTextOps.HllAlpha16Ppm}::BIGINT * $m * $m * $pow29
+         |                   // s_scaled // 1000000 AS est_raw FROM j),
+         |j3 AS (SELECT *, CASE WHEN est_raw <= ${5 * m / 2} AND v_zero > 0
+         |         THEN $m * (${FixedLog.duck(m.toString)} - ${FixedLog.duck("v_zero")})
+         |                * ${DocTextOps.Ln2Ppm} // 64000000
+         |         ELSE est_raw END AS n_est FROM j2)
+         |SELECT lang, n_regs_set, v_zero, s_scaled, n_exact, est_raw, n_est,
+         |  abs(n_est - n_exact) * 1000000 // n_exact AS err_ppm
+         |FROM j3 ORDER BY lang""".stripMargin
+    },
+    // replays Selection.stupidBackoff: refLang bigram/unigram counts, the
+    // three-level backoff CASE on the FixedLog grid
+    "d_ngram_lm" -> {
+      val a = Selection.BackoffAlphaLog2X64
+      val n = FixedLog.duck("(SELECT n FROM nn)")
+      s"""WITH rt AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |            WHERE lang = '${Selection.DefaultRefLang}' AND text IS NOT NULL),
+         |uni AS (SELECT w, count(*)::BIGINT AS c1 FROM rt GROUP BY 1),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM rt),
+         |probe AS (SELECT doc_id, string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+         |  FROM (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+         |        FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents
+         |              WHERE len(string_split(text, ' ')) >= 2))),
+         |bi AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM probe p
+         |       JOIN (SELECT doc_id FROM documents WHERE lang = '${Selection.DefaultRefLang}') r
+         |         USING (doc_id)
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT p.doc_id,
+         |    b.c2 IS NULL AND u2.c1 IS NOT NULL AS backoff,
+         |    u2.c1 IS NULL AS oov,
+         |    CASE WHEN b.c2 IS NOT NULL THEN ${FixedLog.duck("b.c2")} - ${FixedLog.duck("u1.c1")}
+         |         WHEN u2.c1 IS NOT NULL THEN $a + ${FixedLog.duck("u2.c1")} - $n
+         |         ELSE ${2 * a} - $n END AS s
+         |  FROM probe p LEFT JOIN bi b USING (w1, w2)
+         |    LEFT JOIN uni u1 ON u1.w = p.w1
+         |    LEFT JOIN uni u2 ON u2.w = p.w2)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |  sum(CASE WHEN backoff THEN 1 ELSE 0 END)::BIGINT AS n_backoff,
+         |  sum(CASE WHEN oov THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+         |  sum(s)::BIGINT AS sb_log2_x64,
+         |  sum(s)::BIGINT // count(*) AS avg_log2_x64
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // replays Selection.perceptronTrain: pass-boundary rows of the
+    // recursive sequential-update walk (per-pass update count via a
+    // cumulative-count lag diff)
+    "d_clf_train" ->
+      s"""$perceptronCtes
+         |SELECT s // (SELECT k FROM nk) AS pass,
+         |  (SELECT k FROM nk) AS n_train,
+         |  nupd - lag(nupd, 1, 0::BIGINT) OVER (ORDER BY s) AS n_updates,
+         |  bias,
+         |  list_sum(list_transform(w, v -> abs(v)))::BIGINT AS w_l1
+         |FROM tr WHERE s % (SELECT k FROM nk) = 0 AND s > 0 ORDER BY pass""".stripMargin,
+    // replays Selection.perceptronScore: the final averaging accumulators
+    // (Σ_t w_t, Σ_t bias_t) applied back over every document's counts
+    "d_clf_score" ->
+      s"""$perceptronCtes,
+         |fin AS (SELECT wsum, bsum FROM tr
+         |        WHERE s = ${Selection.ClfPasses} * (SELECT k FROM nk)),
+         |wrows AS (SELECT i AS b, f.wsum[i + 1] AS wt
+         |          FROM fin f, (SELECT unnest(range(0, ${Selection.ClfBuckets})) AS i) t(i)),
+         |sums AS (SELECT f.doc_id, sum(f.c * w.wt)::BIGINT AS t
+         |         FROM fx f JOIN wrows w USING (b) GROUP BY 1),
+         |sc AS (SELECT d.doc_id, d.y,
+         |         coalesce(s.t, 0) + (SELECT bsum FROM fin) AS margin
+         |       FROM docs0 d LEFT JOIN sums s USING (doc_id))
+         |SELECT doc_id, margin, margin > 0 AS pred_ref, y > 0 AS is_ref,
+         |  (margin > 0) = (y > 0) AS correct
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "d_downselect" ->
       s"""WITH d AS (SELECT doc_id, text, concat(' ', text, ' ') AS pt FROM documents),
          |q AS (SELECT doc_id,

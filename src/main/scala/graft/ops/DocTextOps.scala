@@ -295,6 +295,79 @@ object DocTextOps {
       .orderBy("lang")
   }
 
+  /** HLL register-index width (p bits → m = 2^p registers) and the m=16
+    * bias constant α₁₆ = 0.673 in ppm (Flajolet et al. 2007, Fig. 3) —
+    * shared with the DuckDB oracle so the two cannot drift. m = 16 keeps
+    * the register file readable in the dump; production runs p = 12–14. */
+  val HllP = 4
+  val HllAlpha16Ppm = 673000L
+  /** ln 2 in ppm — the log2→ln bridge for the linear-counting branch. */
+  val Ln2Ppm = 693147L
+
+  /** Approximate distinct-shingle counting per language via HYPERLOGLOG
+    * (Flajolet, Fusy, Gandouet, Meunier 2007) — the OTHER classic mergeable
+    * cardinality sketch next to [[kmvDistinct]], and the one production
+    * engines actually ship (Spark's own `approx_count_distinct` is HLL++):
+    * where KMV keeps the k smallest hashes, HLL keeps m = 2^p one-byte
+    * registers — max leading-zero rank per hash bucket — so the sketch is
+    * m bytes FLAT regardless of k or cardinality, and merging is a
+    * register-wise max.
+    *
+    * Layout on the unsigned-32-bit [[Shingles.h32]] hash: top p bits pick
+    * the register, the remaining 28 bits give ρ = leading-zero count + 1
+    * (∈ [1, 29], via the binary digit count both engines compute
+    * identically). Estimate in EXACT integer math: the raw harmonic-mean
+    * estimator scaled by 2^29 (α₁₆·m²·2^29 // Σⱼ 2^(29−Mⱼ) // 10^6), with
+    * the paper's small-range LINEAR-COUNTING branch (est ≤ 5m/2 and empty
+    * registers exist → m·ln(m/V), taken on the [[FixedLog]] log2 grid ×
+    * [[Ln2Ppm]]). Both branches replay bit-for-bit in the DuckDB oracle —
+    * unlike Spark's HLL++ whose bias tables make it engine-private.
+    *
+    * Self-validating like [[kmvDistinct]]: carries the exact distinct
+    * count and the error in ppm, so the sketch's accuracy (σ ≈ 1.04/√m =
+    * 26% at m = 16) is visible in the output, never silent. Shape at
+    * 100 TB: one explode + a (lang, register) max aggregation — map-side
+    * partials absorb everything, m rows per group cross the shuffle. */
+  def hllDistinct(documents: DataFrame, p: Int = HllP): DataFrame = {
+    require(p >= 1 && p <= 8, s"hllDistinct: p must be in [1,8], got $p")
+    val m = 1 << p
+    val wBits = 32 - p // remaining hash bits feeding rho
+    val maxRho = wBits + 1
+    // alpha_m for m=16 only (the shared constant); other p values would
+    // need their own bias constant to stay paper-faithful
+    require(p == 4, s"hllDistinct: alpha constant is pinned for p=4, got $p")
+    val hashed = documents
+      .where("size(split(text, ' ')) >= 3")
+      .selectExpr("lang", s"${Shingles.ws} AS ws")
+      .selectExpr("lang", s"explode(transform(${Shingles.shingles}, s -> ${Shingles.h32("s")})) AS h")
+    val regs = hashed
+      .selectExpr("lang", s"h DIV ${1L << wBits} AS reg", s"h % ${1L << wBits} AS w")
+      .selectExpr("lang", "reg",
+        s"IF(w = 0, $maxRho, $maxRho - length(bin(w))) AS rho")
+      .groupBy("lang", "reg")
+      .agg(max("rho").as("mj"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_regs_set"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - mj)")).as("s_set"))
+    val exact = hashed.groupBy("lang")
+      .agg(count_distinct(col("h")).cast("long").as("n_exact"))
+    regs.join(exact, Seq("lang"))
+      .selectExpr("lang", "n_regs_set", s"$m - n_regs_set AS v_zero",
+        s"s_set + ($m - n_regs_set) * ${1L << maxRho} AS s_scaled", "n_exact")
+      // CAST-first keeps every product in BIGINT (the bare literals would
+      // multiply as 32-bit ints and wrap silently)
+      .selectExpr("lang", "n_regs_set", "v_zero", "s_scaled", "n_exact",
+        s"CAST($HllAlpha16Ppm AS BIGINT) * $m * $m * ${1L << maxRho} DIV s_scaled DIV 1000000 AS est_raw")
+      .selectExpr("lang", "n_regs_set", "v_zero", "s_scaled", "n_exact", "est_raw",
+        s"""IF(est_raw <= ${5 * m / 2} AND v_zero > 0,
+           |   CAST($m AS BIGINT) * (${FixedLog.spark(m.toString)} - ${FixedLog.spark("v_zero")}) * $Ln2Ppm
+           |     DIV ${64L * 1000000L},
+           |   est_raw) AS n_est""".stripMargin)
+      .selectExpr("lang", "n_regs_set", "v_zero", "s_scaled", "n_exact", "est_raw", "n_est",
+        "abs(n_est - n_exact) * 1000000 DIV n_exact AS err_ppm")
+      .orderBy("lang")
+  }
+
   /** Benchmark decontamination — the eval-integrity pass every pretraining
     * corpus needs: flag any training document sharing a token n-gram with
     * the held-out benchmark set, so eval questions can't leak into the

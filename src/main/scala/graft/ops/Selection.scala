@@ -165,4 +165,204 @@ object Selection {
       .toDF("doc_id", "source", "diversity_ppm", "rk")
       .orderBy("source", "rk")
   }
+
+  /** log2(0.4)·64 rounded to the nearest integer — the STUPID BACKOFF
+    * penalty α = 0.4 on the fixed-point log2 grid, shared with the DuckDB
+    * oracle (Brants et al. use α = 0.4 throughout). */
+  val BackoffAlphaLog2X64 = -85L
+
+  /** STUPID BACKOFF n-gram LM scoring (Brants, Popat, Xu, Och, Dean 2007,
+    * "Large Language Models in Machine Translation" — THE distributed
+    * web-scale n-gram LM: Google's MapReduce formulation that drops
+    * Kneser–Ney's normalized discounts for a fixed backoff penalty
+    * precisely so the model is a pile of raw counts a cluster can build
+    * with plain aggregations). Train bigram + unigram counts on the
+    * `lang = refLang` slice (the trusted corpus, as [[lmScore]]); score
+    * every document's bigram positions:
+    *
+    *   S(w₂|w₁) = c(w₁w₂)/c(w₁)          if the bigram is in the model
+    *            = α · c(w₂)/N            else if w₂ is in the vocab
+    *            = α² · 1/N               else (OOV — α applied twice,
+    *                                      count floored to 1)
+    *
+    * all on the [[FixedLog]] log2×64 grid (α = [[BackoffAlphaLog2X64]]),
+    * so every score replays bit-for-bit in the DuckDB oracle. Unlike
+    * [[lmScore]] (add-one counts, no model structure) this exercises the
+    * real LM shape: per-document backoff and OOV counts are in the output,
+    * and reference-language documents score near their MLE while
+    * out-of-language ones cascade down the backoff levels.
+    *
+    * Shape at 100 TB: the model IS two count aggregations (the paper's
+    * point); scoring is two equi-joins on (w₁,w₂)/(w₂) that AQE broadcasts
+    * while the model fits and shuffles when it doesn't — never an
+    * all-pairs, and the N total rides a 1-row broadcast. */
+  def stupidBackoff(documents: DataFrame, refLang: String = DefaultRefLang): DataFrame = {
+    val toks = documents.where(s"lang = '$refLang' AND text IS NOT NULL")
+      .selectExpr(s"explode(${Shingles.ws}) AS w")
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c1"))
+    val nTot = toks.agg(count(lit(1)).as("n_total"))
+    val probe = documents.where("size(split(text, ' ')) >= 2")
+      .selectExpr("doc_id", s"${Shingles.ws} AS ws")
+      .selectExpr("doc_id",
+        "explode(transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))) AS p")
+      .selectExpr("doc_id", "p.w1 AS w1", "p.w2 AS w2")
+    val bi = probe.join(documents.where(s"lang = '$refLang'").select("doc_id"), "doc_id")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val lp = FixedLog.spark _
+    probe
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c1w1"), Seq("w1"), "left")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c1w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(nTot))
+      .selectExpr("doc_id",
+        "c2 IS NULL AND c1w2 IS NOT NULL AS backoff",
+        "c1w2 IS NULL AS oov",
+        s"""CASE WHEN c2 IS NOT NULL THEN ${lp("c2")} - ${lp("c1w1")}
+           |     WHEN c1w2 IS NOT NULL THEN $BackoffAlphaLog2X64 + ${lp("c1w2")} - ${lp("n_total")}
+           |     ELSE ${2 * BackoffAlphaLog2X64} - ${lp("n_total")}
+           |END AS s""".stripMargin)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("backoff"), 1L).otherwise(0L)).as("n_backoff"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+        sum("s").as("sb_log2_x64"))
+      .selectExpr("doc_id", "n_bigrams", "n_backoff", "n_oov", "sb_log2_x64",
+        "sb_log2_x64 DIV n_bigrams AS avg_log2_x64")
+      .orderBy("doc_id")
+  }
+
+  /** Perceptron layout, shared with the DuckDB oracle: hashed-token weight
+    * buckets, bounded training-set size, and training passes. 256 buckets
+    * keeps the replayed weight vector manageable (real quality classifiers
+    * hash into 10^5+); 256 training docs is the bounded-labeled-set shape
+    * (see [[perceptronTrain]]). */
+  val ClfBuckets = 256
+  val ClfTrainN = 256
+  val ClfPasses = 3
+
+  /** QUALITY-CLASSIFIER TRAINING — the selection stage real pipelines run
+    * as a learned model (GPT-3's LR-vs-WebText filter, CCNet's fastText
+    * step): an AVERAGED ONLINE PERCEPTRON (Freund & Schapire 1999 voted
+    * perceptron, Collins 2002 averaging) over hashed bag-of-words counts —
+    * the classifier whose arithmetic is integer-exact end-to-end, so
+    * unlike any float LR every margin, every sequential update and the
+    * averaged model replay bit-for-bit in the DuckDB oracle (a recursive
+    * CTE walks the same steps). Target y = ±1 ("is this the reference
+    * language?" — the deterministic stand-in for the human quality label;
+    * no external data in this sandbox).
+    *
+    * Training is deliberately NOT distributed — and that is the honest
+    * 100 TB shape: production quality classifiers train on a BOUNDED
+    * labeled set (GPT-3's filter: a few hundred thousand docs) and
+    * batch-apply to the 10^12-doc corpus. The training set here is the
+    * `trainN` hash-smallest documents by (h32(doc_id), doc_id) — a
+    * TakeOrderedAndProject whose driver collect is trainN·(buckets+3)
+    * longs, INDEPENDENT of corpus size — visited in that same
+    * deterministic order for `passes` sweeps. The plain batch-update
+    * variant is provably useless here (w₃ = 2·w₁ on any corpus — period-2
+    * oscillation), and the online perceptron's final w is order-sensitive
+    * on non-separable data; the AVERAGED model (prediction by Σ_t w_t,
+    * sign-invariant to the 1/T scaling, so the sums stay in Long) is the
+    * standard stable variant. Output: one row per pass with the update
+    * count (the convergence signal), end-of-pass bias and weight L1 — the
+    * model's cross-engine checksum.
+    *
+    * Margins stay exact while passes·trainN·max|x|² < 2^63 — ~10^13 at
+    * 10^4-token docs; beyond it, scale counts down before training.
+    *
+    * Honesty note on the shipped corpus: the synthetic `documents` table
+    * draws every language from the SAME token pool (verified: 31 distinct
+    * tokens, all shared), so the lang label is not linearly separable from
+    * bag-of-words by construction and accuracy sits near the majority rate
+    * (~59% at sf0.001) with a non-degenerate mixed-prediction model — the
+    * separable regime (updates → 0, perfect margins) is pinned by the
+    * hand-computed spec instead. */
+  def perceptronTrain(documents: DataFrame, buckets: Int = ClfBuckets,
+                      trainN: Int = ClfTrainN, passes: Int = ClfPasses,
+                      refLang: String = DefaultRefLang): DataFrame =
+    perceptronImpl(documents, buckets, trainN, passes, refLang)._1
+
+  /** The APPLY step of [[perceptronTrain]]: score every document under the
+    * averaged model (Σ_t w_t, Σ_t b_t) — margin, predicted label, and
+    * whether it matches the training target. The scoring pass is map-only
+    * against the broadcast weight vector (the 100 TB shape: classify rides
+    * the corpus scan; training cost amortizes over every later crawl). */
+  def perceptronScore(documents: DataFrame, buckets: Int = ClfBuckets,
+                      trainN: Int = ClfTrainN, passes: Int = ClfPasses,
+                      refLang: String = DefaultRefLang): DataFrame =
+    perceptronImpl(documents, buckets, trainN, passes, refLang)._2
+
+  private def perceptronImpl(documents: DataFrame, buckets: Int, trainN: Int,
+                             passes: Int, refLang: String): (DataFrame, DataFrame) = {
+    require(buckets >= 1 && trainN >= 1 && passes >= 1,
+      s"perceptron: buckets/trainN/passes must be >= 1, got $buckets/$trainN/$passes")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // map-only featurization: dense per-doc bucket counts via the md5
+    // first-4-bytes hash (== Shingles.h32, the JVM twin winnowing uses),
+    // plus the doc's own sample-order hash
+    def featurize = documents.where("text IS NOT NULL")
+      .select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h32(s: String): Long = Shingles.sliceU32(
+          md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 0)
+        it.map { case (id, lang, text) =>
+          val x = new Array[Long](buckets)
+          text.split(" ", -1).foreach(t => x((h32(t) % buckets).toInt) += 1L)
+          (id, h32(id.toString), if (lang == refLang) 1L else -1L, x)
+        }
+      }
+    // bounded deterministic training set: the trainN hash-smallest docs
+    // (TakeOrderedAndProject — the collect is trainN rows regardless of
+    // corpus size), visited in (h, doc_id) order
+    val sample = featurize.toDF("doc_id", "h", "y", "x")
+      .orderBy("h", "doc_id").limit(trainN)
+      .as[(Long, Long, Long, Array[Long])].collect()
+    require(sample.nonEmpty, "perceptronTrain: corpus has no non-null-text documents")
+    val k = sample.length.toLong
+    val w = new Array[Long](buckets)
+    val wsum = new Array[Long](buckets)
+    var b = 0L
+    var bsum = 0L
+    val hist = Vector.newBuilder[(Long, Long, Long, Long, Long)]
+    for (p <- 1 to passes) {
+      var upd = 0L
+      sample.foreach { case (_, _, y, x) =>
+        var dot = b
+        var i = 0
+        while (i < buckets) { dot += w(i) * x(i); i += 1 }
+        if (y * dot <= 0L) {
+          i = 0
+          while (i < buckets) { w(i) += y * x(i); i += 1 }
+          b += y
+          upd += 1L
+        }
+        // averaging accumulates the CURRENT model after every example,
+        // updated or not (Collins 2002)
+        i = 0
+        while (i < buckets) { wsum(i) += w(i); i += 1 }
+        bsum += b
+      }
+      hist += ((p.toLong, k, upd, b, w.map(math.abs).sum))
+    }
+    val train = hist.result()
+      .toDF("pass", "n_train", "n_updates", "bias", "w_l1")
+      .orderBy("pass")
+    // scoring is map-only against the AVERAGED model broadcast — sign
+    // under Σ_t w_t == sign under the 1/T-scaled average, all in Long
+    val bc = spark.sparkContext.broadcast((wsum, bsum))
+    val score = featurize
+      .map { case (id, _, y, x) =>
+        val (wv, bs) = bc.value
+        var dot = bs
+        var i = 0
+        while (i < wv.length) { dot += wv(i) * x(i); i += 1 }
+        (id, dot, dot > 0L, y > 0L, (dot > 0L) == (y > 0L))
+      }
+      .toDF("doc_id", "margin", "pred_ref", "is_ref", "correct")
+      .orderBy("doc_id")
+    (train, score)
+  }
 }

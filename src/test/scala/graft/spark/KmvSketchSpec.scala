@@ -55,4 +55,67 @@ class KmvSketchSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(est - exact).toDouble / exact < 0.51,
         s"estimate $est too far from exact $exact")
   }
+
+  /** Sequential JVM twin of [[graft.ops.DocTextOps.hllDistinct]] over raw
+    * shingle strings — registers, scaled harmonic sum, both estimator
+    * branches — used to pin the SQL formulation field-for-field. */
+  private def hllTwin(shingles: Set[String]): (Long, Long, Long, Long, Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = 16
+    val regs = new Array[Long](m) // 0 = never hit
+    shingles.foreach { s =>
+      val h = graft.ops.Shingles.sliceU32(md.digest(s.getBytes("UTF-8")), 0)
+      val reg = (h >> 28).toInt
+      val w = h & ((1L << 28) - 1)
+      val rho = if (w == 0) 29L else 29L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > regs(reg)) regs(reg) = rho
+    }
+    val nSet = regs.count(_ > 0).toLong
+    val vZero = m - nSet
+    val sScaled = regs.map(mj => 1L << (29 - mj)).sum
+    val estRaw = graft.ops.DocTextOps.HllAlpha16Ppm * m * m * (1L << 29) / sScaled / 1000000L
+    val nEst =
+      if (estRaw <= 40 && vZero > 0)
+        m * (graft.ops.FixedLog.lp(m) - graft.ops.FixedLog.lp(vZero)) *
+          graft.ops.DocTextOps.Ln2Ppm / 64000000L
+      else estRaw
+    (nSet, vZero, sScaled, shingles.size.toLong, estRaw, nEst)
+  }
+
+  test("hllDistinct: field-for-field vs a sequential JVM twin, both estimator branches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // 'en': ~250 docs of wide vocab (raw-estimator branch); 'zz': tiny
+    // vocab so linear counting fires (est_raw <= 40, empty registers)
+    val rows = (0L until 250L).map { id =>
+      val toks = Seq.fill(8)("w" + rnd.nextInt(500))
+      (id, toks.mkString(" "), "en", "s0")
+    } ++ (250L until 260L).map { id =>
+      (id, "p q r s p q", "zz", "s1")
+    }
+    val d = rows.toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source", "CAST(length(text) AS BIGINT) AS n_chars")
+      .repartition(6)
+    val got = graft.ops.DocTextOps.hllDistinct(d).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    def shinglesOf(lang: String): Set[String] = rows.filter(_._3 == lang).flatMap {
+      case (_, text, _, _) =>
+        val ws = text.split(" ", -1)
+        (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+    }.toSet
+    for (lang <- Seq("en", "zz")) {
+      val (nSet, vZero, sScaled, nExact, estRaw, nEst) = hllTwin(shinglesOf(lang))
+      val errPpm = math.abs(nEst - nExact) * 1000000L / nExact
+      assert(got(lang) === ((nSet, vZero, sScaled, nExact, estRaw, nEst, errPpm)), lang)
+    }
+    // branch coverage: zz must take linear counting, en the raw estimator
+    val (_, zzV, _, _, zzRaw, _) = hllTwin(shinglesOf("zz"))
+    assert(zzRaw <= 40 && zzV > 0, "zz must take the linear-counting branch")
+    val (_, enV, _, enExact, enRaw, enEst) = hllTwin(shinglesOf("en"))
+    assert(enRaw > 40 || enV == 0, "en must take the raw-estimator branch")
+    // HLL sigma at m=16 is ~26%; the seeded corpus should land within 3 sigma
+    assert(math.abs(enEst - enExact).toDouble / enExact < 0.78,
+      s"est $enEst vs exact $enExact")
+  }
 }

@@ -142,6 +142,117 @@ class SelectionSpec extends AnyFunSuite with SparkFixture {
     assert(got.count(_._2 == "hot") === 3)
   }
 
+  // ---- stupidBackoff ------------------------------------------------------
+
+  test("stupidBackoff: hand-computed three-level backoff scores") {
+    // ref slice (en): doc 1 "a b a" -> N=3, uni a:2 b:1, bigrams "a b":1 "b a":1
+    val d = docs(
+      (1L, "a b a", "en", "s0"),
+      (2L, "a b x", "fr", "s1"),
+      (3L, "z z", "fr", "s1"),
+      (4L, "b b", "fr", "s1"))
+    val r = Selection.stupidBackoff(d).collect().map(r =>
+      (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val a = Selection.BackoffAlphaLog2X64
+    // doc 1: (a,b) seen lp(1)-lp(2) = -64; (b,a) seen lp(1)-lp(1) = 0
+    assert(r(1L) === ((2L, 0L, 0L, -64L, -32L)))
+    // doc 2: (a,b) seen -> -64; (b,x): x OOV -> 2a - lp(3) = -170 - 96
+    assert(r(2L) === ((2L, 0L, 1L, -64L + 2 * a - 96L, (-64L + 2 * a - 96L) / 2)))
+    // doc 3: (z,z) OOV
+    assert(r(3L) === ((1L, 0L, 1L, 2 * a - 96L, 2 * a - 96L)))
+    // doc 4: (b,b) unseen bigram, b in vocab -> backoff: a + lp(1) - lp(3)
+    assert(r(4L) === ((1L, 1L, 0L, a - 96L, a - 96L)))
+  }
+
+  test("stupidBackoff: reference-language docs never back off; scores are MLE-consistent") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 120L).map { id =>
+      val lang = if (id % 3 == 0) "en" else "fr"
+      val toks = Seq.fill(5 + rnd.nextInt(6))(lang + rnd.nextInt(12))
+      (id, toks.mkString(" "), lang, "s0")
+    }
+    val out = Selection.stupidBackoff(docs(rows: _*)).collect()
+    out.foreach { r =>
+      val (id, nb, nBack, nOov) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      if (id % 3 == 0) {
+        // en doc bigrams are by construction IN the model
+        assert(nBack === 0L && nOov === 0L, s"doc $id")
+      } else {
+        // fr tokens never appear in the en slice: every position is OOV
+        assert(nOov === nb, s"doc $id")
+      }
+    }
+  }
+
+  // ---- perceptron ---------------------------------------------------------
+
+  test("perceptron: hand-computed passes on a bucket-disjoint separable corpus") {
+    // md5-h32 buckets: 'aa' -> 10, 'bb' -> 216 (disjoint; pinned below);
+    // sample order by (h32(id.toString), id) is doc 1, 2, 3 (hashes
+    // 3301589560 < 3357438605 < 3972778110)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(t: String): Long =
+      graft.ops.Shingles.sliceU32(md.digest(t.getBytes("UTF-8")), 0)
+    assert(h32("aa") % Selection.ClfBuckets !== h32("bb") % Selection.ClfBuckets)
+    assert(Seq("1", "2", "3").map(h32) === Seq("1", "2", "3").map(h32).sorted)
+    val d = docs(
+      (1L, "aa aa", "en", "s0"),
+      (2L, "bb", "fr", "s1"),
+      (3L, "bb bb bb", "fr", "s1"))
+    val hist = Selection.perceptronTrain(d).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // pass 1: d1 margin 0 -> update (w[aa]=2, b=1); d2 margin y·(1)=-1 ->
+    // update (w[bb]=-1, b=0); d3 margin y·(-3)=3 -> ok. Passes 2-3 clean:
+    // separable corpus converges and stays converged.
+    assert(hist.toSeq === Seq(
+      (1L, 3L, 2L, 0L, 3L),
+      (2L, 3L, 0L, 0L, 3L),
+      (3L, 3L, 0L, 0L, 3L)))
+    // averaging accumulators after 9 steps: wsum[aa]=18, wsum[bb]=-8,
+    // bsum=1 -> margins 1+18·2=37, 1-8·1=-7, 1-8·3=-23
+    val score = Selection.perceptronScore(d).collect().map(r =>
+      (r.getLong(0), (r.getLong(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))))
+    assert(score.toSeq === Seq(
+      (1L, (37L, true, true, true)),
+      (2L, (-7L, false, false, true)),
+      (3L, (-23L, false, false, true))))
+  }
+
+  test("perceptron: partition-invariant, bounded sample, score consistency") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 150L).map { id =>
+      val lang = if (rnd.nextBoolean()) "en" else "fr"
+      val toks = Seq.fill(4 + rnd.nextInt(8))(lang.take(1) + rnd.nextInt(40))
+      (id, toks.mkString(" "), lang, "s0")
+    }
+    val d5 = docs(rows: _*).repartition(5)
+    val train = Selection.perceptronTrain(d5).collect()
+    assert(train.length === Selection.ClfPasses)
+    train.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i + 1L)
+      assert(r.getLong(1) === 150L) // corpus < ClfTrainN: whole corpus trains
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 150L)
+    }
+    // disjoint per-lang vocab ('e…' vs 'f…' tokens): separable unless the
+    // 256-bucket hash collides a pair, so training must make SOME progress
+    assert(train.last.getLong(2) < train.head.getLong(2) || train.head.getLong(2) === 0L)
+    val score = Selection.perceptronScore(d5).collect()
+    assert(score.length === 150)
+    score.foreach { r =>
+      assert(r.getBoolean(4) === (r.getBoolean(2) == r.getBoolean(3)))
+      assert(r.getBoolean(2) === (r.getLong(1) > 0L))
+    }
+    // sequential training visits the sample in (hash, id) order, so the
+    // result must not depend on how the input was partitioned
+    val d9 = docs(rows: _*).repartition(9)
+    assert(Selection.perceptronTrain(d9).collect().toSeq === train.toSeq)
+    assert(Selection.perceptronScore(d9).collect().toSeq === score.toSeq)
+    // bounded training set: trainN caps the sample, scoring still covers all
+    val trainCapped = Selection.perceptronTrain(d5, trainN = 16)
+    assert(trainCapped.collect().forall(_.getLong(1) === 16L))
+    assert(Selection.perceptronScore(d5, trainN = 16).collect().length === 150)
+  }
+
   test("sourceCap: null text/source rows are excluded, not NPEd") {
     import spark.implicits._
     val d = Seq((1L, "a b c", "en", "s0"), (2L, null, "en", "s0"), (3L, "d e", "en", null))
