@@ -295,12 +295,25 @@ object DocTextOps {
       .orderBy("lang")
   }
 
-  /** HLL register-index width (p bits → m = 2^p registers) and the m=16
-    * bias constant α₁₆ = 0.673 in ppm (Flajolet et al. 2007, Fig. 3) —
-    * shared with the DuckDB oracle so the two cannot drift. m = 16 keeps
+  /** HLL register-index width (p bits → m = 2^p registers); m = 16 keeps
     * the register file readable in the dump; production runs p = 12–14. */
   val HllP = 4
-  val HllAlpha16Ppm = 673000L
+
+  /** Bias constant α_m in ppm (Flajolet et al. 2007, Fig. 3: α₁₆ = 0.673,
+    * α₃₂ = 0.697, α₆₄ = 0.709, then α_m = 0.7213/(1 + 1.079/m)) — the
+    * p = [[HllP]] value is shared with the DuckDB oracle so the two cannot
+    * drift. */
+  def hllAlphaPpm(p: Int): Long = p match {
+    case 4 => 673000L
+    case 5 => 697000L
+    case 6 => 709000L
+    case _ => // m >= 128: 721300·m/(m + 1.079) to the nearest ppm
+      val m = 1L << p
+      (721300L * m * 1000L + (m * 1000L + 1079L) / 2) / (m * 1000L + 1079L)
+  }
+
+  /** The p = [[HllP]] alpha, interpolated into the `d_hll_distinct` oracle. */
+  val HllAlpha16Ppm = hllAlphaPpm(HllP)
   /** ln 2 in ppm — the log2→ln bridge for the linear-counting branch. */
   val Ln2Ppm = 693147L
 
@@ -329,13 +342,13 @@ object DocTextOps {
     * 100 TB: one explode + a (lang, register) max aggregation — map-side
     * partials absorb everything, m rows per group cross the shuffle. */
   def hllDistinct(documents: DataFrame, p: Int = HllP): DataFrame = {
-    require(p >= 1 && p <= 8, s"hllDistinct: p must be in [1,8], got $p")
+    // upper bound 10 keeps alpha_ppm · m² · 2^(33-p) = ~7.2e5 · 2^(33+p)
+    // inside BIGINT (2^63) for the raw-estimator numerator
+    require(p >= 4 && p <= 10, s"hllDistinct: p must be in [4,10], got $p")
     val m = 1 << p
     val wBits = 32 - p // remaining hash bits feeding rho
     val maxRho = wBits + 1
-    // alpha_m for m=16 only (the shared constant); other p values would
-    // need their own bias constant to stay paper-faithful
-    require(p == 4, s"hllDistinct: alpha constant is pinned for p=4, got $p")
+    val alphaPpm = hllAlphaPpm(p)
     val hashed = documents
       .where("size(split(text, ' ')) >= 3")
       .selectExpr("lang", s"${Shingles.ws} AS ws")
@@ -357,7 +370,7 @@ object DocTextOps {
       // CAST-first keeps every product in BIGINT (the bare literals would
       // multiply as 32-bit ints and wrap silently)
       .selectExpr("lang", "n_regs_set", "v_zero", "s_scaled", "n_exact",
-        s"CAST($HllAlpha16Ppm AS BIGINT) * $m * $m * ${1L << maxRho} DIV s_scaled DIV 1000000 AS est_raw")
+        s"CAST($alphaPpm AS BIGINT) * $m * $m * ${1L << maxRho} DIV s_scaled DIV 1000000 AS est_raw")
       .selectExpr("lang", "n_regs_set", "v_zero", "s_scaled", "n_exact", "est_raw",
         s"""IF(est_raw <= ${5 * m / 2} AND v_zero > 0,
            |   CAST($m AS BIGINT) * (${FixedLog.spark(m.toString)} - ${FixedLog.spark("v_zero")}) * $Ln2Ppm

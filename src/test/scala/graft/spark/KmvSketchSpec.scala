@@ -63,8 +63,11 @@ class KmvSketchSpec extends AnyFunSuite with SparkFixture {
     val md = java.security.MessageDigest.getInstance("MD5")
     val m = 16
     val regs = new Array[Long](m) // 0 = never hit
-    shingles.foreach { s =>
-      val h = graft.ops.Shingles.sliceU32(md.digest(s.getBytes("UTF-8")), 0)
+    // the SUT counts distinct 32-bit HASHES, not distinct strings — the
+    // twin must match (an h32 collision would otherwise diverge n_exact)
+    val hashes = shingles.map(s =>
+      graft.ops.Shingles.sliceU32(md.digest(s.getBytes("UTF-8")), 0))
+    hashes.foreach { h =>
       val reg = (h >> 28).toInt
       val w = h & ((1L << 28) - 1)
       val rho = if (w == 0) 29L else 29L - (64 - java.lang.Long.numberOfLeadingZeros(w))
@@ -79,7 +82,7 @@ class KmvSketchSpec extends AnyFunSuite with SparkFixture {
         m * (graft.ops.FixedLog.lp(m) - graft.ops.FixedLog.lp(vZero)) *
           graft.ops.DocTextOps.Ln2Ppm / 64000000L
       else estRaw
-    (nSet, vZero, sScaled, shingles.size.toLong, estRaw, nEst)
+    (nSet, vZero, sScaled, hashes.size.toLong, estRaw, nEst)
   }
 
   test("hllDistinct: field-for-field vs a sequential JVM twin, both estimator branches") {
