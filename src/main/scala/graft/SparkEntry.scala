@@ -211,6 +211,18 @@ object SparkEntry {
   /** DuckDB: 32-bit int from the first 8 hex chars of md5. */
   private def dh32(col: String) = s"(('0x' || substr(md5($col), 1, 8))::BIGINT)"
 
+  /** Shared CTE chain replaying [[graft.ops.DocTextOps.packSequences]]'s
+    * shelf rule — per-doc token counts and the (n_tokens DESC, doc_id)
+    * cumulative-before window — used by both the `d_pack` and `d_shard`
+    * oracles so the packing replay cannot drift between them. */
+  private def packCtes: String =
+    """WITH d AS (SELECT doc_id::BIGINT AS doc_id,
+      |             COALESCE(len(string_split(text, ' ')), 0)::BIGINT AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |        COALESCE(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+      |      FROM d)""".stripMargin
+
   /** Shared CTE chain replaying [[graft.ops.Selection.perceptronTrain]]'s
     * SEQUENTIAL averaged-perceptron updates: hashed-token feature counts,
     * the hash-ordered bounded training set, dense per-example bucket
@@ -608,19 +620,26 @@ object SparkEntry {
     val div = Similarity.RetrainDriftDiv
     val (train, frozen) = standingIvfCtes(nCells, trainIters, dim, dm)
     def dist(x: String, m: String) = dLloydDist(x, m, dim)
+    // per-slice fit of scenario table `g` under centroid CTE `cents`:
+    // nearest-cell sqdist per vector, then (n, Σd) per slice — shared by
+    // the frozen (f*) and post-retrain (rt*) measurements so the fit
+    // replay cannot drift between them
+    def fitCtes(p: String, g: String, cents: String) =
+      s""",
+        |${p}a AS (SELECT vec_id, (vec_id % $dm) = ${dm - 1} AS is_delta,
+        |    min((d, cl))[1] AS d FROM (
+        |  SELECT g.vec_id, c.cl, ${dist("g.x", "c.m")} AS d FROM $g g, $cents c)
+        |  GROUP BY 1, 2),
+        |$p AS (SELECT is_delta, count(*)::BIGINT AS n, sum(d)::BIGINT AS s
+        |       FROM ${p}a GROUP BY 1)""".stripMargin
     val sb = new StringBuilder(train)
     sb ++= s""",
       |g0 AS (SELECT vec_id, x FROM xg),
       |g1 AS (SELECT vec_id, CASE WHEN (vec_id % $dm) = ${dm - 1}
       |         THEN [xi // $div for xi in x] ELSE x END AS x FROM xg)""".stripMargin
     for (s <- 0 to 1) {
+      sb ++= fitCtes(s"f$s", s"g$s", frozen)
       sb ++= s""",
-        |f${s}a AS (SELECT vec_id, (vec_id % $dm) = ${dm - 1} AS is_delta,
-        |    min((d, cl))[1] AS d FROM (
-        |  SELECT g.vec_id, c.cl, ${dist("g.x", "c.m")} AS d FROM g$s g, $frozen c)
-        |  GROUP BY 1, 2),
-        |f$s AS (SELECT is_delta, count(*)::BIGINT AS n, sum(d)::BIGINT AS s
-        |        FROM f${s}a GROUP BY 1),
         |due$s AS (SELECT (SELECT s // n FROM f$s WHERE is_delta) >
         |  $factor * (SELECT s // n FROM f$s WHERE NOT is_delta) AS due)""".stripMargin
       var prev = frozen
@@ -636,13 +655,7 @@ object SparkEntry {
           |  ON u.cl = p.cl)""".stripMargin
         prev = s"r$s$it"
       }
-      sb ++= s""",
-        |rt${s}a AS (SELECT vec_id, (vec_id % $dm) = ${dm - 1} AS is_delta,
-        |    min((d, cl))[1] AS d FROM (
-        |  SELECT g.vec_id, c.cl, ${dist("g.x", "c.m")} AS d FROM g$s g, $prev c)
-        |  GROUP BY 1, 2),
-        |rt$s AS (SELECT is_delta, count(*)::BIGINT AS n, sum(d)::BIGINT AS s
-        |         FROM rt${s}a GROUP BY 1)""".stripMargin
+      sb ++= fitCtes(s"rt$s", s"g$s", prev)
     }
     def scen(s: Int, name: String) =
       s"""SELECT '$name' AS scenario,
@@ -1687,27 +1700,17 @@ object SparkEntry {
         |  n_tokens, cum_before // 256 AS pack_id, cum_before % 256 AS pack_offset
         |FROM c ORDER BY chunk_key""".stripMargin,
     "d_pack" ->
-      """WITH d AS (SELECT doc_id::BIGINT AS doc_id,
-        |             COALESCE(len(string_split(text, ' ')), 0)::BIGINT AS n_tokens FROM documents),
-        |c AS (SELECT doc_id, n_tokens,
-        |        COALESCE(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
-        |      FROM d)
-        |SELECT doc_id, n_tokens, cum_before // 2048 AS pack_id,
-        |  cum_before % 2048 AS pack_offset
-        |FROM c ORDER BY doc_id""".stripMargin,
+      s"""$packCtes
+         |SELECT doc_id, n_tokens, cum_before // ${DocTextOps.DefaultPackBudget} AS pack_id,
+         |  cum_before % ${DocTextOps.DefaultPackBudget} AS pack_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
     // replays DocTextOps.shardCorpus: d_pack's cumulative chain grouped to
     // packs, then the h32(pack_id)-keyed shard + within-shard rank
     "d_shard" -> {
       val ns = graft.ops.DocTextOps.DefaultShards
-      s"""WITH d AS (SELECT doc_id::BIGINT AS doc_id,
-         |             COALESCE(len(string_split(text, ' ')), 0)::BIGINT AS n_tokens FROM documents),
-         |c AS (SELECT doc_id, n_tokens,
-         |        COALESCE(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
-         |      FROM d),
-         |p AS (SELECT cum_before // 2048 AS pack_id, count(*)::BIGINT AS n_docs,
-         |        sum(n_tokens)::BIGINT AS pack_tokens
+      s"""$packCtes,
+         |p AS (SELECT cum_before // ${DocTextOps.DefaultPackBudget} AS pack_id,
+         |        count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS pack_tokens
          |      FROM c GROUP BY 1),
          |h AS (SELECT *, ${dh32("pack_id::VARCHAR")} AS h FROM p)
          |SELECT pack_id, h % $ns AS shard,

@@ -673,7 +673,7 @@ object DocTextOps {
     * the instance makes the result pass reuse the offsets pass's shuffle
     * output — identical partitions by construction, and the sort is paid
     * once. NULL text packs as 0 tokens. */
-  def packSequences(documents: DataFrame, budget: Long = 2048L): DataFrame = {
+  def packSequences(documents: DataFrame, budget: Long = DefaultPackBudget): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val p = spark.sessionState.conf.numShufflePartitions
@@ -701,6 +701,11 @@ object DocTextOps {
       .orderBy("doc_id")
   }
 
+  /** Default token budget per packed sequence for [[packSequences]] /
+    * [[shardCorpus]] — shared with the DuckDB oracles (via the packCtes
+    * builder) so the engines cannot drift. */
+  val DefaultPackBudget = 2048L
+
   /** Default shard count for [[shardCorpus]] — shared with the DuckDB
     * oracle so the two cannot drift. Real corpora pick the output file
     * count (10^3–10^4); 8 keeps every shard populated on the small
@@ -726,7 +731,7 @@ object DocTextOps {
     * the operator's caller CHOOSES (it is the output file count), so
     * per-task volume is corpus/nShards by construction; a corpus too big
     * for that invariant wants more shards, not a different plan. */
-  def shardCorpus(documents: DataFrame, budget: Long = 2048L,
+  def shardCorpus(documents: DataFrame, budget: Long = DefaultPackBudget,
                   nShards: Int = DefaultShards): DataFrame = {
     require(nShards >= 1, s"shardCorpus: nShards must be >= 1, got $nShards")
     import org.apache.spark.sql.expressions.Window

@@ -848,20 +848,25 @@ object Similarity {
       m
     }
     val rows = Seq(false, true).flatMap { drift =>
-      val g = if (!drift) base
+      // each scenario scans g up to 2 + trainIters times (monitor, Lloyd
+      // rounds, re-measure) — persist the deterministic projection once
+      // instead of re-running gridDs + the drift map per scan
+      val g = (if (!drift) base
         else base.map { case (vid, x) =>
           (vid, if ((vid % deltaMod) == (deltaMod - 1)) x.map(_ / driftDiv) else x)
-        }
-      val fs = sliceStats(g, frozen)
-      val (nS, sS) = fs(false)
-      val (nD, sD) = fs(true)
-      val due = sD / nD > factor * (sS / nS)
-      val rs = if (!due) fs
-        else sliceStats(g, ivfTrainCells(g, frozen, trainIters,
-          "annIvfRetrain: retrain round updated no cell"))
-      val scen = if (drift) "drifted" else "in_dist"
-      Seq((scen, "standing", nS, sS / nS, rs(false)._2 / rs(false)._1, due),
-          (scen, "delta", nD, sD / nD, rs(true)._2 / rs(true)._1, due))
+        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val fs = sliceStats(g, frozen)
+        val (nS, sS) = fs(false)
+        val (nD, sD) = fs(true)
+        val due = sD / nD > factor * (sS / nS)
+        val rs = if (!due) fs
+          else sliceStats(g, ivfTrainCells(g, frozen, trainIters,
+            "annIvfRetrain: retrain round updated no cell"))
+        val scen = if (drift) "drifted" else "in_dist"
+        Seq((scen, "standing", nS, sS / nS, rs(false)._2 / rs(false)._1, due),
+            (scen, "delta", nD, sD / nD, rs(true)._2 / rs(true)._1, due))
+      } finally g.unpersist(blocking = false)
     }
     rows.toDF("scenario", "slice", "n", "frozen_msd", "result_msd", "retrain_due")
       .orderBy("scenario", "slice")
