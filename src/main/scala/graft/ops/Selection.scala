@@ -259,8 +259,11 @@ object Selection {
     * TakeOrderedAndProject whose driver collect is trainN·(buckets+3)
     * longs, INDEPENDENT of corpus size — visited in that same
     * deterministic order for `passes` sweeps. The plain batch-update
-    * variant is provably useless here (w₃ = 2·w₁ on any corpus — period-2
-    * oscillation), and the online perceptron's final w is order-sensitive
+    * variant was tried and rejected: on this corpus its rounds misclassify
+    * the two classes ALTERNATELY, and complementary mis-sets make
+    * w₃ = w₁ + Σ₊x − Σ₋x = 2·w₁ — a period-2 oscillation whose final
+    * model predicts one class for everything; the online perceptron's
+    * final w is in turn order-sensitive
     * on non-separable data; the AVERAGED model (prediction by Σ_t w_t,
     * sign-invariant to the 1/T scaling, so the sums stay in Long) is the
     * standard stable variant. Output: one row per pass with the update
