@@ -746,7 +746,8 @@ object Similarity {
     * (the geometry the centroids were optimized in), one map-only pass +
     * one ≤nCells-row aggregation. Exactness contract: the per-cell Long
     * sums are exact while n_cell·max_sqdist < 2^63 (grid vectors from
-    * [0,1)^64 bound max_sqdist ≈ 2^48, so ~32k vectors per cell); beyond
+    * [0,1)^64 bound max_sqdist ≤ 64·(2^20)² = 2^46, so ~131k vectors per
+    * cell); beyond
     * that shard the sum by a vid-hash subkey — the metric is a diagnostic,
     * never a training artifact. */
   def annIvfDrift(embeddings: DataFrame, nCells: Int = 32, trainIters: Int = 2,
@@ -847,27 +848,35 @@ object Similarity {
         "annIvfRetrain: corpus must contain both standing and delta vectors")
       m
     }
-    val rows = Seq(false, true).flatMap { drift =>
-      // each scenario scans g up to 2 + trainIters times (monitor, Lloyd
-      // rounds, re-measure) — persist the deterministic projection once
-      // instead of re-running gridDs + the drift map per scan
-      val g = (if (!drift) base
-        else base.map { case (vid, x) =>
+    // each scenario scans its projection up to 2 + trainIters times
+    // (monitor, Lloyd rounds, re-measure) and the drifted scenario derives
+    // from the base one — persist base across BOTH scenarios so neither
+    // cache fill re-runs gridDs against the source, and the drifted map
+    // additionally caches its own rows
+    val basePersisted =
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = try Seq(false, true).flatMap { drift =>
+      val g = if (!drift) basePersisted
+        else basePersisted.map { case (vid, x) =>
           (vid, if ((vid % deltaMod) == (deltaMod - 1)) x.map(_ / driftDiv) else x)
-        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val fs = sliceStats(g, frozen)
         val (nS, sS) = fs(false)
         val (nD, sD) = fs(true)
-        val due = sD / nD > factor * (sS / nS)
+        // multiplyExact: a caller-supplied factor large enough to wrap
+        // factor·standing_msd must fail loudly (the DuckDB oracle raises
+        // a BIGINT out-of-range on the same input), never silently invert
+        // the decision
+        val due = sD / nD > Math.multiplyExact(factor, sS / nS)
         val rs = if (!due) fs
           else sliceStats(g, ivfTrainCells(g, frozen, trainIters,
             "annIvfRetrain: retrain round updated no cell"))
         val scen = if (drift) "drifted" else "in_dist"
         Seq((scen, "standing", nS, sS / nS, rs(false)._2 / rs(false)._1, due),
             (scen, "delta", nD, sD / nD, rs(true)._2 / rs(true)._1, due))
-      } finally g.unpersist(blocking = false)
-    }
+      } finally if (drift) g.unpersist(blocking = false)
+    } finally basePersisted.unpersist(blocking = false)
     rows.toDF("scenario", "slice", "n", "frozen_msd", "result_msd", "retrain_due")
       .orderBy("scenario", "slice")
   }
