@@ -211,6 +211,25 @@ object SparkEntry {
   /** DuckDB: 32-bit int from the first 8 hex chars of md5. */
   private def dh32(col: String) = s"(('0x' || substr(md5($col), 1, 8))::BIGINT)"
 
+  /** DuckDB token-equality occurrence count — mirrors `DocTextOps.cnt`
+    * (the whitespace-token filter, not the padded-replace trick, which
+    * undercounts adjacent repeats of the same word). */
+  private def dcnt(w: String) =
+    s"len(list_filter(string_split(text, ' '), t -> t = '$w'))::BIGINT"
+
+  /** The stopword_hits fragment shared by the d_quality* and d_downselect
+    * oracles (mirrors `DocTextOps.qualityScore`). */
+  private def dStopwordHits: String =
+    s"""${dcnt("the")} + ${dcnt("a")} + ${dcnt("of")}"""
+
+  /** Per-language sampling-rate CASE shared by the d_sample / d_downselect
+    * oracles — generated from `DocTextOps.DefaultSampleRates` so the two
+    * engines read ONE rate table. */
+  private def dRateExpr(col: String): String =
+    "CASE " + DocTextOps.DefaultSampleRates
+      .map { case (l, r) => s"WHEN $col = '$l' THEN $r" }.mkString(" ") +
+      s" ELSE ${DocTextOps.DefaultSampleRateElse} END"
+
   /** Shared CTE chain replaying [[graft.ops.DocTextOps.packSequences]]'s
     * shelf rule — per-doc token counts and the (n_tokens DESC, doc_id)
     * cumulative-before window — used by both the `d_pack` and `d_shard`
@@ -415,11 +434,11 @@ object SparkEntry {
        |          sum(CASE WHEN jaccard_ppm >= 500000 THEN 1 ELSE 0 END)::BIGINT AS n_dups,
        |          min(CASE WHEN jaccard_ppm >= 500000 THEN partner END) AS dup_of
        |        FROM ver GROUP BY 1)
-       |SELECT sh.doc_id, coalesce(n_candidates, 0)::BIGINT AS n_candidates,
+       |SELECT d.doc_id, coalesce(n_candidates, 0)::BIGINT AS n_candidates,
        |  coalesce(n_dups, 0)::BIGINT AS n_dups, dup_of,
        |  coalesce(n_dups, 0) = 0 AS admitted
-       |FROM sh LEFT JOIN agg USING (doc_id)
-       |WHERE sh.doc_id % ${Dedup.DefaultDeltaMod} = ${Dedup.DefaultDeltaMod - 1} ORDER BY sh.doc_id""".stripMargin
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |WHERE d.doc_id % ${Dedup.DefaultDeltaMod} = ${Dedup.DefaultDeltaMod - 1} ORDER BY d.doc_id""".stripMargin
   }
 
   /** 60-bit hash: first 15 md5 hex chars (sign-safe in every engine). */
@@ -1307,7 +1326,7 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keep_doc_id
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_token_stats" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
@@ -1328,46 +1347,36 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "d_quality" ->
-      """WITH d AS (SELECT doc_id, text, concat(' ', text, ' ') AS pt FROM documents)
-        |SELECT doc_id, length(text) AS n_chars_actual,
-        |  len(string_split(text, ' ')) AS n_tokens,
-        |  CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5 AS BIGINT)
-        |    + CAST((length(pt) - length(replace(pt, ' a ', ''))) / 3 AS BIGINT)
-        |    + CAST((length(pt) - length(replace(pt, ' of ', ''))) / 4 AS BIGINT) AS stopword_hits,
-        |  (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS diversity_ppm,
-        |  (CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS mean_word_len_ppm
-        |FROM d ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, length(text) AS n_chars_actual,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  $dStopwordHits AS stopword_hits,
+         |  (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS diversity_ppm,
+         |  (CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS mean_word_len_ppm
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_quality_filter" ->
-      """WITH d AS (SELECT doc_id, text, concat(' ', text, ' ') AS pt FROM documents),
-        |q AS (SELECT doc_id, length(text) AS n_chars_actual,
-        |  len(string_split(text, ' ')) AS n_tokens,
-        |  CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5 AS BIGINT)
-        |    + CAST((length(pt) - length(replace(pt, ' a ', ''))) / 3 AS BIGINT)
-        |    + CAST((length(pt) - length(replace(pt, ' of ', ''))) / 4 AS BIGINT) AS stopword_hits,
-        |  (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS diversity_ppm,
-        |  (CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS mean_word_len_ppm
-        |FROM d)
-        |SELECT doc_id, n_chars_actual, n_tokens, stopword_hits, diversity_ppm, mean_word_len_ppm,
-        |  (n_chars_actual >= 80 AND n_tokens >= 16 AND stopword_hits >= 1 AND
-        |   diversity_ppm >= 300000 AND mean_word_len_ppm BETWEEN 2000000 AND 12000000) AS keep
-        |FROM q ORDER BY doc_id""".stripMargin,
+      s"""WITH q AS (SELECT doc_id, length(text) AS n_chars_actual,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  $dStopwordHits AS stopword_hits,
+         |  (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS diversity_ppm,
+         |  (CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS mean_word_len_ppm
+         |FROM documents)
+         |SELECT doc_id, n_chars_actual, n_tokens, stopword_hits, diversity_ppm, mean_word_len_ppm,
+         |  (n_chars_actual >= 80 AND n_tokens >= 16 AND stopword_hits >= 1 AND
+         |   diversity_ppm >= 300000 AND mean_word_len_ppm BETWEEN 2000000 AND 12000000) AS keep
+         |FROM q ORDER BY doc_id""".stripMargin,
     "d_sample" ->
       s"""WITH s AS (SELECT doc_id, lang,
          |  ${dh32("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
-         |  CAST(CASE WHEN lang = 'en' THEN 50 WHEN lang IN ('de','es','fr') THEN 80
-         |            ELSE 10 END AS BIGINT) AS rate
+         |  CAST(${dRateExpr("lang")} AS BIGINT) AS rate
          |  FROM documents)
          |SELECT doc_id, lang, bucket, rate FROM s WHERE bucket < rate
          |ORDER BY doc_id""".stripMargin,
     "d_langid_stopword" -> {
-      val stops = Map(
-        "en" -> Seq(" the ", " of ", " and "), "de" -> Seq(" der ", " und ", " die "),
-        "es" -> Seq(" el ", " de ", " la "), "fr" -> Seq(" le ", " de ", " et "))
-      def c(w: String) = s"CAST((length(pt) - length(replace(pt, '$w', ''))) / ${w.length} AS BIGINT)"
-      val scoreCols = Seq("en", "de", "es", "fr")
-        .map(l => stops(l).map(c).mkString(" + ") + s" AS score_$l").mkString(",\n  ")
-      s"""WITH d AS (SELECT doc_id, lang, concat(' ', text, ' ') AS pt FROM documents),
-         |s AS (SELECT doc_id, lang AS lang_declared, $scoreCols FROM d),
+      // word lists shared with the Spark side via DocTextOps.langStops
+      val scoreCols = DocTextOps.langStops
+        .map { case (l, ws) => ws.map(dcnt).mkString(" + ") + s" AS score_$l" }
+        .mkString(",\n  ")
+      s"""WITH s AS (SELECT doc_id, lang AS lang_declared, $scoreCols FROM documents),
          |m AS (SELECT *, greatest(greatest(score_en, score_de), greatest(score_es, score_fr)) AS best FROM s)
          |SELECT doc_id, lang_declared, score_en, score_de, score_es, score_fr,
          |  CASE WHEN score_en = best THEN 'en' WHEN score_de = best THEN 'de'
@@ -1529,19 +1538,15 @@ object SparkEntry {
          |  (margin > 0) = (y > 0) AS correct
          |FROM sc ORDER BY doc_id""".stripMargin,
     "d_downselect" ->
-      s"""WITH d AS (SELECT doc_id, text, concat(' ', text, ' ') AS pt FROM documents),
-         |q AS (SELECT doc_id,
+      s"""WITH q AS (SELECT doc_id,
          |  (length(text) >= 80 AND len(string_split(text, ' ')) >= 16 AND
-         |   CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5 AS BIGINT)
-         |     + CAST((length(pt) - length(replace(pt, ' a ', ''))) / 3 AS BIGINT)
-         |     + CAST((length(pt) - length(replace(pt, ' of ', ''))) / 4 AS BIGINT) >= 1 AND
+         |   $dStopwordHits >= 1 AND
          |   (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000) // len(string_split(text, ' ')) >= 300000 AND
          |   (CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) * 1000000) // len(string_split(text, ' ')) BETWEEN 2000000 AND 12000000) AS q_keep
-         |FROM d),
+         |FROM documents),
          |f AS (SELECT doc.doc_id, doc.lang, q.q_keep, md5(doc.text) AS content_hash,
          |  ${dh32("CAST(doc.doc_id AS VARCHAR)")} % 100 AS bucket,
-         |  CAST(CASE WHEN doc.lang = 'en' THEN 50 WHEN doc.lang IN ('de','es','fr') THEN 80
-         |            ELSE 10 END AS BIGINT) AS rate
+         |  CAST(${dRateExpr("doc.lang")} AS BIGINT) AS rate
          |  FROM documents doc JOIN q ON doc.doc_id = q.doc_id),
          |c AS (SELECT content_hash, min(doc_id) AS keep_doc_id FROM f WHERE q_keep GROUP BY 1)
          |SELECT f.doc_id, f.lang, f.q_keep,
@@ -1843,7 +1848,7 @@ object SparkEntry {
     "d_stream_dedup" ->
       """WITH t AS (SELECT doc_id, md5(text) AS content_hash,
         |    CAST(1767225600 + (doc_id % 37) * 60 AS BIGINT) AS epoch
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |r AS (SELECT *, row_number() OVER (PARTITION BY content_hash
         |        ORDER BY epoch, doc_id) AS rn FROM t)
         |SELECT doc_id, content_hash, epoch FROM r WHERE rn = 1
@@ -1923,9 +1928,9 @@ object SparkEntry {
          |                (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END)
          |    for i in range(1, len(hs) - ${w - 2})]) AS s FROM hv),
          |prints AS (SELECT DISTINCT doc_id, s.h AS h FROM sel),
-         |sets AS (SELECT doc_id, count(DISTINCT s.h)::BIGINT AS n FROM sel GROUP BY 1),
          |ok AS (SELECT h FROM prints GROUP BY h HAVING count(*) <= ${Dedup.DefaultDfCap}),
          |pp AS (SELECT doc_id, h FROM prints JOIN ok USING (h)),
+         |sets AS (SELECT doc_id, count(*)::BIGINT AS n FROM pp GROUP BY 1),
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
          |          FROM pp a JOIN pp b ON a.h = b.h AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)

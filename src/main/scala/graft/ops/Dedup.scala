@@ -27,6 +27,10 @@ object Dedup {
   /** Exact duplicate groups: md5 of raw text. `dup_count > 1` marks a
     * duplicate cluster; `keep` is the canonical (min doc_id) survivor —
     * standard exact-dedup shape: one shuffle on the 16-byte digest.
+    * NULL-text documents are EXCLUDED (matching the file's other ops):
+    * md5(NULL) is NULL and GROUP BY would collapse every null-text doc
+    * into one bogus "duplicate" cluster whose non-canonical members a
+    * downstream keep-filter would silently delete.
     * Member lists are opt-in: at corpus scale a duplicate cluster can hold
     * millions of ids, and `collect_list` would materialize them all in one
     * aggregation buffer. */
@@ -36,6 +40,7 @@ object Dedup {
       min("doc_id").as("keep_doc_id")) ++
       (if (withMembers) Seq(sort_array(collect_list("doc_id")).as("doc_ids")) else Nil)
     documents
+      .where("text IS NOT NULL")
       .selectExpr("doc_id", "md5(text) AS content_hash")
       .groupBy("content_hash")
       .agg(aggs.head, aggs.tail: _*)
@@ -183,7 +188,12 @@ object Dedup {
       count(lit(1)).as("n_candidates"),
       sum(when(col("jaccard_ppm") >= thresholdPpm, 1L).otherwise(0L)).as("n_dups"),
       min(when(col("jaccard_ppm") >= thresholdPpm, col("partner"))).as("dup_of"))
-    shingleSets.where(s"doc_id % $deltaMod = $d").select("doc_id")
+    // verdicts for EVERY delta document, not just shingle-bearing ones: a
+    // short (<3-token) doc has no shingles, hence no possible near-dup —
+    // it must surface as admitted=true, not silently vanish from the
+    // refresh output
+    documents.where(s"doc_id % $deltaMod = $d")
+      .select(col("doc_id").cast("long").as("doc_id"))
       .join(agg, Seq("doc_id"), "left")
       .selectExpr("doc_id",
         "CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates",
@@ -265,19 +275,23 @@ object Dedup {
     * [[ngramJaccard]] — a boilerplate fingerprint shared by more than
     * `dfCap` documents is excluded (visibly, by the cap contract) instead
     * of exploding into a hot O(df²) key. Containment is integer ppm
-    * against the SMALLER fingerprint set, so pasted-subset pairs score
-    * near 10^6 regardless of size skew. */
+    * against the SMALLER fingerprint set — counted over the SAME
+    * df-filtered universe as `shared` (the [[DefaultDfCap]] contract:
+    * intersections and set sizes from the filtered sets) — so pasted-
+    * subset pairs score near 10^6 regardless of size skew. */
   def winnowPairs(documents: DataFrame, k: Int = WinnowK, w: Int = WinnowW,
                   minShared: Long = WinnowMinShared,
                   dfCap: Long = DefaultDfCap): DataFrame = {
     val prints = winnowFingerprints(documents, k, w)
-    val sets = prints.groupBy("doc_id")
-      .agg(countDistinct("h").as("n_prints"))
     val dfOk = prints.groupBy("h")
       .agg(countDistinct("doc_id").as("df"))
       .where(s"df <= $dfCap")
       .select("h")
     val p = prints.select("doc_id", "h").distinct().join(dfOk, Seq("h"))
+    // set sizes over the df-FILTERED universe, the one `shared` counts in
+    // — an uncapped denominator would dilute containment for any doc
+    // holding a boilerplate fingerprint
+    val sets = p.groupBy("doc_id").agg(count(lit(1)).as("n_prints"))
     p.as("a").join(p.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -541,21 +555,28 @@ object Dedup {
 
     def largeStar(e: E, part: org.apache.spark.HashPartitioner): E = {
       val dir = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+      // min(u, ·) folded in with preservesPartitioning so the join below
+      // REUSES the reduceByKey's partitioning instead of re-shuffling the
+      // per-node mins every round (a plain .map would drop the partitioner)
       val mins = dir.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-        .map { case (u, m) => (u, math.min(u, m)) }
+        .mapPartitions(
+          _.map { case (u, m) => (u, math.min(u, m)) },
+          preservesPartitioning = true)
       dir.filter { case (u, v) => v > u }
         .join(mins, part)
         .map { case (_, (v, m)) => (v, m) }
     }
 
     def smallStar(e: E, part: org.apache.spark.HashPartitioner): E = {
-      // key every edge by its LARGER endpoint; m = min of the ≤ neighbors
-      // (m is always one of them). Emit (v, m) per non-min neighbor and let
-      // the (u, m) self-link ride on the v == m record — no duplicates per u.
-      val dirS = e.map { case (u, v) => if (u >= v) (u, v) else (v, u) }
-      val mins = dirS.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-      dirS.join(mins, part).flatMap { case (u, (v, m)) =>
-        if (v == m) Iterator((u, m)) else Iterator((v, m), (u, m))
+      // input edges are (larger, smaller) — canon emits them that way and
+      // largeStar's output (v, m) has m strictly below v — so every edge
+      // is already keyed by its LARGER endpoint; m = min of the ≤
+      // neighbors (always one of them). Emit (v, m) per non-min neighbor
+      // and the (u, m) self-link ONCE, riding on the v == m record — an
+      // (u, m) per record would double the rows the next distinct absorbs.
+      val mins = e.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      e.join(mins, part).flatMap { case (u, (v, m)) =>
+        if (v == m) Iterator((u, m)) else Iterator((v, m))
       }
     }
 
@@ -646,6 +667,7 @@ object Dedup {
     * Window survives. */
   def streamDedupTwin(docsWithEpoch: DataFrame): DataFrame =
     docsWithEpoch
+      .where("text IS NOT NULL") // as [[exact]]: no bogus NULL-hash cluster
       .selectExpr("md5(text) AS content_hash", "epoch", "doc_id")
       .groupBy("content_hash")
       .agg(min(struct(col("epoch"), col("doc_id"))).as("first"))
@@ -653,10 +675,12 @@ object Dedup {
         col("first.epoch").as("epoch"))
       .orderBy("doc_id")
 
-  /** Grouped-votes SimHash derivation (same integer sketch as [[simhash]],
-    * different plan shape): explode token hashes × bit positions into a
-    * two-level codegen'd hash aggregate. Cheaper than the per-row fold when
-    * a downstream self-join duplicates the subtree. */
+  /** SimHash near-dup pairs by the 4-block pigeonhole multi-index: any two
+    * 60-bit sketches within Hamming distance 3 agree exactly on at least
+    * one of the four 15-bit blocks, so candidates come from four equi-joins
+    * on block values, never an all-pairs scan. Sketches come from
+    * [[simhashTyped]] — the JIT'd per-row kernel (the earlier grouped-votes
+    * explode/aggregate derivation measured 2-3× slower and was retired). */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block multi-index is complete only for distance <= 3")
     val blocks = (0 until SimhashBlocks)

@@ -21,11 +21,14 @@ object DocTextOps {
   private[ops] def sqlLit(x: String): String =
     x.replace("\\", "\\\\").replace("'", "''")
 
-  /** Non-overlapping occurrence count of `needle` via the replace trick —
-    * identical semantics in any SQL engine, no regex dialect risk. */
-  private def cnt(col: String, needle: String): String = {
-    val n = sqlLit(needle)
-    s"CAST((length($col) - length(replace($col, '$n', ''))) / ${needle.length} AS BIGINT)"
+  /** Exact occurrence count of token `word` over the whitespace split —
+    * identical semantics in any SQL engine, no regex dialect risk. (The
+    * earlier padded-`replace` trick undercounted ADJACENT repeats of the
+    * same word: consecutive occurrences share the padding space the next
+    * non-overlapping match needs, so 'die die die' counted 2, not 3.) */
+  private def cnt(textCol: String, word: String): String = {
+    val w = sqlLit(word)
+    s"CAST(size(filter(split($textCol, ' '), t -> t = '$w')) AS BIGINT)"
   }
 
   /** Per-document token statistics. */
@@ -74,32 +77,30 @@ object DocTextOps {
   /** Quality signals: length, stopword ratio, lexical diversity, mean word
     * length — the standard pretraining quality-filter features. */
   def qualityScore(documents: DataFrame): DataFrame = {
-    val padded = "concat(' ', text, ' ')"
     documents.selectExpr(
       "doc_id",
       "CAST(length(text) AS BIGINT) AS n_chars_actual",
       "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
-      s"${cnt(padded, " the ")} + ${cnt(padded, " a ")} + ${cnt(padded, " of ")} AS stopword_hits",
+      s"${cnt("text", "the")} + ${cnt("text", "a")} + ${cnt("text", "of")} AS stopword_hits",
       // integer micro-ratios: exact in any engine, no float division drift
       "(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000) DIV size(split(text, ' ')) AS diversity_ppm",
       "(CAST(length(text) - size(split(text, ' ')) + 1 AS BIGINT) * 1000000) DIV size(split(text, ' ')) AS mean_word_len_ppm"
     ).orderBy("doc_id")
   }
 
-  private val langStops: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq(" the ", " of ", " and "),
-    "de" -> Seq(" der ", " und ", " die "),
-    "es" -> Seq(" el ", " de ", " la "),
-    "fr" -> Seq(" le ", " de ", " et "))
+  private[graft] val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "de", "la"),
+    "fr" -> Seq("le", "de", "et"))
 
   /** Stopword-profile language ID: per-language hit counts, argmax with a
     * fixed tie-break order. A deliberately SQL-expressible heuristic — the
     * richer character-trigram model lives in [[graft.core.text.TrigramLangId]].
     */
   def langIdStopword(documents: DataFrame): DataFrame = {
-    val padded = "concat(' ', text, ' ')"
     val scores = langStops.map { case (l, ws) =>
-      ws.map(w => cnt(padded, w)).mkString(" + ") + s" AS score_$l"
+      ws.map(w => cnt("text", w)).mkString(" + ") + s" AS score_$l"
     }
     val ordered = langStops.map(_._1)
     val best = ordered
@@ -127,20 +128,30 @@ object DocTextOps {
           "diversity_ppm >= 300000 AND mean_word_len_ppm BETWEEN 2000000 AND 12000000) AS keep")
       .orderBy("doc_id")
 
+  /** Default per-language percent keep rates (and the everything-else
+    * fallback) for [[stratifiedSample]] and [[downselect]] — ONE table
+    * shared by both operators and interpolated into the `d_sample` /
+    * `d_downselect` oracles, so a rate change cannot leave a stale copy. */
+  private[graft] val DefaultSampleRates: Seq[(String, Int)] =
+    Seq("en" -> 50, "de" -> 80, "es" -> 80, "fr" -> 80)
+  private[graft] val DefaultSampleRateElse = 10
+
+  private def rateExpr(rates: Seq[(String, Int)]): String =
+    rates.foldLeft(DefaultSampleRateElse.toString) { case (acc, (l, r)) =>
+      s"IF(lang = '${sqlLit(l)}', $r, $acc)"
+    }
+
   /** Deterministic stratified sampling: md5-hash each doc_id into [0,100)
     * and keep it if under its language's per-mille... percent rate — the
     * downsampling primitive for rebalancing a 100 TB corpus by stratum.
     * Hash-based (not rand()): reproducible across runs, engines, and
     * partitionings, and any doc's membership is decidable in isolation. */
-  def stratifiedSample(documents: DataFrame, rates: Map[String, Int] = Map(
-      "en" -> 50, "de" -> 80, "es" -> 80, "fr" -> 80)): DataFrame = {
-    val rateExpr = rates.foldLeft("10") { case (acc, (l, r)) =>
-      s"IF(lang = '${sqlLit(l)}', $r, $acc)"
-    }
+  def stratifiedSample(documents: DataFrame,
+                       rates: Seq[(String, Int)] = DefaultSampleRates): DataFrame = {
     documents
       .selectExpr("doc_id", "lang",
         s"${Shingles.h32("CAST(doc_id AS STRING)")} % 100 AS bucket",
-        s"CAST($rateExpr AS BIGINT) AS rate")
+        s"CAST(${rateExpr(rates)} AS BIGINT) AS rate")
       .where("bucket < rate")
       .select("doc_id", "lang", "bucket", "rate")
       .orderBy("doc_id")
@@ -164,8 +175,7 @@ object DocTextOps {
     val flags = documents.join(q, "doc_id")
       .selectExpr("doc_id", "lang", "q_keep", "md5(text) AS content_hash",
         s"${Shingles.h32("CAST(doc_id AS STRING)")} % 100 AS bucket",
-        "CAST(CASE WHEN lang = 'en' THEN 50 WHEN lang IN ('de','es','fr') THEN 80 " +
-          "ELSE 10 END AS BIGINT) AS rate")
+        s"CAST(${rateExpr(DefaultSampleRates)} AS BIGINT) AS rate")
     val canon = flags.where("q_keep")
       .groupBy("content_hash").agg(min("doc_id").as("keep_doc_id"))
     flags.join(canon, Seq("content_hash"), "left")
@@ -596,21 +606,31 @@ object DocTextOps {
 
   /** Inverted-index build — the search-side workload over the corpus: one
     * posting list (sorted doc ids) per term plus document frequency. The
-    * shape is one distinct-terms explode and one aggregation keyed by term;
-    * posting lists are CAPPED at `maxPostings` ids per term (df is emitted
-    * uncapped, so truncation is visible, never silent) because an unbounded
-    * `collect_list` on a stopword-frequency term at 10^12 docs is a
-    * single-row OOM — a production index shards hot terms into posting
-    * blocks instead. Postings surface as a comma-joined string: engine-
-    * neutral, and the sort makes it deterministic. */
-  def invertedIndex(documents: DataFrame, maxPostings: Int = 100): DataFrame =
+    * shape is one distinct-terms explode, a per-term doc_id rank, and one
+    * aggregation keyed by term; posting lists are CAPPED at `maxPostings`
+    * ids per term (df is emitted uncapped, so truncation is visible, never
+    * silent) because an unbounded `collect_list` on a stopword-frequency
+    * term at 10^12 docs is a single-row OOM — a production index shards
+    * hot terms into posting blocks instead. The cap is enforced BEFORE the
+    * aggregation buffer fills (row_number over the term partition — a
+    * spillable sort, then `collect_list` sees ≤ maxPostings non-null ids),
+    * not by slicing an already-materialized full list; the window and the
+    * aggregation ride ONE hashpartitioning(term) exchange. Postings
+    * surface as a comma-joined string: engine-neutral, and the sort makes
+    * it deterministic. */
+  def invertedIndex(documents: DataFrame, maxPostings: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     documents
       .selectExpr(s"explode(array_distinct(${Shingles.ws})) AS term", "doc_id")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("term").orderBy("doc_id")))
       .groupBy("term")
-      .agg(count(lit(1)).as("df"), collect_list("doc_id").as("ids"))
+      .agg(count(lit(1)).as("df"),
+        collect_list(when(col("rn") <= maxPostings, col("doc_id"))).as("ids"))
       .selectExpr("term", "CAST(df AS BIGINT) AS df",
-        s"concat_ws(',', slice(array_sort(ids), 1, $maxPostings)) AS postings")
+        "concat_ws(',', array_sort(ids)) AS postings")
       .orderBy("term")
+  }
 
   /** Document fingerprints: full-text polynomial rolling hash plus min/max
     * 3-token shingle hashes (a 3-value sketch). Fold is left-to-right with

@@ -114,6 +114,7 @@ object StreamingSegmenter {
     * holds only one horizon's worth. */
   def dedupDocs(docs: Dataset[StreamDoc], watermark: String = "1 hour"): Dataset[org.apache.spark.sql.Row] =
     docs.toDF()
+      .where("text IS NOT NULL") // as Dedup.exact: no bogus NULL-hash state
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")

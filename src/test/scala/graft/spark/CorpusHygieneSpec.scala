@@ -204,8 +204,10 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
       }.toSet
     }
     // 5-token vocab: repeated grams force equal hashes, exercising the
-    // rightmost tie rule; 40 docs push hot grams over the df cap
-    for (seed <- Seq(5, 41)) {
+    // rightmost tie rule; the dfCap=2 case makes the cap genuinely BIND
+    // (hot grams hit df up to 40 docs), pinning that set sizes — like the
+    // intersections — are counted over the df-FILTERED universe
+    for ((seed, dfCap) <- Seq((5, Dedup.DefaultDfCap), (41, Dedup.DefaultDfCap), (41, 2L))) {
       val rnd = new scala.util.Random(seed)
       val corpus = (0L until 40L).map { id =>
         id -> Seq.fill(6 + rnd.nextInt(10))("w" + rnd.nextInt(5)).mkString(" ")
@@ -215,20 +217,64 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
       }.toMap
       val df = fp.toSeq.flatMap { case (id, s) => s.map(h => (h, id)) }
         .groupBy(_._1).view.mapValues(_.size).toMap
-      val okH = df.filter(_._2 <= Dedup.DefaultDfCap).keySet
+      val okH = df.filter(_._2 <= dfCap).keySet
+      if (dfCap == 2L)
+        assert(okH.size < df.size, "dfCap=2 case must actually drop hot prints")
+      val fpf = fp.view.mapValues(_ & okH).toMap // the df-filtered universe
       val ids = corpus.map(_._1)
       val want = (for {
         a <- ids; b <- ids if a < b
-        sh = (fp(a) & fp(b) & okH).size
+        sh = (fpf(a) & fpf(b)).size
         if sh >= Dedup.WinnowMinShared
-      } yield (a, b, sh.toLong, fp(a).size.toLong, fp(b).size.toLong,
-        sh.toLong * 1000000L / math.min(fp(a).size, fp(b).size)))
+      } yield (a, b, sh.toLong, fpf(a).size.toLong, fpf(b).size.toLong,
+        sh.toLong * 1000000L / math.min(fpf(a).size, fpf(b).size)))
         .sortBy(t => (t._1, t._2))
-      val got = Dedup.winnowPairs(docs(corpus: _*)).collect()
+      val got = Dedup.winnowPairs(docs(corpus: _*), dfCap = dfCap).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getLong(5))).toSeq
-      assert(got == want, s"seed=$seed")
+      assert(got == want, s"seed=$seed dfCap=$dfCap")
     }
+  }
+
+  test("exact dedup excludes null-text docs instead of collapsing them into one cluster") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, null), (4L, null))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars")
+    val got = Dedup.exact(d).collect()
+    // one real cluster; the two null-text docs contribute NO rows (they are
+    // not duplicates of each other — there is no content to compare)
+    assert(got.length === 1)
+    assert(got.head.getLong(1) === 2L && got.head.getLong(2) === 1L)
+    val tw = Dedup.streamDedupTwin(d.selectExpr("doc_id", "text", "doc_id AS epoch")).collect()
+    assert(tw.map(_.getLong(0)).toSet === Set(1L))
+  }
+
+  test("incrementalMinhash: a shingle-less (short) delta doc surfaces as admitted") {
+    import graft.ops.Dedup
+    // deltaMod default: doc_id % mod = mod-1 marks delta. Doc 2 is delta
+    // with only 2 tokens -> no 3-shingles -> no candidates -> admitted
+    val mod = Dedup.DefaultDeltaMod
+    val shortId = mod - 1 // smallest delta id
+    val d = docs(
+      0L -> "a b c d e f g",
+      1L -> "h i j k l m n",
+      shortId -> "x y")
+    val got = Dedup.incrementalMinhash(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got.contains(shortId), "short delta doc must not vanish from the verdicts")
+    assert(got(shortId) === ((0L, 0L, true)))
+  }
+
+  test("stopword counting is token-exact: adjacent repeats all count") {
+    // the padded-replace trick counted 'the the the' as 2 (matches share
+    // the padding space); the token filter counts 3
+    val d = docs(1L -> "the the the", 2L -> "a the a of", 3L -> "xtheyx athe thea")
+    val got = DocTextOps.qualityScore(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 4L, 3L -> 0L))
   }
 
   test("winnowing guarantee: a shared k+w-1 token run yields a shared fingerprint") {
