@@ -112,18 +112,29 @@ final class SnapshotStore(val root: String) {
     * CURRENT name (the rename chain applies before the drop set on every
     * read, so dropping the new name removes the pre-rename data too). */
   def dropColumn(spark: SparkSession, col: String): Long = {
+    // same metacharacter guard as renameColumn: a ',' would corrupt the
+    // comma-joined drop_cols encoding into two phantom drops, a '"' the
+    // manifest JSON parse
+    require(!col.exists(",\"".contains(_)),
+      s"dropColumn: column name '$col' must not contain ',' or quotes")
     val dataIds = dataSnapshots
     require(dataIds.nonEmpty, "dropColumn: table has no data snapshots")
+    val chain = renamedColumns()
+    val dropped = droppedColumns()
     val current = applyEvolution(readMerged(spark, dataIds), Long.MaxValue).columns.toSet
     require(current.contains(col),
       s"dropColumn: '$col' is not in the current schema ${current.toSeq.sorted.mkString("[", ",", "]")}")
     val stage = Paths.get(root, "data", s"stage-${java.util.UUID.randomUUID}")
     Files.createDirectories(stage)
-    val cumulative = droppedColumns() + col
     commitStaged(stage,
       () => Map("schema_only" -> "true",
-        "drop_cols" -> cumulative.toSeq.sorted.mkString(",")),
-      () => true).get
+        "drop_cols" -> (droppedColumns() + col).toSeq.sorted.mkString(",")),
+      // the drop was validated against the schema produced by (chain,
+      // dropped) at planning; a concurrent evolution commit invalidates
+      // that validation — abort loudly rather than commit a stale verdict
+      () => renamedColumns() == chain && droppedColumns() == dropped)
+      .getOrElse(throw new IllegalStateException(
+        "dropColumn aborted: a concurrent schema-evolution commit landed; retry"))
   }
 
   private val RenameColsRe = """"rename_cols": "([^"]*)"""".r
@@ -189,7 +200,14 @@ final class SnapshotStore(val root: String) {
     commitStaged(stage,
       () => Map("schema_only" -> "true",
         "rename_cols" -> encodeChain(chain :+ (from -> to))),
-      () => true).get
+      // renamedColumns keeps only the LONGEST recorded chain, so a racing
+      // rename committing its own same-length chain would be permanently
+      // shadowed (its rename silently lost); and this rename's freshness
+      // checks were made against (chain, dropped). Abort loudly if either
+      // changed between planning and commit.
+      () => renamedColumns() == chain && droppedColumns() == dropped)
+      .getOrElse(throw new IllegalStateException(
+        "renameColumn aborted: a concurrent schema-evolution commit landed; retry"))
   }
 
   /** The current name of `col` after every rename at or below `asOf`. */
@@ -273,11 +291,7 @@ final class SnapshotStore(val root: String) {
     }
   }
 
-  private def deleteRecursively(d: Path): Unit =
-    if (Files.exists(d)) {
-      val it = Files.walk(d).sorted(java.util.Comparator.reverseOrder[Path]()).iterator()
-      while (it.hasNext) Files.deleteIfExists(it.next())
-    }
+  private def deleteRecursively(d: Path): Unit = SnapshotStore.deleteRecursively(d)
 
   /** Manifest stats entries for the files that LANDED under `id` — read
     * back so the stats describe exactly what readers will see. ONE job
@@ -340,6 +354,12 @@ final class SnapshotStore(val root: String) {
       keyCol: String,
       statsCol: Option[String] = None,
       cleanup: Boolean = true): Long = {
+    // capture the conflict-check baseline BEFORE any other planning read:
+    // a concurrent append landing mid-planning (key probes below run many
+    // Spark jobs) must make decide() fail — captured after the probes it
+    // would be INCLUDED in the baseline and the write-skew check would
+    // wave the conflicting snapshot through unprobed
+    val liveAtPlan = snapshots.toSet
     val droppedAtPlan = droppedColumns() // one manifest scan, reused below
     val chainAtPlan = renamedColumns()
     requireNoDroppedNames(updates, droppedAtPlan)
@@ -388,7 +408,6 @@ final class SnapshotStore(val root: String) {
         "carried by the matched rows — a CoW merge rewrites whole rows, so the " +
         "omitted values would be silently destroyed; select them into the updates")
     val merged = survivors.unionByName(updates, allowMissingColumns = true)
-    val liveAtPlan = snapshots.toSet
     val stage = stageWrite(merged)
     val stats = stagedStats(spark, stage, statsCol)
     val dropMeta =
@@ -466,10 +485,19 @@ final class SnapshotStore(val root: String) {
 
   /** Loud re-add guard: a dropped NAME cannot return (see [[dropColumn]]).
     * Pass a precomputed set to avoid a second manifest scan per op. */
+  /** Name comparison under the SESSION's resolver: the read path's
+    * `df.drop` / rename resolution is case-insensitive under the default
+    * `spark.sql.caseSensitive=false`, so these guards must be too — an
+    * exact-case check would wave a differently-cased re-add through and
+    * the read-side drop would then silently swallow its values forever. */
+  private def normName(df: DataFrame, c: String): String =
+    if (df.sparkSession.sessionState.conf.caseSensitiveAnalysis) c
+    else c.toLowerCase(java.util.Locale.ROOT)
+
   private def requireNoDroppedNames(df: DataFrame,
                                     dropped: Set[String] = null): Unit = {
-    val d = if (dropped == null) droppedColumns() else dropped
-    val clash = df.columns.toSet.intersect(d)
+    val d = (if (dropped == null) droppedColumns() else dropped).map(normName(df, _))
+    val clash = df.columns.filter(c => d.contains(normName(df, c)))
     require(clash.isEmpty,
       s"columns ${clash.toSeq.sorted.mkString(",")} were DROPPED from this table; " +
         "re-adding a dropped name would resurrect pre-drop values out of old " +
@@ -510,10 +538,10 @@ final class SnapshotStore(val root: String) {
   private def requireNoRetiredNames(df: DataFrame,
                                     chain: Seq[(String, String)] = null): Unit = {
     val c = if (chain == null) renamedColumns() else chain
-    val renamedTo = c.toMap
-    val clash = df.columns.filter(renamedTo.contains).sorted
+    val renamedTo = c.map { case (f, t) => normName(df, f) -> t }.toMap
+    val clash = df.columns.filter(col => renamedTo.contains(normName(df, col))).sorted
     require(clash.isEmpty,
-      clash.map(f => s"'$f' (renamed to '${renamedTo(f)}')").mkString(", ") +
+      clash.map(f => s"'$f' (renamed to '${renamedTo(normName(df, f))}')").mkString(", ") +
         ": these columns were RENAMED on this table; write the new name(s)")
   }
 
@@ -719,8 +747,12 @@ final class SnapshotStore(val root: String) {
     val kept = kept0.filterNot(isSchemaOnly)
     val all = dataSnapshots.filter(id => id > fromExclusive && id <= toInclusive)
     require(all.nonEmpty, s"no data snapshots in ($fromExclusive, $toInclusive]")
+    // ONE chain read for the whole loop — the public pruneFiles overload
+    // would re-scan every manifest per kept snapshot (O(n²) at 10^3+
+    // commits on the hottest read path)
+    val chain = renamedColumns()
     val paths = kept.flatMap { id =>
-      pruneFiles(id, col, lo, hi) match {
+      pruneFiles(id, col, lo, hi, chain) match {
         case Some((keepPaths, _)) => keepPaths
         case None => Seq(dataPathOf(id).toString) // no file stats: whole snapshot
       }
@@ -728,8 +760,12 @@ final class SnapshotStore(val root: String) {
     val base =
       if (paths.nonEmpty)
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
-      else // everything pruned: empty result with the table's schema
-        spark.read.parquet(dataPathOf(all.head).toString)
+      else // everything pruned: empty result with the table's FULL merged
+        // schema (a first-snapshot-only read would lack later-era added
+        // columns, making .select on the empty result throw where the
+        // unpruned path succeeds); lit(false) keeps it schema-only cost
+        spark.read.option("mergeSchema", "true")
+          .parquet(all.map(dataPathOf(_).toString): _*)
           .where(org.apache.spark.sql.functions.lit(false))
     applyEvolution(base, toInclusive).where(s"$col BETWEEN $lo AND $hi")
   }
@@ -766,11 +802,16 @@ final class SnapshotStore(val root: String) {
     // stats survive compaction when every data input carries them for the
     // same column: merged range = [min of mins, max of maxes] — no extra job
     val inStats = dataInputs.map(snapshotStats)
+    // inputs may record the SAME logical column under pre- and post-rename
+    // names (values are unchanged by a rename) — resolve through the chain
+    // before asking "one column?", else a renamed table's compaction would
+    // silently drop the stats its bulk manifest needs for pruning
+    val statNames = inStats.flatten.map(s => resolveName(chain, s._1)).distinct
     val stats =
-      if (inStats.forall(_.isDefined) && inStats.flatten.map(_._1).distinct.size == 1)
+      if (inStats.forall(_.isDefined) && statNames.size == 1)
         // the rewrite stored the column under its CURRENT name — map the
         // carried stats name through the chain so pruning keeps working
-        Seq("stats_col" -> currentName(inStats.flatten.head._1),
+        Seq("stats_col" -> statNames.head,
           "stats_min" -> inStats.flatten.map(_._2).min.toString,
           "stats_max" -> inStats.flatten.map(_._3).max.toString)
       else Nil
@@ -854,6 +895,16 @@ object SnapshotStore {
     * JSON document; a 100 TB snapshot with 10^5 files needs a real stats
     * table — Iceberg's manifest FILES — not a flat string). */
   val MaxFileStats = 512
+
+  /** Recursive delete shared by the store's stage cleanup and callers
+    * tearing down query-scoped scratch stores — ONE deletion semantics
+    * (NIO walk, depth-first, tolerant of already-gone entries). */
+  private[graft] def deleteRecursively(d: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(d)) {
+      val it = java.nio.file.Files.walk(d)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
+      while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+    }
 }
 
 object ResumableJob {

@@ -58,11 +58,7 @@ object Evolution {
         .orderBy("doc_id")
     } finally {
       // the store is query-scoped scratch: never leak it into /tmp
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
+      graft.io.SnapshotStore.deleteRecursively(dir)
     }
   }
 }

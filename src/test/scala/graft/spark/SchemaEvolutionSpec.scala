@@ -173,6 +173,51 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkFixture {
     assert(skipped.nonEmpty, "pre-rename stats under 'k' must still prune id-range reads")
   }
 
+  test("compaction keeps stats when inputs mix pre- and post-rename stat names") {
+    import spark.implicits._
+    val store = freshStore("renamestats")
+    store.append(Seq((1L, "x")).toDF("k", "v"), statsCol = Some("k"))
+    store.renameColumn(spark, "k", "id")
+    store.append(Seq((9L, "y")).toDF("id", "v"), statsCol = Some("id"))
+    // inputs record stats under 'k' AND 'id' — the same logical column
+    // through the chain; the compacted manifest must keep them (under the
+    // current name) or every pruned read opens the bulk snapshot forever
+    val cid = store.compact(spark, upToInclusive = store.latest.get)
+    assert(store.snapshotStats(cid) === Some(("id", 1L, 9L)))
+    val (kept, skipped) = store.pruneSnapshots(0L, cid, "id", 100L, 200L)
+    assert(kept.isEmpty && skipped.contains(cid))
+  }
+
+  test("evolution guards are resolver-aware and reject manifest metacharacters") {
+    import spark.implicits._
+    val store = freshStore("guards")
+    store.append(Seq((1L, "x", "w1")).toDF("k", "v", "w"))
+    store.dropColumn(spark, "w")
+    // default spark.sql.caseSensitive=false: the read path's drop resolves
+    // case-insensitively, so a differently-cased re-add must be rejected
+    // too (it would be silently dropped from every read)
+    intercept[IllegalArgumentException](
+      store.append(Seq((2L, "y", "W2")).toDF("k", "v", "W")))
+    store.renameColumn(spark, "v", "val")
+    intercept[IllegalArgumentException](
+      store.append(Seq((3L, "z")).toDF("k", "V")))
+    // a ',' in a dropped name would corrupt the comma-joined manifest set
+    intercept[IllegalArgumentException](store.dropColumn(spark, "a,b"))
+  }
+
+  test("readRangePruned: an everything-pruned read keeps the FULL merged schema") {
+    import spark.implicits._
+    val store = freshStore("prunedschema")
+    store.append(Seq((1L, "x")).toDF("k", "v"), statsCol = Some("k"))
+    store.append(Seq((2L, "y", "w2")).toDF("k", "v", "w"), statsCol = Some("k"))
+    val got = store.readRangePruned(spark, 0L, 2L, "k", 100L, 200L)
+    assert(got.count() === 0L)
+    // the later-era column must be selectable on the empty result, exactly
+    // as it is on the unpruned path
+    assert(got.select("w").columns.toSeq === Seq("w"))
+    assert(got.columns.sorted.toSeq === Seq("k", "v", "w"))
+  }
+
   test("upsert: new columns land as evolution; omitting a live column is rejected") {
     import spark.implicits._
     val store = freshStore("partial")
