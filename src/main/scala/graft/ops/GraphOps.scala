@@ -31,31 +31,35 @@ object GraphOps {
     * not a global sort. For iteration counts beyond a handful, checkpoint
     * every ~5 rounds to cut lineage (the [[Dedup.dedupClusters]] pattern). */
   def pagerank(documents: DataFrame, iters: Int = 3, topK: Int = 20): DataFrame = {
+    // n computed ONCE as a driver literal (one count job): as a broadcast
+    // subplan it was re-evaluated by every iteration's plan — 2·iters + 2
+    // redundant corpus scans at 100 TB. nodes likewise persisted: every
+    // iteration's left join re-derives it from the source otherwise.
+    val n = documents.count()
+    require(n > 0, "pagerank: empty corpus")
     val nodes = documents.select(col("doc_id").as("id"))
-    val nRow = documents.agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = documents.selectExpr("doc_id AS src", "doc_id DIV 2 AS dst")
       .unionAll(documents.selectExpr("doc_id", "doc_id DIV 3"))
-      .unionAll(documents.crossJoin(broadcast(nRow))
-        .selectExpr("doc_id", "(doc_id * 131 + 17) % n"))
+      .unionAll(documents.selectExpr("doc_id", s"(doc_id * 131 + 17) % $n"))
       .where("src != dst").distinct()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val ej = edges.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var r = nodes.crossJoin(broadcast(nRow))
-      .selectExpr("id", "CAST(1000000000 AS BIGINT) DIV n AS r")
+    var r = nodes.selectExpr("id", s"CAST(1000000000 AS BIGINT) DIV $n AS r")
     for (_ <- 1 to iters) {
       val c = ej.alias("e").join(r.alias("x"), expr("e.src = x.id"))
         .selectExpr("e.dst AS id", "x.r DIV e.outdeg AS c")
         .groupBy("id").agg(sum("c").as("s"))
       r = nodes.join(c, Seq("id"), "left")
-        .crossJoin(broadcast(nRow))
         .selectExpr("id",
-          "CAST(150000000 AS BIGINT) DIV n + 85 * coalesce(s, CAST(0 AS BIGINT)) DIV 100 AS r")
+          s"CAST(150000000 AS BIGINT) DIV $n + 85 * coalesce(s, CAST(0 AS BIGINT)) DIV 100 AS r")
     }
     val out = r.orderBy(col("r").desc, col("id")).limit(topK)
       .selectExpr("id AS doc_id", "r AS rank_ppb")
       .localCheckpoint(true)
     ej.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     out
   }
 }

@@ -43,6 +43,15 @@ object Selection {
     * (CCNet's Wikipedia, DSIR's target set) — shared with the oracles. */
   val DefaultRefLang = "en"
 
+  /** Guard for lang codes interpolated into SQL filter strings: a quote
+    * would break parsing (or, crafted, widen the reference slice) — the
+    * same rule SnapshotStore applies to interpolated app ids. */
+  private def langLit(l: String): String = {
+    require(l != null && !l.contains("'"),
+      s"language code '$l' must not contain quotes")
+    l
+  }
+
   private def bigrams(documents: DataFrame) =
     documents.where("size(split(text, ' ')) >= 2")
       .selectExpr("doc_id", "lang", s"${Shingles.ws} AS ws")
@@ -66,7 +75,8 @@ object Selection {
     * per-document aggregation that rides the scan partitioning. */
   def lmScore(documents: DataFrame, refLang: String = DefaultRefLang): DataFrame = {
     val big = bigrams(documents)
-    val ref = big.where(s"lang = '$refLang'").groupBy("g").agg(count(lit(1)).as("c"))
+    val ref = big.where(s"lang = '${langLit(refLang)}'")
+      .groupBy("g").agg(count(lit(1)).as("c"))
     big.join(broadcast(ref), Seq("g"), "left")
       .selectExpr("doc_id", s"${FixedLog.spark("coalesce(c, CAST(0 AS BIGINT)) + 1")} AS lp")
       .groupBy("doc_id")
@@ -97,6 +107,7 @@ object Selection {
     * aggregation; nothing scales beyond the corpus scan. */
   def dsirWeights(documents: DataFrame, targetLang: String = DefaultRefLang,
                   buckets: Int = DefaultDsirBuckets): DataFrame = {
+    require(buckets >= 1, s"dsirWeights: buckets must be >= 1, got $buckets")
     val bx = bigrams(documents)
       .selectExpr("doc_id", "lang", s"${Shingles.h32("g")} % $buckets AS b")
     val tbl = bx.groupBy("b").agg(
@@ -197,10 +208,15 @@ object Selection {
     * while the model fits and shuffles when it doesn't — never an
     * all-pairs, and the N total rides a 1-row broadcast. */
   def stupidBackoff(documents: DataFrame, refLang: String = DefaultRefLang): DataFrame = {
-    val toks = documents.where(s"lang = '$refLang' AND text IS NOT NULL")
+    val toks = documents.where(s"lang = '${langLit(refLang)}' AND text IS NOT NULL")
       .selectExpr(s"explode(${Shingles.ws}) AS w")
     val uni = toks.groupBy("w").agg(count(lit(1)).as("c1"))
-    val nTot = toks.agg(count(lit(1)).as("n_total"))
+    // an EMPTY reference slice must fail loudly, not score every position
+    // as OOV against lp(0)'s out-of-contract value — the check rides the
+    // 1-row aggregate (no extra job)
+    val nTot = toks.agg(count(lit(1)).as("n0"))
+      .selectExpr("IF(n0 >= 1, n0, raise_error(" +
+        s"'stupidBackoff: reference-language slice ($refLang) is empty')) AS n_total")
     val probe = documents.where("size(split(text, ' ')) >= 2")
       .selectExpr("doc_id", s"${Shingles.ws} AS ws")
       .selectExpr("doc_id",

@@ -23,7 +23,7 @@ import graft.schema.{ConvSegment, Turn}
   */
 object StreamingSegmenter {
 
-  final case class ConvState(turns: List[(Int, String)], lastTs: Long)
+  final case class ConvState(turns: List[(Int, String)], lastTs: Long, nChars: Long)
   final case class ExtractedStreamTurn(conv_id: String, turn_idx: Int, text: String, ts: Timestamp)
 
   /** Windowed turn-rate aggregation with watermarking — the standard
@@ -50,8 +50,12 @@ object StreamingSegmenter {
     import spark.implicits._
 
     // watermark is declared AFTER the extraction map: an object map emits a
-    // fresh ts column, which would drop the event-time tag if set earlier
+    // fresh ts column, which would drop the event-time tag if set earlier.
+    // Null event times are dropped UP FRONT: the watermark machinery
+    // ignores them and the late-row filter passes them (NULL predicate),
+    // so they would reach the state function and NPE on ts.getTime
     val extracted = turns
+      .filter(_.ts != null)
       .map { t =>
         val (ex, _) = Extractor.safeExtract(t.tool, t.text)
         ExtractedStreamTurn(t.conv_id, t.turn_idx, ex.text, t.ts)
@@ -66,7 +70,15 @@ object StreamingSegmenter {
           if (state.hasTimedOut) {
             val st = state.get
             state.remove()
-            val pages = st.turns.sortBy(_._1).map(_._2).toVector
+            val sorted = st.turns.sortBy(_._1)
+            // same loud invariant as the batch fold (GroupFold): an
+            // at-least-once source re-delivering a turn across micro-
+            // batches must not silently shift every later segment boundary
+            sorted.iterator.map(_._1).foldLeft(Int.MinValue) { (last, cur) =>
+              require(cur > last, s"turn ordering violated in $cid: $cur after $last")
+              cur
+            }
+            val pages = sorted.map(_._2).toVector
             Demarcator.demarcate(pages, rulesFor(cid)).iterator.map { r =>
               ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber,
                 r.ToPageNumber, r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
@@ -74,11 +86,21 @@ object StreamingSegmenter {
                 r.Sequence.getOrElse(""), r.SessionId.getOrElse(""))
             }
           } else {
-            val prev = state.getOption.getOrElse(ConvState(Nil, 0L))
+            val prev = state.getOption.getOrElse(ConvState(Nil, 0L, 0L))
             val add = rows.map(r => (r.turn_idx, r.text, r.ts.getTime)).toList
+            // PREPEND the batch (order is restored by the sort at emit):
+            // appending would copy the whole accumulated list every
+            // micro-batch — quadratic in conversation length
             val st = ConvState(
-              prev.turns ++ add.map(a => (a._1, a._2)),
-              math.max(prev.lastTs, if (add.isEmpty) 0L else add.map(_._3).max))
+              add.map(a => (a._1, a._2)) ::: prev.turns,
+              math.max(prev.lastTs, if (add.isEmpty) 0L else add.map(_._3).max),
+              prev.nChars + add.iterator.map(_._2.length.toLong).sum)
+            // the batch fold's single-task budget, enforced on the state
+            // store too: fail loudly instead of growing executor state
+            // until the task OOMs
+            graft.pipeline.Pipeline.guardConv(cid, st.turns.length, st.nChars,
+              graft.pipeline.Pipeline.DefaultMaxConvPages,
+              graft.pipeline.Pipeline.DefaultMaxConvChars)
             state.update(st)
             // complete once the watermark passes last-turn-ts + idle gap
             state.setTimeoutTimestamp(st.lastTs + idleGapMs)
