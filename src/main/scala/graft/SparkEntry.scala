@@ -127,7 +127,7 @@ object SparkEntry {
     "e_ann_retrain" -> ((s, d) => Similarity.annIvfRetrain(embs(s, d))),
     "d_pagerank" -> ((s, d) => GraphOps.pagerank(docs(s, d))),
     // multimodal plumbing
-    "m_features" -> ((s, d) => Multimodal.features(docs(s, d)).drop("mean_byte")),
+    "m_features" -> ((s, d) => Multimodal.features(docs(s, d))),
     "m_feature_summary" -> ((s, d) => Multimodal.featureSummary(docs(s, d))),
     "m_resize" -> ((s, d) =>
       Multimodal.resize(Multimodal.synthesize(docs(s, d))).toDF().orderBy("doc_id")),
@@ -1202,7 +1202,8 @@ object SparkEntry {
       """WITH env AS (
         |  SELECT doc_id, '{' || concat_ws(', ',
         |    CASE WHEN doc_id % 7 = 0 THEN NULL
-        |         ELSE '"ClientFileName": "' || (CASE WHEN doc_id % 11 = 0 THEN '' ELSE source END) || '"' END,
+        |         ELSE '"ClientFileName": "' || (CASE WHEN doc_id % 11 = 0 THEN ''
+        |              ELSE replace(replace(source, '\', '\\'), '"', '\"') END) || '"' END,
         |    CASE WHEN doc_id % 5 = 0 THEN NULL
         |         ELSE '"UploadDatasheetid": ' || CAST(doc_id * 10 + 1 AS VARCHAR) END,
         |    CASE WHEN doc_id % 3 = 0 THEN NULL
@@ -1284,7 +1285,7 @@ object SparkEntry {
         |s AS (SELECT *, SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM b),
         |sess AS (SELECT user_id, session_seq, MIN(epoch) AS s, MAX(epoch) AS e FROM s GROUP BY 1, 2),
-        |iv AS (SELECT CAST(user_id * 1000 + session_seq AS BIGINT) AS interval_id, s, e
+        |iv AS (SELECT CAST(user_id * 1000000 + session_seq AS BIGINT) AS interval_id, s, e
         |       FROM sess WHERE user_id < 10)
         |SELECT interval_id, iv.s AS s, iv.e AS e, count(*) AS n_events
         |FROM iv JOIN e ON e.epoch BETWEEN iv.s AND iv.e

@@ -33,12 +33,16 @@ object EnvelopeOps {
     * validation gate: every 7th doc omits `ClientFileName`, every 11th has
     * it empty, every 5th omits `UploadDatasheetid`, every 3rd omits
     * `DocReceivedId`. JSON is built by string concatenation (not `to_json`)
-    * so absent-vs-null semantics are explicit and engine-identical. */
+    * so absent-vs-null semantics are explicit and engine-identical; the
+    * interpolated `source` value is JSON-escaped (backslash, then quote) —
+    * un-escaped, a quote in the data would yield malformed JSON that Spark
+    * silently NULLs (wrong quarantine verdict) and DuckDB throws on. */
   def synthesizeEnvelopes(documents: DataFrame): DataFrame =
     documents.selectExpr("doc_id",
       "concat('{', concat_ws(', ', " +
         "IF(doc_id % 7 = 0, CAST(NULL AS STRING), " +
-        "  concat('\"ClientFileName\": \"', IF(doc_id % 11 = 0, '', source), '\"')), " +
+        "  concat('\"ClientFileName\": \"', " +
+        "    IF(doc_id % 11 = 0, '', replace(replace(source, '\\\\', '\\\\\\\\'), '\"', '\\\\\"')), '\"')), " +
         "IF(doc_id % 5 = 0, CAST(NULL AS STRING), " +
         "  concat('\"UploadDatasheetid\": ', CAST(doc_id * 10 + 1 AS STRING))), " +
         "IF(doc_id % 3 = 0, CAST(NULL AS STRING), " +

@@ -21,10 +21,12 @@ object EventOps {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        approx_count_distinct("user_id").as("approx_users"), // sketch: scale path
+        // scale swap: countDistinct becomes approx_count_distinct (Spark's
+        // HLL++) when exactness stops paying for its shuffle — asserted
+        // against the exact count in EventOpsSpec; not emitted here because
+        // its engine-private bias tables cannot replay in the DuckDB oracle
         countDistinct("user_id").as("n_users"),
         expr("CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE)").as("sum_value"))
-      .drop("approx_users") // oracle-visible columns only; sketch exercised above
       .orderBy("window_start", "event_type")
 
   /** Hopping (sliding) windows: length `windowMinutes`, advancing every
@@ -60,9 +62,14 @@ object EventOps {
     * partition rows, or route on AQE's skew stats. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, saltBy: String,
                  salts: Int = 8): DataFrame = {
-    val f = fact.withColumn("_salt", expr(s"pmod(hash($saltBy), $salts)"))
-    val d = dim.withColumn("_salt", explode(expr(s"sequence(0, ${salts - 1})")))
-    f.join(d, Seq(key, "_salt")).drop("_salt")
+    // the internal salt must not collide with (and then silently destroy)
+    // a caller column of the same name — the contract is the PLAIN join
+    val salt = "__graft_salt"
+    Seq(fact, dim).foreach(df => require(!df.columns.contains(salt),
+      s"saltedJoin: input already carries a '$salt' column"))
+    val f = fact.withColumn(salt, expr(s"pmod(hash($saltBy), $salts)"))
+    val d = dim.withColumn(salt, explode(expr(s"sequence(0, ${salts - 1})")))
+    f.join(d, Seq(key, salt)).drop(salt)
   }
 
   /** Skew-safe enrichment: every event joined to its user's session profile
@@ -195,7 +202,11 @@ object EventOps {
                    maxBinsPerInterval: Long = 10000L): DataFrame = {
     val iv = sessionize(events)
       .where(col("user_id") < nUsers)
-      .selectExpr("user_id * 1000 + session_seq AS interval_id",
+      // 10^6 sessions/user of headroom, guarded: an id collision would
+      // corrupt attribution AND break the total-order the oracle compare
+      // relies on
+      .selectExpr("IF(session_seq < 1000000, user_id * 1000000 + session_seq, " +
+        "raise_error('intervalJoin: session_seq overflows the interval_id encoding')) AS interval_id",
         "session_start_epoch AS s", "session_end_epoch AS e")
       .selectExpr("interval_id", "s", "e",
         s"""explode(IF(e DIV $binSeconds - s DIV $binSeconds < $maxBinsPerInterval,
@@ -230,7 +241,10 @@ object EventOps {
     val cohort = wk.groupBy("user_id").agg(min("wk").as("cohort_wk"))
     wk.join(cohort, "user_id")
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
-      .agg(countDistinct("user_id").cast("long").as("n_users"))
+      // wk is distinct on (user_id, wk) and cohort is one row per user, so
+      // each user appears exactly once per group: a plain count equals
+      // countDistinct without the two-phase distinct-aggregate machinery
+      .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_wk", "week_offset")
   }
 

@@ -27,7 +27,6 @@ object Multimodal {
       n_bytes: Int,
       width: Int,
       height: Int,
-      mean_byte: Double,
       header_ok: Boolean)
 
   private def textBytes(text: String): Array[Byte] = text.getBytes("UTF-8")
@@ -80,19 +79,22 @@ object Multimodal {
   private def isY4m(p: Array[Byte]) =
     p.length >= 9 && new String(p, 0, 9, "US-ASCII") == "YUV4MPEG2"
 
-  /** Format-sniffing decode: (width, height, mean body byte, header_ok).
-    * BMP/Y4M report pixel dims; WAV reports (n_samples, 1). */
-  def decode(payload: Array[Byte]): (Int, Int, Double, Boolean) =
+  /** Format-sniffing HEADER parse: (width, height, header_ok). BMP/Y4M
+    * report pixel dims; WAV reports (n_samples, 1). Header-only on every
+    * branch — feature extraction must not pay an O(body) scan for fields
+    * the header already carries (full-body decode lives in the codecs and
+    * the resize/frame paths, which genuinely consume the body). */
+  def decode(payload: Array[Byte]): (Int, Int, Boolean) =
     if (isBmp(payload))
-      MediaCodec.decodeBmp(payload)
-        .map(i => (i.width, i.height, i.meanPixel, true)).getOrElse((0, 0, 0.0, false))
+      MediaCodec.bmpHeaderInfo(payload)
+        .map(i => (i.width, i.height, true)).getOrElse((0, 0, false))
     else if (isWav(payload))
-      MediaCodec.decodeWav(payload)
-        .map(i => (i.nSamples, 1, i.meanSample, true)).getOrElse((0, 0, 0.0, false))
+      MediaCodec.wavHeaderInfo(payload)
+        .map(i => (i.nSamples, 1, true)).getOrElse((0, 0, false))
     else if (isY4m(payload))
-      MediaCodec.decodeY4m(payload)
-        .map(i => (i.width, i.height, i.meanByte, true)).getOrElse((0, 0, 0.0, false))
-    else (0, 0, 0.0, false)
+      MediaCodec.y4mHeaderInfo(payload)
+        .map(i => (i.width, i.height, true)).getOrElse((0, 0, false))
+    else (0, 0, false)
 
   /** Offset of the decoded payload body (BMP pixel array / WAV data chunk /
     * Y4M first frame marker) — read from the PARSED headers (header-only
@@ -103,16 +105,13 @@ object Multimodal {
     else if (isY4m(payload)) MediaCodec.y4mHeaderInfo(payload).map(_.headerLen).getOrElse(payload.length)
     else payload.length
 
-  /** Batched feature extraction: one decode loop per partition (batch shape
-    * preserved for a vectorized backend), schema fixed. */
+  /** Per-row feature extraction (header-only parse, no body scan). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
-      it.map { m =>
-        val (w, h, mean, ok) = decode(m.payload)
-        MediaFeatures(m.doc_id, m.modality, m.payload.length, w, h, mean, ok)
-      }
+    media.map { m =>
+      val (w, h, ok) = decode(m.payload)
+      MediaFeatures(m.doc_id, m.modality, m.payload.length, w, h, ok)
     }
   }
 
@@ -145,10 +144,10 @@ object Multimodal {
   def resize(media: Dataset[MediaRow], factor: Int = 2): Dataset[ResizedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map { m =>
+    media.map { m =>
       val (w2, h2, out) = resizePayload(m.payload, factor)
       ResizedMedia(m.doc_id, m.modality, w2, h2, out.length)
-    })
+    }
   }
 
   final case class FrameSample(
@@ -167,7 +166,7 @@ object Multimodal {
   def frameSample(media: Dataset[MediaRow], frameSize: Int = 16, stride: Int = 4): Dataset[FrameSample] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map { m =>
+    media.map { m =>
       MediaCodec.y4mHeaderInfo(m.payload) match {
         case Some(info) =>
           val kept = (info.nFrames + stride - 1) / stride
@@ -187,7 +186,7 @@ object Multimodal {
           }
           FrameSample(m.doc_id, m.modality, nFrames, kept, keptBytes)
       }
-    })
+    }
   }
 
   /** End-to-end query: synth → decode → per-modality feature rollup. */
@@ -204,7 +203,7 @@ object Multimodal {
       .orderBy("modality")
   }
 
-  /** Per-document features (deterministic; header-derived). */
+  /** Per-document features (deterministic, genuinely header-derived). */
   def features(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._

@@ -52,5 +52,23 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
     assert(plain.select("event_id", "tag").except(salted.select("event_id", "tag")).isEmpty)
     val plan = salted.queryExecution.executedPlan.toString
     assert(plan.contains("_salt"), s"salt must ride the join key:\n$plan")
+    // the internal salt column must not silently destroy a caller's column
+    intercept[IllegalArgumentException](
+      EventOps.saltedJoin(fact.withColumn("__graft_salt", $"user_id"),
+        dim, "user_id", "event_id"))
+  }
+
+  test("approx_count_distinct (the countDistinct scale swap) tracks the exact count") {
+    import spark.implicits._
+    // the documented swap for tumblingCounts' n_users at 100 TB — exercised
+    // here because its engine-private HLL++ cannot replay in the oracle
+    val events = (0L until 5000L).map(i => (i, i % 137)).toDF("event_id", "user_id")
+    val (approx, exact) = events
+      .agg(org.apache.spark.sql.functions.approx_count_distinct("user_id"),
+        org.apache.spark.sql.functions.countDistinct("user_id"))
+      .as[(Long, Long)].head()
+    assert(exact === 137L)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx vs exact $exact")
   }
 }
