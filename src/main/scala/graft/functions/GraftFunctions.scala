@@ -241,8 +241,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => PyContainsOccurrence(args(0), args(1))),
     ("kmv_kth",
       new ExpressionInfo(classOf[KmvKthSmallest].getName, "kmv_kth"),
-      (args: Seq[Expression]) => KmvKthSmallest(args(0),
-        args(1).eval().asInstanceOf[Number].intValue())),
+      (args: Seq[Expression]) => {
+        // k must be a positive integer LITERAL — surface misuse as a clean
+        // analysis-time error, not a raw NPE/ClassCastException from eval
+        require(args.length == 2, s"kmv_kth expects 2 arguments, got ${args.length}")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _)
+            if v.longValue() >= 1 && v.longValue() <= Int.MaxValue => v.intValue()
+          case other => throw new IllegalArgumentException(
+            s"kmv_kth: k must be a positive integer literal, got $other")
+        }
+        KmvKthSmallest(args(0), k)
+      }),
     ("segment_rows",
       new ExpressionInfo(classOf[SegmentRowsGenerator].getName, "segment_rows"),
       (args: Seq[Expression]) => SegmentRowsGenerator(args(0), args(1))))

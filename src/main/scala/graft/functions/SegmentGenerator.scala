@@ -109,7 +109,14 @@ case class SegmentRowsGenerator(turns: Expression, rules: Expression)
   private def int(row: InternalRow, f: String): Int =
     rIdx.get(f) match {
       case Some((i, IntegerType)) if !row.isNullAt(i) => row.getInt(i)
-      case Some((i, LongType)) if !row.isNullAt(i) => row.getLong(i).toInt
+      case Some((i, LongType)) if !row.isNullAt(i) =>
+        val v = row.getLong(i)
+        // LongType is accepted for schemaless-JSON convenience, but an
+        // out-of-int-range value must fail HERE, not silently wrap and
+        // run the fold with a wrong page count
+        require(v >= Int.MinValue && v <= Int.MaxValue,
+          s"segment_rows: rule field '$f' value $v overflows INT")
+        v.toInt
       case _ => 0
     }
   private def longOpt(row: InternalRow, f: String): Option[Long] =
@@ -131,8 +138,12 @@ case class SegmentRowsGenerator(turns: Expression, rules: Expression)
 
     val sorted = Array.tabulate(tArr.numElements()) { i =>
       val row = tArr.getStruct(i, turnsSchema.length)
-      val idx: Integer = if (row.isNullAt(tIdx)) null else Int.box(row.getInt(tIdx))
-      val text = if (row.isNullAt(tText)) "" else row.getUTF8String(tText).toString
+      // a null array ELEMENT (json nulls, array(…, NULL)) must fail with
+      // the loud invariant below, not a raw NPE from row.isNullAt
+      val idx: Integer =
+        if (row == null || row.isNullAt(tIdx)) null else Int.box(row.getInt(tIdx))
+      val text =
+        if (row == null || row.isNullAt(tText)) "" else row.getUTF8String(tText).toString
       (idx, text)
     }.sortBy(t => if (t._1 == null) Int.MaxValue else t._1.intValue())
     // same loud invariant as the production GroupFold path
@@ -149,6 +160,7 @@ case class SegmentRowsGenerator(turns: Expression, rules: Expression)
 
     val coreRules = (0 until rArr.numElements()).map { i =>
       val row = rArr.getStruct(i, rulesSchema.length)
+      require(row != null, s"segment_rows: rules[$i] is a null struct")
       Rule(
         documentTypeId = strOpt(row, "DocumentTypeID"),
         documentTypeName = str(row, "DocumentTypeName", ""),

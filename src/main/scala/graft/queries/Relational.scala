@@ -36,12 +36,17 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** Broadcast-join fact-to-dim + aggregate: revenue by market segment. */
+  /** Fact-to-dim join + aggregate: revenue by market segment. The dim is
+    * NOT force-broadcast: customer is SF-proportional (2.5·10^10 rows at
+    * the 10^12-row scale this file designs for), so the broadcast decision
+    * belongs to the size-based planner/AQE — under the threshold at test
+    * SF it still broadcasts, beyond it the hint would OOM the driver.
+    * Fixed-size dims (nation, 25 rows) keep the explicit hint. */
   def q2JoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = tbl(spark, sfDir, "orders").select("o_custkey", "o_totalprice")
     val customer = tbl(spark, sfDir, "customer").select("c_custkey", "c_mktsegment")
     orders
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), decSum("o_totalprice").as("revenue"))
       .orderBy("c_mktsegment")
@@ -54,8 +59,8 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
-  /** Window functions: per-customer order sequence + running order count +
-    * rank of price within customer. */
+  /** Window functions: per-customer order sequence (row_number) + running
+    * order count over the unbounded-preceding frame. */
   def q4Window(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
     tbl(spark, sfDir, "orders")
@@ -128,8 +133,11 @@ object Relational {
     val li = tbl(spark, sfDir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
     val part = tbl(spark, sfDir, "part").select("p_partkey", "p_name")
     val supp = tbl(spark, sfDir, "supplier").select("s_suppkey", "s_nationkey")
-    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
-      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+    // part/supplier are SF-proportional — broadcast is the PLANNER's call
+    // (size threshold / AQE), not a hint that OOMs at the 100 TB scale
+    // (see q2JoinAgg); at test SF both still plan as broadcast joins
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
       .groupBy("s_nationkey")
       .agg(count(lit(1)).as("n_lineitems"), decSum("l_quantity").as("total_qty"),
         countDistinct("p_partkey").as("n_parts"))
@@ -148,18 +156,6 @@ object Relational {
         col("n"), col("revenue"))
       .orderBy("priority", "status")
 
-  /** Exact rank-based quantiles (p50/p90) per group — quantile_disc
-    * semantics (the reported values are actual data elements, engine-exact).
-    *
-    * Scale shape: the group key has ~5 values, so a window partitioned by it
-    * would sort each group's entire slice in ONE task — a straggler at 100×.
-    * Instead: range-repartition + sort by (group, value, key) — a PARALLEL
-    * sort across all partitions — then `zipWithIndex` for global positions
-    * (its internal per-partition count job runs over the persisted sorted
-    * result, so both passes see identical partitions), and per-group rank =
-    * global position − group start, where group starts come from a tiny
-    * G-row broadcast aggregate. No task ever holds more than one partition
-    * of one group's slice. */
   /** Pivot (wide conditional aggregation): quantity by return flag spread
     * across line-status columns — the `groupBy().pivot()` API surface.
     * Pivot values are EXPLICIT, so no extra distinct-values job runs before
@@ -174,6 +170,18 @@ object Relational {
       .selectExpr("l_returnflag", "`F` AS qty_f", "`O` AS qty_o")
       .orderBy("l_returnflag")
 
+  /** Exact rank-based quantiles (p50/p90) per group — quantile_disc
+    * semantics (the reported values are actual data elements, engine-exact).
+    *
+    * Scale shape: the group key has ~5 values, so a window partitioned by it
+    * would sort each group's entire slice in ONE task — a straggler at 100×.
+    * Instead: range-repartition + sort by (group, value, key) — a PARALLEL
+    * sort across all partitions — then `zipWithIndex` for global positions
+    * (its internal per-partition count job runs over the persisted sorted
+    * result, so both passes see identical partitions), and per-group rank =
+    * global position − group start, where group starts come from a tiny
+    * G-row broadcast aggregate. No task ever holds more than one partition
+    * of one group's slice. */
   def q13Quantiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val p = spark.sessionState.conf.numShufflePartitions
