@@ -89,6 +89,12 @@ object SubmitMain {
         case "json" => spark.read.schema(schema).option("mode", "FAILFAST").json(path)
         case "csv" => spark.read.schema(schema)
           .option("header", "true").option("mode", "FAILFAST")
+          // enforceSchema=false VALIDATES the header against the declared
+          // schema; the default ignores the header and binds columns by
+          // position, so a column-order mismatch between writer and schema
+          // would silently scramble string fields (identifier classes swap
+          // type-check under FAILFAST)
+          .option("enforceSchema", "false")
           .option("multiLine", "true").option("escape", "\"")
           // default nullValue is the empty string — that would silently
           // turn every empty tool/identifier column into null (and " " is
@@ -138,7 +144,14 @@ object SubmitMain {
     val linSnap = store.append(
       Pipeline.lineageFromStats(spark, stage, stats.value, snapshotId = segSnap).toDF(),
       Map("table" -> "lineage", "segments_snapshot" -> segSnap.toString))
-    val nSegs = store.read(spark, segSnap).count()
+    // segment-stage routes already hold the committed row count in the
+    // lineage accumulator (rows_out) — re-scanning the just-committed
+    // table for a println is a full extra read pass at 10^12 turns. The
+    // two-stage route's stats cover extraction, not the fold, so it keeps
+    // the readback count.
+    val nSegs =
+      if (stage == "segment") stats.value.values.iterator.map(_._2).sum
+      else store.read(spark, segSnap).count()
     println(s"""{"segments_snapshot":$segSnap,"lineage_snapshot":$linSnap,"segments":$nSegs}""")
   }
 }

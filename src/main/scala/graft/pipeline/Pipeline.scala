@@ -21,22 +21,27 @@ import graft.schema._
   * once, committed by manifest rename). */
 final class PartitionStatsAcc
     extends org.apache.spark.util.AccumulatorV2[(Int, Long, Long, Long), Map[Int, (Long, Long, Long)]] {
+  // every access synchronized: executor heartbeats serialize registered
+  // task accumulators CONCURRENTLY with the task thread's add() — an
+  // unguarded mutable.Map resize mid-serialization throws or snapshots
+  // corrupt state (the race Spark fixed for its own CollectionAccumulator
+  // in SPARK-34731)
   private val m = scala.collection.mutable.Map.empty[Int, (Long, Long, Long)]
-  override def isZero: Boolean = m.isEmpty
+  override def isZero: Boolean = m.synchronized(m.isEmpty)
   override def copy(): PartitionStatsAcc = {
     val c = new PartitionStatsAcc
-    m.foreach { case (k, v) => c.m(k) = v }
+    m.synchronized(m.foreach { case (k, v) => c.m(k) = v })
     c
   }
-  override def reset(): Unit = m.clear()
-  override def add(v: (Int, Long, Long, Long)): Unit = {
+  override def reset(): Unit = m.synchronized(m.clear())
+  override def add(v: (Int, Long, Long, Long)): Unit = m.synchronized {
     val (p, i, o, e) = v
     val cur = m.getOrElse(p, (0L, 0L, 0L))
     m(p) = (cur._1 + i, cur._2 + o, cur._3 + e)
   }
   override def merge(other: org.apache.spark.util.AccumulatorV2[(Int, Long, Long, Long), Map[Int, (Long, Long, Long)]]): Unit =
     other.value.foreach { case (p, (i, o, e)) => add((p, i, o, e)) }
-  override def value: Map[Int, (Long, Long, Long)] = m.toMap
+  override def value: Map[Int, (Long, Long, Long)] = m.synchronized(m.toMap)
 }
 
 /** The end-to-end extraction + segmentation pipeline (SURVEY §3.1 "Spark
@@ -119,20 +124,25 @@ object Pipeline {
     // NULL column (absent field) stays None, mirroring the reference's
     // `identifier.get("DocumentTypeID")` (ocr_processor.py:496)
     documentTypeId = Option(r.DocumentTypeID),
-    documentTypeName = r.DocumentTypeName,
-    startingIdentifier = r.StartingIdentifier,
-    startingIdentifierPlus1 = r.StartingIdentifierPlus1,
-    endingIdentifier = r.EndingIdentifier,
-    endingIdentifierMinus1 = r.EndingIdentifierMinus1,
+    // nullable parquet strings: Option(...) (not Some) so a NULL column
+    // becomes None — Some(null) would NPE inside demarcate's sequence
+    // sort or leak null through getOrElse("") at emit; identifier-class
+    // fields null-coalesce to "" exactly like the catalyst route's
+    // rowToRule, so the two routes agree on NULL-bearing rule tables
+    documentTypeName = Option(r.DocumentTypeName).getOrElse(""),
+    startingIdentifier = Option(r.StartingIdentifier).getOrElse(""),
+    startingIdentifierPlus1 = Option(r.StartingIdentifierPlus1).getOrElse(""),
+    endingIdentifier = Option(r.EndingIdentifier).getOrElse(""),
+    endingIdentifierMinus1 = Option(r.EndingIdentifierMinus1).getOrElse(""),
     noOfPages = r.NoOfPages,
     occurence = r.Occurence,
-    startingMinusN = r.StartingMinusN,
-    endingMinusN = r.EndingMinusN,
-    sequence = Some(r.Sequence),
+    startingMinusN = Option(r.StartingMinusN).getOrElse(""),
+    endingMinusN = Option(r.EndingMinusN).getOrElse(""),
+    sequence = Option(r.Sequence),
     docReceivedId = Some(r.DocReceivedId),
-    firmFile = Some(r.FirmFile),
+    firmFile = Option(r.FirmFile),
     uploadDatasheetId = Some(r.UploadDatasheetid),
-    sessionId = Some(r.SessionId)
+    sessionId = Option(r.SessionId)
   )
 
   /** Streaming grouping iterator: consumes a (conv_id, turn_idx)-sorted
@@ -300,7 +310,16 @@ object Pipeline {
             guardConv(cid, n, nChars, DefaultMaxConvPages, DefaultMaxConvChars)
             buf += ((t._2, ex.text))
           }
-          val pages = buf.result().sortBy(_._1).map(_._2)
+          val sorted = buf.result().sortBy(_._1)
+          // same loud invariant as GroupFold: a duplicated turn_idx must
+          // not silently fold in shuffle-arrival order (the routing
+          // threshold must never change results)
+          var last = Int.MinValue
+          sorted.foreach { p =>
+            require(p._1 > last, s"turn ordering violated in $cid: ${p._1} after $last")
+            last = p._1
+          }
+          val pages = sorted.map(_._2)
           val rows = Demarcator.demarcate(pages, rs.map(toCoreRule).toSeq)
           // per-group accumulator add (locally merged until task end): the
           // demarcation output is materialized, so counts are final here
@@ -370,7 +389,27 @@ object Pipeline {
         // broadcast routes (see segmentFusedCogroup)
         if (!ts.hasNext) Iterator.empty
         else {
-          val pages = ts.toVector.sortBy(_._2).map(_._3)
+          // same incremental fold budget as every other route: this is the
+          // --two-stage fold stage, and an unguarded toVector here would be
+          // exactly the silent OOM guardConv exists to prevent
+          var nChars = 0L
+          var n = 0
+          val buf = Vector.newBuilder[(Int, String)]
+          ts.foreach { t =>
+            n += 1
+            nChars += t._3.length.toLong
+            guardConv(cid, n, nChars, DefaultMaxConvPages, DefaultMaxConvChars)
+            buf += ((t._2, t._3))
+          }
+          val sorted = buf.result().sortBy(_._1)
+          // same loud invariant as GroupFold: a duplicated turn_idx must
+          // not silently fold in shuffle-arrival order
+          var last = Int.MinValue
+          sorted.foreach { p =>
+            require(p._1 > last, s"turn ordering violated in $cid: ${p._1} after $last")
+            last = p._1
+          }
+          val pages = sorted.map(_._2)
           val coreRules = rs.map(toCoreRule).toSeq
           Demarcator.demarcate(pages, coreRules).iterator.map { r =>
             ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber,

@@ -47,6 +47,18 @@ object SegmentPlans {
     AttributeReference("Sequence", StringType, nullable = false)(),
     AttributeReference("SessionId", StringType, nullable = false)())
 
+  /** Idempotent, RACE-SAFE strategy registration: extraStrategies is a
+    * plain var, so two threads planning on the same session could each
+    * read-modify-write the Seq and silently drop one registration (the
+    * loser's query then fails on an unresolvable node). One process-wide
+    * lock serializes the tiny critical section. */
+  private val registerLock = new Object
+  private def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    registerLock.synchronized {
+      if (!spark.experimental.extraStrategies.contains(SegmentStrategy))
+        spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ SegmentStrategy
+    }
+
   /** Dataset-API entry: project the needed columns, wrap the child plan in
     * the logical operator, ensure the strategy is registered, and rebuild a
     * DataFrame. With `stats` set, per-partition (turns in, segments out,
@@ -56,8 +68,7 @@ object SegmentPlans {
               rulesFor: String => Seq[Rule],
               stats: Option[graft.pipeline.PartitionStatsAcc] = None): org.apache.spark.sql.DataFrame = {
     val spark = turns.sparkSession
-    if (!spark.experimental.extraStrategies.contains(SegmentStrategy))
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ SegmentStrategy
+    ensureStrategy(spark)
     val child = turns.select("conv_id", "turn_idx", "tool", "text")
       .queryExecution.analyzed
     org.apache.spark.sql.classic.GraftDatasetBridge.ofRows(
@@ -84,8 +95,7 @@ object SegmentPlans {
                   rules: org.apache.spark.sql.Dataset[graft.schema.ConvRule],
                   stats: Option[graft.pipeline.PartitionStatsAcc] = None): org.apache.spark.sql.DataFrame = {
     val spark = turns.sparkSession
-    if (!spark.experimental.extraStrategies.contains(SegmentStrategy))
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ SegmentStrategy
+    ensureStrategy(spark)
     val tChild = turns.select("conv_id", "turn_idx", "tool", "text")
       .queryExecution.analyzed
     val rChild = rules.toDF().select(RuleCols.map(org.apache.spark.sql.functions.col): _*)
@@ -165,36 +175,7 @@ final case class SegmentExec(
     val acc = lineageStats
     val types = output.map(_.dataType).toArray
     child.execute().mapPartitions { it =>
-      // downstream consumers require UnsafeRow; the projection is created
-      // per partition (codegen'd, not serializable)
-      val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(types)
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var in = 0L
-      var out = 0L
-      var errs = 0L
-      for (a <- acc; tc <- Option(org.apache.spark.TaskContext.get()))
-        tc.addTaskCompletionListener[Unit](_ => a.add((pid, in, out, errs)))
-      // copy out of the reused UnsafeRow before buffering
-      val tuples = it.map { row =>
-        in += 1
-        (row.getUTF8String(ci).toString, row.getInt(ti),
-          row.getUTF8String(to).toString, row.getUTF8String(te).toString)
-      }
-      new Pipeline.GroupFold(tuples, rules,
-        (tool, text) => {
-          val (ex, err) = Extractor.safeExtract(tool, text)
-          if (err) errs += 1
-          ex.text
-        })
-        .map { s: ConvSegment =>
-          out += 1
-          toUnsafe(new GenericInternalRow(Array[Any](
-            UTF8String.fromString(s.conv_id), s.DocReceivedId, s.FromPageNumber,
-            s.ToPageNumber, UTF8String.fromString(s.FileNumber),
-            UTF8String.fromString(s.DocumentTypeId), s.UploadDataSheetId,
-            s.TotalNumberOfpages, s.NoOfPages, UTF8String.fromString(s.Sequence),
-            UTF8String.fromString(s.SessionId)))): InternalRow
-        }
+      SegmentJoinExec.foldPartition(it, ci, ti, to, te, rules, acc, types)
     }
   }
 
@@ -243,20 +224,16 @@ final case class SegmentJoinExec(
     val acc = lineageStats
     val types = output.map(_.dataType).toArray
     left.execute().zipPartitions(right.execute()) { (tIt, rIt0) =>
-      val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(types)
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var in = 0L
-      var out = 0L
-      var errs = 0L
-      for (a <- acc; tc <- Option(org.apache.spark.TaskContext.get()))
-        tc.addTaskCompletionListener[Unit](_ => a.add((pid, in, out, errs)))
       // rules stream keyed by UTF8String so the merge compares in the SAME
       // binary order the exchanges sorted both sides with (Java String
       // comparison diverges from UTF-8 byte order for supplementary-plane
       // ids — a silent rules-cursor misalignment, not an error). Keys are
-      // cloned out of the reused row buffer.
-      val rIt = rIt0.map { row =>
-        (row.getUTF8String(0).clone(), SegmentJoinExec.rowToRule(row))
+      // cloned out of the reused row buffer; a NULL conv_id rule (sorted
+      // NullsFirst to the partition head) can never match a conversation
+      // and is skipped instead of NPE-ing the cursor.
+      val rIt = rIt0.flatMap { row =>
+        if (row.isNullAt(0)) None
+        else Some((row.getUTF8String(0).clone(), SegmentJoinExec.rowToRule(row)))
       }.buffered
       // advance-and-collect: convs are folded in ascending order, so one
       // forward pass over the rules stream serves every lookup
@@ -267,26 +244,7 @@ final case class SegmentJoinExec(
         while (rIt.hasNext && rIt.head._1.compareTo(ck) == 0) b += rIt.next()._2
         b.result()
       }
-      val tuples = tIt.map { row =>
-        in += 1
-        (row.getUTF8String(ci).toString, row.getInt(ti),
-          row.getUTF8String(to).toString, row.getUTF8String(te).toString)
-      }
-      new Pipeline.GroupFold(tuples, rulesFor,
-        (tool, text) => {
-          val (ex, err) = Extractor.safeExtract(tool, text)
-          if (err) errs += 1
-          ex.text
-        })
-        .map { s: ConvSegment =>
-          out += 1
-          toUnsafe(new GenericInternalRow(Array[Any](
-            UTF8String.fromString(s.conv_id), s.DocReceivedId, s.FromPageNumber,
-            s.ToPageNumber, UTF8String.fromString(s.FileNumber),
-            UTF8String.fromString(s.DocumentTypeId), s.UploadDataSheetId,
-            s.TotalNumberOfpages, s.NoOfPages, UTF8String.fromString(s.Sequence),
-            UTF8String.fromString(s.SessionId)))): InternalRow
-        }
+      SegmentJoinExec.foldPartition(tIt, ci, ti, to, te, rulesFor, acc, types)
     }
   }
 
@@ -296,13 +254,65 @@ final case class SegmentJoinExec(
 }
 
 object SegmentJoinExec {
+
+  /** Shared per-partition decode → [[Pipeline.GroupFold]] → UnsafeRow
+    * encode used by BOTH physical operators (one copy: a fix to the row
+    * encode or stats wiring cannot silently miss the sibling). Rows with a
+    * NULL conv_id are counted as input and SKIPPED — the broadcast route's
+    * null group folds with no rules and emits nothing, so skipping keeps
+    * the routes-agree contract where a getUTF8String NPE would not. */
+  private[plans] def foldPartition(
+      it: Iterator[InternalRow],
+      ci: Int, ti: Int, to: Int, te: Int,
+      rulesFor: String => Seq[Rule],
+      acc: Option[graft.pipeline.PartitionStatsAcc],
+      types: Array[org.apache.spark.sql.types.DataType]): Iterator[InternalRow] = {
+    // downstream consumers require UnsafeRow; the projection is created
+    // per partition (codegen'd, not serializable)
+    val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(types)
+    val pid = org.apache.spark.TaskContext.getPartitionId()
+    var in = 0L
+    var out = 0L
+    var errs = 0L
+    for (a <- acc; tc <- Option(org.apache.spark.TaskContext.get()))
+      tc.addTaskCompletionListener[Unit](_ => a.add((pid, in, out, errs)))
+    // copy out of the reused UnsafeRow before buffering
+    val tuples = it.flatMap { row =>
+      in += 1
+      if (row.isNullAt(ci)) None
+      else Some((row.getUTF8String(ci).toString, row.getInt(ti),
+        row.getUTF8String(to).toString, row.getUTF8String(te).toString))
+    }
+    new Pipeline.GroupFold(tuples, rulesFor,
+      (tool, text) => {
+        val (ex, err) = Extractor.safeExtract(tool, text)
+        if (err) errs += 1
+        ex.text
+      })
+      .map { s: ConvSegment =>
+        out += 1
+        toUnsafe(new GenericInternalRow(Array[Any](
+          UTF8String.fromString(s.conv_id), s.DocReceivedId, s.FromPageNumber,
+          s.ToPageNumber, UTF8String.fromString(s.FileNumber),
+          UTF8String.fromString(s.DocumentTypeId), s.UploadDataSheetId,
+          s.TotalNumberOfpages, s.NoOfPages, UTF8String.fromString(s.Sequence),
+          UTF8String.fromString(s.SessionId)))): InternalRow
+      }
+  }
+
   /** Decode one rules row (in [[SegmentPlans.RuleCols]] order) to the core
     * rule — same mapping as [[Pipeline.toCoreRule]]. */
   private[plans] def rowToRule(row: InternalRow): Rule = {
     def s(i: Int): String = if (row.isNullAt(i)) "" else row.getUTF8String(i).toString
+    def sOpt(i: Int): Option[String] =
+      if (row.isNullAt(i)) None else Some(row.getUTF8String(i).toString)
     Rule(
-      // NULL stays None (reference: `identifier.get("DocumentTypeID")`)
-      documentTypeId = if (row.isNullAt(1)) None else Some(row.getUTF8String(1).toString),
+      // NULL stays None (reference: `identifier.get("DocumentTypeID")`);
+      // the other OPTIONAL fields get the same treatment — Some("") for a
+      // NULL Sequence would throw NumberFormatException in demarcate's
+      // sort and diverge from the broadcast route's None (which sorts as
+      // the missing-sequence default)
+      documentTypeId = sOpt(1),
       documentTypeName = s(2),
       startingIdentifier = s(3),
       startingIdentifierPlus1 = s(4),
@@ -312,10 +322,10 @@ object SegmentJoinExec {
       occurence = if (row.isNullAt(8)) 0 else row.getInt(8),
       startingMinusN = s(9),
       endingMinusN = s(10),
-      sequence = Some(s(11)),
+      sequence = sOpt(11),
       docReceivedId = Some(if (row.isNullAt(12)) 0L else row.getLong(12)),
-      firmFile = Some(s(13)),
+      firmFile = sOpt(13),
       uploadDatasheetId = Some(if (row.isNullAt(14)) 0L else row.getLong(14)),
-      sessionId = Some(s(15)))
+      sessionId = sOpt(15))
   }
 }
