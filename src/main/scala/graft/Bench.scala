@@ -1,7 +1,5 @@
 package graft
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR at
@@ -24,6 +22,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the f-interpolators below are locale-sensitive: a comma-decimal
+    // default locale would render 76,500 and break every JSON consumer
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // 100k convs (~1.78M turns): large enough that the fixed ~0.4s/job
@@ -50,9 +51,9 @@ object Bench {
         try s.pulse() catch { case e: Throwable => System.err.println(s"[bench] pulse: ${e.getMessage}") })
 
     val spark = graft.bench.Scaling.session(cpus)
-    def gcMs: Long = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-      .asScala.map(_.getCollectionTime).sum
+    def gcMs: Long = graft.bench.Scaling.gcMs
     val warmGc = scala.collection.mutable.Map.empty[String, Long]
+    val failed = scala.collection.mutable.Map.empty[String, String]
     // pulses interleave through the COLD pass only (cold timings are
     // informational); the warm pass — the reported numbers — runs with the
     // burst children fully parked. r3's t_extract/t_segment 3× inflation at
@@ -63,7 +64,12 @@ object Bench {
         val g0 = gcMs
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); () }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        catch { case e: Throwable =>
+          // record the failure IN the JSON — a swallowed error would read
+          // as a near-zero "speedup" of that query in the totals
+          failed(name) = e.getClass.getSimpleName
+          System.err.println(s"[bench] $name: ${e.getMessage}")
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         gcOut.foreach(_.update(name, gcMs - g0))
         // burst pair AFTER the timing capture — queries and bursts stay
@@ -72,6 +78,11 @@ object Bench {
         name -> sec
       }.toMap
     val cold = pass(pulsing = true, gcOut = None)
+    // the warm pass is the REPORTED pass: wait (bounded) for a
+    // still-running prepare to finish so child materialization/warmup
+    // cannot contend with it — and record honestly when it could have
+    prep.foreach(_.join(180000L))
+    val warmPulseFree = prep.forall(!_.isAlive)
     val warm = pass(pulsing = false, gcOut = Some(warmGc))
     spark.stop()
 
@@ -113,8 +124,13 @@ object Bench {
     val scalingJson = scaling.map(r =>
       s""","scaling":${r.json},"scaling_note":"min over interleaved bursts; pulses in cold pass + after passes only (warm pass pulse-free); see BENCH.md"""")
       .getOrElse("")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString(",\"failed_queries\":{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"warm_gc_ms":$gcs,"sf":"$sfDir","cold_total_sec":${f"$coldTotal%.3f"},"cpus":$cpus,"warm_pass_pulse_free":true$scalingJson}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"warm_gc_ms":$gcs,"sf":"$sfDir","cold_total_sec":${f"$coldTotal%.3f"},"cpus":$cpus,"warm_pass_pulse_free":$warmPulseFree$failedJson$scalingJson}"""
     println(line)
     // the driver keeps only the last ~2000 chars of the line; persist the
     // full JSON at the REPO ROOT (GRAFT_REPO_ROOT / build.sbt-ancestor —

@@ -40,9 +40,13 @@ object KernelBench {
       }
       // any chunking mismatch: count down remaining
       (chunks.length until threads).foreach(_ => done.countDown())
-      done.await(600, TimeUnit.SECONDS)
+      val completed = done.await(600, TimeUnit.SECONDS)
       val sec = (System.nanoTime() - t0) / 1e9
-      pool.shutdown()
+      // shutdownNow interrupts stragglers so a timed-out level cannot keep
+      // hammering cores while the NEXT level is being measured; and an
+      // incomplete level must fail loudly, not report garbage throughput
+      pool.shutdownNow()
+      require(completed, s"kernel bench: level $threads timed out after 600s")
       turns.length / sec
     }
 

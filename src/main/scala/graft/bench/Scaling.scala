@@ -49,6 +49,13 @@ import graft.schema.Turn
   */
 object Scaling {
 
+  /** Cumulative JVM GC collection time — ONE definition shared by every
+    * bench (Bench warm-pass attribution, runLevel, the burst child), so
+    * gc_ms semantics cannot drift between them. */
+  private[graft] def gcMs: Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+
   final case class Level(cpus: Int, seconds: Double, turnsPerSec: Double, nSegments: Long)
 
   final case class Result(nConvs: Long, nTurns: Long, levels: Vector[Level],
@@ -183,10 +190,17 @@ object Scaling {
 
   private[bench] def childJvmCmd(mainClass: String, gcThreads: Int, args: Seq[String]): Seq[String] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filter(a =>
-        a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
-        a.startsWith("java.base/"))
+    // pair-aware: the two-argument form ("--add-opens" "<module spec>")
+    // arrives as two separate input arguments — keeping the flag but
+    // dropping its value would make the child JVM parse the NEXT flag as
+    // the module spec and die at spawn
+    val inArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toVector
+    val addOpens = inArgs.zipWithIndex.flatMap { case (a, i) =>
+      if (a == "--add-opens" || a == "--add-exports") Seq(a) ++ inArgs.lift(i + 1)
+      else if (a.startsWith("--add-opens=") || a.startsWith("--add-exports=")) Seq(a)
+      else Seq.empty
+    }
     Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx16g", "-XX:+UseParallelGC", s"-XX:ParallelGCThreads=$gcThreads",
       "-Dspark.ui.enabled=false",
@@ -198,15 +212,33 @@ object Scaling {
     * holds a live SparkContext of its own. */
   def materializeInChild(nConvs: Long, seed: Long, genCpus: Int): (String, Long) = {
     val dir = Files.createTempDirectory(scratchRoot, "graft-scaling").toString
-    val pb = new ProcessBuilder(childJvmCmd("graft.bench.MaterializeRunner", genCpus,
-      Seq(dir, nConvs.toString, seed.toString, genCpus.toString)): _*)
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    proc.waitFor()
-    val n = out.linesIterator.find(_.startsWith("TURNS ")).map(_.drop(6).trim.toLong)
-      .getOrElse(sys.error(s"materialize child produced no TURNS line (exit ${proc.exitValue()})"))
-    (dir, n)
+    try {
+      val pb = new ProcessBuilder(childJvmCmd("graft.bench.MaterializeRunner", genCpus,
+        Seq(dir, nConvs.toString, seed.toString, genCpus.toString)): _*)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      // stdout drained on a daemon thread so the wait below can be BOUNDED
+      // — a wedged child must fail the prepare loudly, not hang the bench
+      val buf = new java.io.ByteArrayOutputStream()
+      val rd = new Thread(() =>
+        try { proc.getInputStream.transferTo(buf); () } catch { case _: Throwable => })
+      rd.setDaemon(true)
+      rd.start()
+      if (!proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)) {
+        proc.destroyForcibly()
+        sys.error("materialize child exceeded 600s — killed")
+      }
+      rd.join(5000L)
+      val out = buf.toString("UTF-8")
+      val n = out.linesIterator.find(_.startsWith("TURNS ")).map(_.drop(6).trim.toLong)
+        .getOrElse(sys.error(s"materialize child produced no TURNS line (exit ${proc.exitValue()})"))
+      (dir, n)
+    } catch {
+      // on tmpfs a leaked partial-parquet dir is leaked RAM across runs
+      case e: Throwable =>
+        graft.io.SnapshotStore.deleteRecursively(java.nio.file.Paths.get(dir))
+        throw e
+    }
   }
 
   /** Occupancy ballast: `n` pure-ALU spinner threads (no memory traffic,
@@ -258,8 +290,7 @@ object Scaling {
         SyntheticTranscripts.turns(spark, math.min(4000L, nConvs), seed), bc).count()
       var best = Double.MaxValue
       var segs = 0L
-      def gcMs: Long = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).sum
+      def gcMs: Long = Scaling.gcMs
       var i = 0
       var plateau = 0
       val maxReps = if (maxRepsOpt > 0) maxRepsOpt else math.max(reps, 10)
@@ -609,8 +640,7 @@ object BurstLevelRunner {
         val turns = spark.read.parquet(s"$dir/turns").as[Turn]
         Pipeline.segmentFused(turns, bc).count()
       }
-      def gcMs: Long = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).sum
+      def gcMs: Long = Scaling.gcMs
       // warmup under ballast (same occupancy as the timed reps): a small
       // pass to JIT the kernels cheaply, then a half-size pass so the heap
       // and GC ergonomics expand to realistic allocation rates BEFORE the
@@ -659,6 +689,8 @@ object BurstLevelRunner {
   */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON decimal points
+
     val nConvs = if (args.length > 0) args(0).toLong else 100000L
     val levels = if (args.length > 1) args(1).split(",").toSeq.map(_.toInt) else Seq(4, 16)
     val budget = if (args.length > 2) args(2).toLong else 420000L
