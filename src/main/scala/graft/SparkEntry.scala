@@ -625,18 +625,20 @@ object SparkEntry {
 
   /** Replays [[Similarity.annIvfRetrain]]: the shared standing training
     * chain ([[standingIvfCtes]]) gives the frozen cells; per scenario
-    * (`g0` = the raw grid, `g1` = delta compressed by `// RetrainDriftDiv`)
+    * (`g0` = the raw grid, `g1` = delta shifted out of the training cube
+    * by `+ RetrainDriftShift`)
     * the per-slice frozen fit, the `delta_msd > factor·standing_msd`
     * decision, the warm-start Lloyd rounds seeded from the frozen cells
     * (dead-cell keep) and the retrained fit — then a CASE on the decision
     * picks the ACTIONED index's msd, exactly the loop the Spark side runs.
-    * All truncating-integer arithmetic on the nonnegative grid, so `//`
-    * and Java `/` agree. */
+    * All exact integer arithmetic; the grid straddles 0 (testdata floats
+    * are zero-centered) but DuckDB `//` and Java `/` both truncate toward
+    * zero, so the centroid-mean and msd divisions replay bit-for-bit. */
   private def annIvfRetrainOracle: String = {
     val (nCells, trainIters, dim) = (32, 2, 64)
     val dm = Similarity.IvfAppendDeltaMod
     val factor = Similarity.RetrainMsdFactor
-    val div = Similarity.RetrainDriftDiv
+    val shift = Similarity.RetrainDriftShift
     val (train, frozen) = standingIvfCtes(nCells, trainIters, dim, dm)
     def dist(x: String, m: String) = dLloydDist(x, m, dim)
     // per-slice fit of scenario table `g` under centroid CTE `cents`:
@@ -655,7 +657,7 @@ object SparkEntry {
     sb ++= s""",
       |g0 AS (SELECT vec_id, x FROM xg),
       |g1 AS (SELECT vec_id, CASE WHEN (vec_id % $dm) = ${dm - 1}
-      |         THEN [xi // $div for xi in x] ELSE x END AS x FROM xg)""".stripMargin
+      |         THEN [xi + $shift for xi in x] ELSE x END AS x FROM xg)""".stripMargin
     for (s <- 0 to 1) {
       sb ++= fitCtes(s"f$s", s"g$s", frozen)
       sb ++= s""",

@@ -15,7 +15,11 @@ object Verify {
   def fixtureDumps: Set[String] = Set("_raw_turns")
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query subset, for fast local
+    // iteration on one oracle (the driver always passes exactly two)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,7 +34,9 @@ object Verify {
       .turns(spark, graft.gen.SyntheticTranscripts.convsForSfDir(sfDir))
       .toDF().select("conv_id", "turn_idx", "role", "tool", "text")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_raw_turns")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -783,13 +783,20 @@ object Similarity {
     * DuckDB oracle so the two cannot drift. */
   val RetrainMsdFactor = 2L
 
-  /** Grid divisor for [[annIvfRetrain]]'s deterministically DRIFTED twin
-    * scenario: delta-slice grid vectors are compressed componentwise by
-    * `x DIV 64` (exact on the nonnegative [0,2^20) grid, where Java `/`,
-    * SQL DIV and DuckDB `//` agree), collapsing the arriving batch toward
-    * the origin — far outside the standing training cube, so the decision
-    * rule has a real drift to fire on. Shared with the oracle. */
-  val RetrainDriftDiv = 64L
+  /** Grid shift for [[annIvfRetrain]]'s deterministically DRIFTED twin
+    * scenario: delta-slice grid vectors are shifted componentwise by
+    * `x + 3·2^20` — an ADDITIVE move beyond any `floor(v·2^20)` training
+    * cube built from unit-scale floats (|v| < 3 ⇒ |grid| < 3·2^20), so the
+    * shifted batch sits far outside the standing cube REGARDLESS of where
+    * that cube is centered. (The r4 `x DIV 64` compression failed exactly
+    * here: on a zero-centered corpus it moved the delta CLOSER to an
+    * origin-adjacent centroid and the rule never fired — drift that
+    * improved the fit.) Integer addition is exact on both engines; the
+    * per-pair squared distance after the shift is bounded by
+    * dim·(shift + 2·maxgrid)² ≈ 2^51 at dim 64, so long sqdist sums stay
+    * exact while the corpus holds under ~2^12 vectors per slice (beyond
+    * it, shard the sum by a vid-hash subkey). Shared with the oracle. */
+  val RetrainDriftShift = 3L << 20
 
   /** RETRAIN-TRIGGER ACTION LOOP — closes [[annIvfDrift]]'s monitor→decide
     * →act cycle (the loop a production frozen-centroid index runs on a
@@ -805,25 +812,27 @@ object Similarity {
     * deterministic scenarios of the same corpus — `in_dist` (the delta
     * batch as stored; drawn from the training distribution, the rule must
     * NOT fire and `result_msd = frozen_msd` bit-for-bit) and `drifted`
-    * (delta grids compressed by [[RetrainDriftDiv]]; the rule fires and
-    * the retrained index must repair the delta fit). Output: one row per
-    * (scenario, slice) with the vector count, frozen-index msd, the
-    * ACTIONED index's msd and the decision flag — all exact integer
-    * arithmetic, so the DuckDB oracle replays the monitor, the decision
-    * AND every warm-start round bit-for-bit.
+    * (delta grids shifted out of the cube by [[RetrainDriftShift]]; the
+    * rule fires and the retrained index must repair the delta fit).
+    * Output: one row per (scenario, slice) with the vector count,
+    * frozen-index msd, the ACTIONED index's msd and the decision flag —
+    * all exact integer arithmetic, so the DuckDB oracle replays the
+    * monitor, the decision AND every warm-start round bit-for-bit.
     *
     * Scale shape: the monitor is one typed scan + a 2-row aggregation
     * (the bounded collect feeding the decision); a retrain round is the
     * same one-scan + k·(dim+1)-long shuffle as [[annIvf]]'s trainer —
     * nothing scales with the corpus on the driver. Long sums stay exact
-    * while n·2^46 < 2^63 (~131k vectors; the drift monitor's documented
-    * bound — beyond it, shard the sum by a vid-hash subkey). */
+    * while n · dim·(shift + 2·2^20)² < 2^63 (~2^12 vectors per slice at
+    * dim 64 with the default shift; beyond it, shard the sum by a
+    * vid-hash subkey — the undrifted slices keep the wider ~131k-vector
+    * n·2^46 bound). */
   def annIvfRetrain(embeddings: DataFrame, nCells: Int = 32, trainIters: Int = 2,
                     deltaMod: Int = IvfAppendDeltaMod,
                     factor: Long = RetrainMsdFactor,
-                    driftDiv: Long = RetrainDriftDiv): DataFrame = {
+                    driftShift: Long = RetrainDriftShift): DataFrame = {
     require(factor >= 1, s"annIvfRetrain: factor must be >= 1, got $factor")
-    require(driftDiv >= 2, s"annIvfRetrain: driftDiv must be >= 2, got $driftDiv")
+    require(driftShift >= 1, s"annIvfRetrain: driftShift must be >= 1, got $driftShift")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val frozen = standingCents(embeddings, nCells, trainIters, deltaMod)
@@ -858,7 +867,8 @@ object Similarity {
     val rows = try Seq(false, true).flatMap { drift =>
       val g = if (!drift) basePersisted
         else basePersisted.map { case (vid, x) =>
-          (vid, if ((vid % deltaMod) == (deltaMod - 1)) x.map(_ / driftDiv) else x)
+          (vid, if ((vid % deltaMod) == (deltaMod - 1))
+            x.map(Math.addExact(_, driftShift)) else x)
         }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val fs = sliceStats(g, frozen)

@@ -147,7 +147,7 @@ class AnnTrainSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getBoolean(5)))
     assert(lax.forall(t => !t._4 && t._3 === t._2))
     intercept[IllegalArgumentException](Similarity.annIvfRetrain(emb, factor = 0L))
-    intercept[IllegalArgumentException](Similarity.annIvfRetrain(emb, driftDiv = 1L))
+    intercept[IllegalArgumentException](Similarity.annIvfRetrain(emb, driftShift = 0L))
   }
 
   private val dim = 8

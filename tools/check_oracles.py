@@ -9,6 +9,7 @@ import duckdb
 import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:]) or None  # optional query subset for fast iteration
 
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -18,6 +19,8 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok, bad = [], []
 for name, sql in sorted(oracle.items()):
+    if only is not None and name not in only:
+        continue
     pdir = f"{out_dir}/{name}"
     files = glob.glob(f"{pdir}/*.parquet")
     if not files:
