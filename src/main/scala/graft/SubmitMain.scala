@@ -144,14 +144,14 @@ object SubmitMain {
     val linSnap = store.append(
       Pipeline.lineageFromStats(spark, stage, stats.value, snapshotId = segSnap).toDF(),
       Map("table" -> "lineage", "segments_snapshot" -> segSnap.toString))
-    // segment-stage routes already hold the committed row count in the
-    // lineage accumulator (rows_out) — re-scanning the just-committed
-    // table for a println is a full extra read pass at 10^12 turns. The
-    // two-stage route's stats cover extraction, not the fold, so it keeps
-    // the readback count.
-    val nSegs =
-      if (stage == "segment") stats.value.values.iterator.map(_._2).sum
-      else store.read(spark, segSnap).count()
+    // committed row count comes from the append manifest (exact: counted
+    // over the staged files the commit published) — not the lineage
+    // accumulator (accumulator updates in transformations can double-count
+    // under stage retry/speculative execution) and not a full readback
+    // scan of the just-committed table (an extra read pass at 10^12
+    // turns). Fallback readback only for pre-row_count manifests.
+    val nSegs = store.rowCount(segSnap)
+      .getOrElse(store.read(spark, segSnap).count())
     println(s"""{"segments_snapshot":$segSnap,"lineage_snapshot":$linSnap,"segments":$nSegs}""")
   }
 }

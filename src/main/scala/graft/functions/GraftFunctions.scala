@@ -242,14 +242,21 @@ object GraftFunctions {
     ("kmv_kth",
       new ExpressionInfo(classOf[KmvKthSmallest].getName, "kmv_kth"),
       (args: Seq[Expression]) => {
-        // k must be a positive integer LITERAL — surface misuse as a clean
+        // k must be a positive integer CONSTANT — any foldable expression
+        // (bare literal, 1+7, CAST(8 AS INT)) is accepted, since function
+        // resolution precedes constant folding; misuse surfaces as a clean
         // analysis-time error, not a raw NPE/ClassCastException from eval
         require(args.length == 2, s"kmv_kth expects 2 arguments, got ${args.length}")
         val k = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _)
-            if v.longValue() >= 1 && v.longValue() <= Int.MaxValue => v.intValue()
+          case e if e.foldable && e.resolved =>
+            e.eval() match {
+              case v: Number if v.longValue() >= 1 && v.longValue() <= Int.MaxValue =>
+                v.intValue()
+              case other => throw new IllegalArgumentException(
+                s"kmv_kth: k must be a positive integer constant, got $other")
+            }
           case other => throw new IllegalArgumentException(
-            s"kmv_kth: k must be a positive integer literal, got $other")
+            s"kmv_kth: k must be a positive integer constant expression, got $other")
         }
         KmvKthSmallest(args(0), k)
       }),

@@ -245,7 +245,14 @@ final class SnapshotStore(val root: String) {
     requireNoDroppedNames(df)
     requireNoRetiredNames(df)
     val stage = stageWrite(df)
-    val withStats = meta ++ stagedStats(df.sparkSession, stage, statsCol)
+    // exact committed row count, recorded in the manifest: count(*) over
+    // the staged parquet reads zero columns (row-group metadata only), so
+    // consumers (e.g. SubmitMain's summary line) never need a readback
+    // scan NOR a task accumulator — accumulators in transformations can
+    // double-count under stage retry/speculation; this count cannot.
+    val nRows = df.sparkSession.read.parquet(stage.toString).count()
+    val withStats = meta + ("row_count" -> nRows.toString) ++
+      stagedStats(df.sparkSession, stage, statsCol)
     commitStaged(stage, () => withStats, () => true).get
   }
 
@@ -601,6 +608,17 @@ final class SnapshotStore(val root: String) {
       for { c <- f("stats_col"); mn <- f("stats_min"); mx <- f("stats_max") }
         yield (c, mn.toLong, mx.toLong)
     }
+  }
+
+  /** Exact row count recorded in snapshot `id`'s manifest at append time
+    * (absent for metadata-only commits and manifests written before the
+    * field existed). */
+  def rowCount(id: Long): Option[Long] = {
+    val m = manifestDir.resolve(s"$id.json")
+    if (!Files.exists(m)) None
+    else """"row_count": "([0-9]+)"""".r
+      .findFirstMatchIn(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+      .map(_.group(1).toLong)
   }
 
   private val TxnRe = """"txn_([^"]+)": "([0-9]+)"""".r

@@ -222,7 +222,7 @@ object Selection {
       .selectExpr("doc_id",
         "explode(transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))) AS p")
       .selectExpr("doc_id", "p.w1 AS w1", "p.w2 AS w2")
-    val bi = probe.join(documents.where(s"lang = '$refLang'").select("doc_id"), "doc_id")
+    val bi = probe.join(documents.where(s"lang = '${langLit(refLang)}'").select("doc_id"), "doc_id")
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val lp = FixedLog.spark _
     probe

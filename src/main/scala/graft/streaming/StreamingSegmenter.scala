@@ -70,20 +70,32 @@ object StreamingSegmenter {
           if (state.hasTimedOut) {
             val st = state.get
             state.remove()
-            val sorted = st.turns.sortBy(_._1)
-            // same loud invariant as the batch fold (GroupFold): an
-            // at-least-once source re-delivering a turn across micro-
-            // batches must not silently shift every later segment boundary
-            sorted.iterator.map(_._1).foldLeft(Int.MinValue) { (last, cur) =>
-              require(cur > last, s"turn ordering violated in $cid: $cur after $last")
-              cur
+            // an at-least-once source legitimately re-delivers a turn
+            // across micro-batches: identical (turn_idx, text) duplicates
+            // are collapsed here (sort by the pair, drop equal neighbors)
+            // so redelivery never shifts a segment boundary OR fails the
+            // query. Only a genuinely CONFLICTING duplicate — same
+            // turn_idx, different text — remains, and that quarantines
+            // the conversation (zero segments, the batch pipeline's E5
+            // whole-doc-failure shape) instead of `require`-poisoning a
+            // query that could never restart past the bad input.
+            val sorted = st.turns.sortBy(t => (t._1, t._2))
+            val deduped = sorted.foldRight(List.empty[(Int, String)]) {
+              (cur, acc) => if (acc.nonEmpty && acc.head == cur) acc else cur :: acc
             }
-            val pages = sorted.map(_._2).toVector
-            Demarcator.demarcate(pages, rulesFor(cid)).iterator.map { r =>
-              ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber,
-                r.ToPageNumber, r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
-                r.UploadDataSheetId.getOrElse(0L), r.TotalNumberOfpages, r.NoOfPages,
-                r.Sequence.getOrElse(""), r.SessionId.getOrElse(""))
+            val conflicting = deduped.iterator.map(_._1).toSeq
+            if (conflicting.distinct.length != conflicting.length) {
+              org.slf4j.LoggerFactory.getLogger("graft.streaming.StreamingSegmenter")
+                .warn(s"quarantined conversation $cid: conflicting duplicate turn_idx")
+              Iterator.empty
+            } else {
+              val pages = deduped.map(_._2).toVector
+              Demarcator.demarcate(pages, rulesFor(cid)).iterator.map { r =>
+                ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber,
+                  r.ToPageNumber, r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
+                  r.UploadDataSheetId.getOrElse(0L), r.TotalNumberOfpages, r.NoOfPages,
+                  r.Sequence.getOrElse(""), r.SessionId.getOrElse(""))
+              }
             }
           } else {
             val prev = state.getOption.getOrElse(ConvState(Nil, 0L, 0L))

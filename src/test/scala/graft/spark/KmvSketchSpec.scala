@@ -35,6 +35,17 @@ class KmvSketchSpec extends AnyFunSuite with SparkFixture {
     val p = df.selectExpr("kmv_kth(h, 64)")
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("partial_kmv_kth"), p)
+
+    // k as a FOLDABLE constant expression (function resolution precedes
+    // constant folding, so these are not bare literals at build time)
+    assert(df.selectExpr("kmv_kth(h, 60 + 4) AS hk").collect().head.getLong(0)
+      === expected64)
+    assert(df.selectExpr("kmv_kth(h, CAST(64 AS INT)) AS hk").collect().head.getLong(0)
+      === expected64)
+    // misuse still fails cleanly at analysis: zero, negative, non-constant
+    intercept[Exception](df.selectExpr("kmv_kth(h, 0)").collect())
+    intercept[Exception](df.selectExpr("kmv_kth(h, 3 - 5)").collect())
+    intercept[Exception](df.selectExpr("kmv_kth(h, h)").collect())
   }
 
   test("grouped sketch estimate tracks exact distinct within KMV error") {

@@ -73,6 +73,53 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("at-least-once redelivery folds identically; conflicting duplicate quarantines the conv") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Turn]
+    val seed = Seed
+    val rulesFor = (cid: String) => {
+      val idx = cid.stripPrefix("conv-").toLong
+      SyntheticTranscripts.rulesFor(seed, idx).map(Pipeline.toCoreRule)
+    }
+    val out = StreamingSegmenter.segments(
+      input.toDS(), rulesFor, watermark = "1 minute", idleGapMs = 60000L)
+    val query = out.writeStream.format("memory").queryName("stream_redelivery")
+      .outputMode("append").start()
+
+    val turns = SyntheticTranscripts.turnsFor(Seed, 0L)
+    val cid = SyntheticTranscripts.convId(0L)
+    // batch 1: all turns; batch 2: the producer re-delivers three of them
+    // verbatim (same turn_idx, same text) — the at-least-once shape
+    input.addData(turns)
+    query.processAllAvailable()
+    input.addData(turns.take(3))
+    query.processAllAvailable()
+    // a second conversation poisoned by a CONFLICTING duplicate: same
+    // turn_idx as an existing turn but different text
+    val poisoned = SyntheticTranscripts.turnsFor(Seed, 1L)
+    val pcid = SyntheticTranscripts.convId(1L)
+    input.addData(poisoned)
+    input.addData(Seq(poisoned.head.copy(text = poisoned.head.text + " CONFLICT")))
+    query.processAllAvailable()
+    val maxTs = (turns ++ poisoned).map(_.ts.getTime).max
+    input.addData(Turn("conv-sentinel", 1, "user", "x", "",
+      new Timestamp(maxTs + 24 * 3600 * 1000L)))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("stream_redelivery").as[graft.schema.ConvSegment].collect()
+    // redelivered conv folds exactly as the sequential oracle — duplicates
+    // collapsed, no boundary shift, no failure
+    val pages = turns.sortBy(_.turn_idx).map(t => Extractor.extract(t.tool, t.text).text)
+    val want = Demarcator.demarcate(pages.toVector, rulesFor(cid))
+    assert(got.count(_.conv_id == cid) == want.size)
+    // the conflicting conv is quarantined: zero segments, query alive
+    assert(got.count(_.conv_id == pcid) == 0,
+      "conflicting duplicate turn_idx must quarantine the conversation")
+  }
+
   test("windowed turn-rate aggregation with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
