@@ -202,10 +202,28 @@ object Demarcator {
     } else doc.total
   }
 
+  /** [[demarcate]] with the reference's per-MESSAGE failure isolation
+    * (`main.py:394-402`): a rule whose `Sequence` fails integer decode —
+    * the reference's `int(...)` raises on `""` or any non-integer value,
+    * `ocr_processor.py:446`, failing that ONE message while the consumer
+    * loop continues — quarantines the conversation: zero segments, the
+    * failure surfaced as the returned flag so the caller can count it in
+    * lineage and log the conv_id. ONLY the Sequence-decode failure
+    * (NumberFormatException out of the rule sort) is isolated; any other
+    * exception is an engine bug and still propagates. At 10^12 turns one
+    * corrupt rule row must cost one conversation, not the job. */
+  def demarcateIsolated(
+      pages: IndexedSeq[String], rules: Seq[Rule]): (Vector[SegmentRow], Boolean) =
+    try (demarcate(pages, rules), false)
+    catch { case _: NumberFormatException => (Vector.empty[SegmentRow], true) }
+
   /** `demarcate_document` (`ocr_processor.py:439-507`): sort rules by
     * `int(Sequence)` (stable; missing ⇒ 999), fold claiming non-overlapping
     * ranges, always emit one row per rule (zeroed when not found / invalid /
-    * overlapping).
+    * overlapping). A malformed `Sequence` (empty or non-integer) throws
+    * NumberFormatException from the sort — the exact analog of the
+    * reference's `int("")` ValueError; callers that must survive corrupt
+    * rules use [[demarcateIsolated]].
     */
   def demarcate(pages: IndexedSeq[String], rules: Seq[Rule]): Vector[SegmentRow] = {
     val doc = new Doc(pages)

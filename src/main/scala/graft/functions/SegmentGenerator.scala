@@ -179,7 +179,15 @@ case class SegmentRowsGenerator(turns: Expression, rules: Expression)
         sessionId = strOpt(row, "SessionId"))
     }
 
-    Demarcator.demarcate(pages, coreRules).map { r =>
+    // per-row rule-decode quarantine, matching every pipeline route: a
+    // malformed Sequence yields ZERO segment rows for this input row (the
+    // reference fails one message, main.py:394-402), never the query
+    val (segRows, decodeFailed) = Demarcator.demarcateIsolated(pages, coreRules)
+    if (decodeFailed)
+      org.slf4j.LoggerFactory.getLogger("graft.functions.SegmentRowsGenerator")
+        .warn("segment_rows: malformed rule Sequence failed integer decode; " +
+          "zero segments emitted for the row")
+    segRows.map { r =>
       InternalRow(
         r.DocReceivedId.map(Long.box).orNull,
         r.FromPageNumber,

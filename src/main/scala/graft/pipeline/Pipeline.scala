@@ -73,6 +73,15 @@ object Pipeline {
   val DefaultMaxConvPages: Int = 1000000
   val DefaultMaxConvChars: Long = 256L * 1024 * 1024
 
+  /** Default rule-decode quarantine action: log the conv_id at WARN on the
+    * executor (the reference logs the failed message and moves on,
+    * `main.py:394-402`). Routes that carry a lineage accumulator layer an
+    * error tick on top of this. */
+  private[graft] val logRuleDecodeError: String => Unit = cid =>
+    org.slf4j.LoggerFactory.getLogger("graft.pipeline.Pipeline")
+      .warn(s"quarantined conversation $cid: malformed rule Sequence failed " +
+        "integer decode; zero segments emitted")
+
   private[graft] def guardConv(cid: String, nPages: Int, nChars: Long,
                                maxPages: Int, maxChars: Long): Unit = {
     if (nPages > maxPages || nChars > maxChars)
@@ -156,7 +165,12 @@ object Pipeline {
       rulesFor: String => Seq[Rule],
       extractPage: (String, String) => String,
       maxConvPages: Int = DefaultMaxConvPages,
-      maxConvChars: Long = DefaultMaxConvChars
+      maxConvChars: Long = DefaultMaxConvChars,
+      // rule-decode quarantine hook (reference isolates the failed message,
+      // main.py:394-402): called with the conv_id when a malformed rule
+      // Sequence fails decode; the conversation emits zero segments and the
+      // fold continues. Routes with a lineage accumulator tick errors here.
+      onRuleDecodeError: String => Unit = logRuleDecodeError
   ) extends Iterator[ConvSegment] {
     private var pending: Iterator[ConvSegment] = Iterator.empty
     private var lookahead: (String, Int, String, String) = _
@@ -187,7 +201,8 @@ object Pipeline {
           else { lookahead = nxt; hasLookahead = true; done = true }
         } else done = true
       }
-      val rows = Demarcator.demarcate(pages.result(), rulesFor(cid))
+      val (rows, decodeFailed) = Demarcator.demarcateIsolated(pages.result(), rulesFor(cid))
+      if (decodeFailed) onRuleDecodeError(cid)
       pending = rows.iterator.map { r =>
         ConvSegment(
           conv_id = cid,
@@ -269,6 +284,9 @@ object Pipeline {
             val (ex, err) = Extractor.safeExtract(tool, text)
             if (err) { errorCounter.foreach(_.add(1L)); errs += 1 }
             ex.text
+          },
+          onRuleDecodeError = cid => {
+            errorCounter.foreach(_.add(1L)); errs += 1; logRuleDecodeError(cid)
           })
         if (stats.isEmpty) fold else fold.map { s => out += 1; s }
       }
@@ -320,7 +338,11 @@ object Pipeline {
             last = p._1
           }
           val pages = sorted.map(_._2)
-          val rows = Demarcator.demarcate(pages, rs.map(toCoreRule).toSeq)
+          val (rows, decodeFailed) =
+            Demarcator.demarcateIsolated(pages, rs.map(toCoreRule).toSeq)
+          if (decodeFailed) {
+            errorCounter.foreach(_.add(1L)); errs += 1; logRuleDecodeError(cid)
+          }
           // per-group accumulator add (locally merged until task end): the
           // demarcation output is materialized, so counts are final here
           stats.foreach(_.add((TaskContext.getPartitionId(), pages.size.toLong,
@@ -411,7 +433,9 @@ object Pipeline {
           }
           val pages = sorted.map(_._2)
           val coreRules = rs.map(toCoreRule).toSeq
-          Demarcator.demarcate(pages, coreRules).iterator.map { r =>
+          val (rows, decodeFailed) = Demarcator.demarcateIsolated(pages, coreRules)
+          if (decodeFailed) logRuleDecodeError(cid)
+          rows.iterator.map { r =>
             ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber,
               r.ToPageNumber, r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
               r.UploadDataSheetId.getOrElse(0L), r.TotalNumberOfpages, r.NoOfPages,

@@ -288,6 +288,11 @@ object SegmentJoinExec {
         val (ex, err) = Extractor.safeExtract(tool, text)
         if (err) errs += 1
         ex.text
+      },
+      // rule-decode quarantine ticks the same lineage error counter as the
+      // other stats-carrying routes (routes-agree contract)
+      onRuleDecodeError = cid => {
+        errs += 1; graft.pipeline.Pipeline.logRuleDecodeError(cid)
       })
       .map { s: ConvSegment =>
         out += 1

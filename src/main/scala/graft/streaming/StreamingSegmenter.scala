@@ -90,7 +90,14 @@ object StreamingSegmenter {
               Iterator.empty
             } else {
               val pages = deduped.map(_._2).toVector
-              Demarcator.demarcate(pages, rulesFor(cid)).iterator.map { r =>
+              // same rule-decode quarantine as every batch route: a
+              // malformed Sequence costs this conversation, not the query
+              val (segRows, decodeFailed) =
+                Demarcator.demarcateIsolated(pages, rulesFor(cid))
+              if (decodeFailed)
+                org.slf4j.LoggerFactory.getLogger("graft.streaming.StreamingSegmenter")
+                  .warn(s"quarantined conversation $cid: malformed rule Sequence")
+              segRows.iterator.map { r =>
                 ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber,
                   r.ToPageNumber, r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
                   r.UploadDataSheetId.getOrElse(0L), r.TotalNumberOfpages, r.NoOfPages,

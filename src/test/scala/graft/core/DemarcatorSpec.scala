@@ -98,4 +98,49 @@ class DemarcatorSpec extends AnyFunSuite {
     val rows = iter(load("subdoc_xml_rows.json")).map(decodeExpected).toVector
     assert(SubDocXml.render(rows) == loadText("subdoc_xml.golden.xml"))
   }
+
+  // ---- fidelity-boundary vectors: the two documented nubs pinned as tests,
+  // not tribal knowledge ----
+
+  test("malformed Sequence: demarcate raises like the reference's int(''); demarcateIsolated quarantines") {
+    val pages = IndexedSeq("start here", "middle", "end here")
+    // int("") raises ValueError in the reference (ocr_processor.py:446) —
+    // one message fails, the consumer loop continues (main.py:394-402).
+    // Our kernel mirrors the raise; the isolation wrapper mirrors the loop.
+    for (bad <- Seq(Some(""), Some("  "), Some("not-a-number"), Some("3.5"))) {
+      val rules = Seq(
+        Rule(documentTypeId = Some("OK"), startingIdentifier = "start", sequence = Some("1")),
+        Rule(documentTypeId = Some("BAD"), startingIdentifier = "end", sequence = bad))
+      intercept[NumberFormatException](Demarcator.demarcate(pages, rules))
+      val (rows, failed) = Demarcator.demarcateIsolated(pages, rules)
+      assert(failed, s"decode failure not flagged for Sequence=$bad")
+      assert(rows.isEmpty,
+        s"quarantine must emit ZERO segments for the whole conversation (Sequence=$bad)")
+    }
+    // a well-formed corpus through the isolation wrapper is bit-identical
+    // to the plain fold — the wrapper adds no behavior on the happy path
+    val good = Seq(
+      Rule(documentTypeId = Some("A"), startingIdentifier = "start", sequence = Some("1")),
+      Rule(documentTypeId = Some("B"), startingIdentifier = "end", sequence = Some("2")))
+    val (rows, failed) = Demarcator.demarcateIsolated(pages, good)
+    assert(!failed && rows == Demarcator.demarcate(pages, good))
+  }
+
+  test("DocumentTypeID emission fidelity: absent key stays None, empty string stays Some(\"\")") {
+    // the reference emits the RAW identifier.get("DocumentTypeID") — None
+    // when the key is absent (ocr_processor.py:496), "" when present-but-
+    // empty; the XML layer is what maps None → "" (data_models.py:22).
+    // The kernel must preserve the distinction so the XML layer (and only
+    // it) performs the collapse.
+    val pages = IndexedSeq("start here")
+    val rules = Seq(
+      Rule(documentTypeId = None, startingIdentifier = "start", sequence = Some("1")),
+      Rule(documentTypeId = Some(""), startingIdentifier = "start", sequence = Some("2")))
+    val rows = Demarcator.demarcate(pages, rules)
+    assert(rows(0).DocumentTypeId.isEmpty, "absent DocumentTypeID must emit None")
+    assert(rows(1).DocumentTypeId.contains(""), "empty DocumentTypeID must stay Some(\"\")")
+    // and the XML layer collapses both to the same rendered form
+    assert(SubDocXml.render(rows.toVector).contains("<DocumentTypeId></DocumentTypeId>")
+      || SubDocXml.render(rows.toVector).contains("<DocumentTypeId/>"))
+  }
 }

@@ -48,4 +48,46 @@ class RouteEquivalenceSpec extends AnyFunSuite with SparkFixture {
       assert(norm(viaCatalyst) == want, "whole-operator catalyst")
     }
   }
+
+  test("poisoned rule decode quarantines ONE conversation identically on all four routes") {
+    import spark.implicits._
+    val (seed, nConvs) = (7L, 12L)
+    // conv-0's rules get Sequence="" (the reference's int("") ValueError),
+    // conv-1's get a non-integer — both must quarantine (zero segments,
+    // job completes); every other conversation must be untouched
+    val poisonedIds = Set(SyntheticTranscripts.convId(0L), SyntheticTranscripts.convId(1L))
+    def poison(r: ConvRule): ConvRule =
+      if (r.conv_id == SyntheticTranscripts.convId(0L)) r.copy(Sequence = "")
+      else if (r.conv_id == SyntheticTranscripts.convId(1L)) r.copy(Sequence = "not-a-number")
+      else r
+    val turns = SyntheticTranscripts.turns(spark, nConvs, seed)
+      .orderBy(hash($"text")).as[Turn]
+    val rules = SyntheticTranscripts.rules(spark, nConvs, seed).map(poison)
+    val ruleMap = (0L until nConvs).map { ci =>
+      SyntheticTranscripts.convId(ci) ->
+        SyntheticTranscripts.rulesFor(seed, ci).map(r => Pipeline.toCoreRule(poison(r)))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(ruleMap)
+    val want = oracle(seed, nConvs).filterNot(s => poisonedIds.contains(s.conv_id))
+    assert(want.nonEmpty)
+    def norm(xs: Array[ConvSegment]): Seq[ConvSegment] =
+      xs.sortBy(s => (s.conv_id, s.Sequence.toInt)).toSeq
+    def check(got: Array[ConvSegment], route: String): Unit = {
+      assert(got.count(s => poisonedIds.contains(s.conv_id)) == 0,
+        s"$route: poisoned conversations must emit zero segments")
+      assert(norm(got) == want, s"$route: unpoisoned conversations diverged")
+    }
+    check(Pipeline.segmentFused(turns, bc).collect(), "broadcast-fused")
+    check(Pipeline.segmentFusedCogroup(turns, rules).collect(), "cogroup-fused")
+    check(Pipeline.segmentCogroup(Pipeline.extract(turns), rules).collect(), "two-stage salted")
+    check(graft.plans.SegmentPlans.segmentJoin(turns, rules, None)
+      .as[ConvSegment].collect(), "whole-operator catalyst")
+    // the stats-carrying routes also surface the quarantine in lineage:
+    // exactly the two poisoned conversations tick the error counter
+    val acc = new graft.pipeline.PartitionStatsAcc
+    spark.sparkContext.register(acc, "poisoned_route_stats")
+    Pipeline.segmentFusedCogroup(turns, rules, stats = Some(acc)).collect()
+    assert(acc.value.values.map(_._3).sum == 2L,
+      s"lineage must count the two quarantined conversations, got ${acc.value}")
+  }
 }
