@@ -1096,12 +1096,17 @@ object SparkEntry {
     "d_langid_trigram" -> trigramOracle,
     // evolved-store round trip (Evolution.schemaEvolveRoundTrip): batches
     // split doc_id % 3; `extra` added with batch 1 (NULL before), `legacy`
-    // dropped before batch 2 — a store that leaks `legacy` fails on schema
+    // dropped before batch 2 — a store that leaks `legacy` fails on schema;
+    // `nb` written INT by batches 0/1 then WIDENED to BIGINT (batch 2's
+    // values exceed int range) — a store that fails to up-cast the old
+    // files fails on schema or value
     "d_schema_evolve" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(doc_id * 3 + 1 AS BIGINT) AS val1,
         |  CASE WHEN doc_id % 3 = 0 THEN NULL
-        |       ELSE CAST(doc_id * 2 AS BIGINT) END AS extra
+        |       ELSE CAST(doc_id * 2 AS BIGINT) END AS extra,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 100 + 3000000000
+        |            ELSE doc_id % 100 END AS BIGINT) AS nb
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -142,6 +142,82 @@ final class SnapshotStore(val root: String) {
   private def encodeChain(chain: Seq[(String, String)]): String =
     chain.map { case (f, t) => s"$f>$t" }.mkString(",")
 
+  private val WidenColsRe = """"widen_cols": "([^"]*)"""".r
+
+  /** Widening-allowed primitive promotions (the Iceberg v2 set for flat
+    * columns): the value space only grows, so old data files remain exact
+    * under the cast and no reader can lose information. */
+  private val WidenPromotions: Map[String, String] = Map("int" -> "bigint", "float" -> "double")
+
+  /** Cumulative ordered (column, target-type) widen list as of `asOf` —
+    * recorded and resolved exactly like the rename chain (full history per
+    * commit, longest list wins; replacement manifests carry it forward so
+    * the record survives physical cleanup of the widen commit itself). */
+  def widenedColumns(asOf: Long = Long.MaxValue): Seq[(String, String)] =
+    manifestIds.filter(_ <= asOf).foldLeft(Seq.empty[(String, String)]) { (best, id) =>
+      val m = manifestDir.resolve(s"$id.json")
+      if (!Files.exists(m)) best
+      else {
+        val cur = WidenColsRe.findFirstMatchIn(
+          new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+          .toSeq.flatMap(_.group(1).split(',').filter(_.nonEmpty).map { e =>
+            val i = e.indexOf('>')
+            (e.substring(0, i), e.substring(i + 1))
+          })
+        if (cur.length > best.length) cur else best
+      }
+    }
+
+  /** TYPE-WIDENING schema evolution — the fourth manifest-only op next to
+    * ADD / DROP / RENAME: `int -> bigint` or `float -> double` (the
+    * Iceberg promotion set). Data files are untouched; readers up-cast the
+    * column on the fly (mixed-era scans union the eras with the wide
+    * type); appends after the widen may write either width (reads
+    * normalize); the next compaction materializes the wide type
+    * physically. Time travel honors the commit id: a read below it still
+    * surfaces the narrow type. The column is named in the CURRENT evolved
+    * schema; a LATER rename keeps the widen attached (widen names resolve
+    * through the rename chain at read time). */
+  def widenColumn(spark: SparkSession, col: String, to: String): Long = {
+    require(!col.exists(">,\"".contains(_)),
+      s"widenColumn: column name '$col' must not contain '>', ',' or quotes")
+    val target = to.toLowerCase(java.util.Locale.ROOT) match {
+      case "long" | "bigint" => "bigint"
+      case "double" => "double"
+      case other => throw new IllegalArgumentException(
+        s"widenColumn: unsupported target type '$other' — only int->bigint and " +
+          "float->double are lossless widenings this store supports")
+    }
+    val dataIds = dataSnapshots
+    require(dataIds.nonEmpty, "widenColumn: table has no data snapshots")
+    val chain = renamedColumns()
+    val dropped = droppedColumns()
+    val widens = widenedColumns()
+    val current = applyEvolution(readMerged(spark, dataIds), Long.MaxValue)
+    val field = current.schema.fields.find(_.name == col).getOrElse(
+      throw new IllegalArgumentException(
+        s"widenColumn: '$col' is not in the current schema " +
+          current.columns.sorted.mkString("[", ",", "]")))
+    val from = field.dataType.typeName match {
+      case "integer" => "int"
+      case t => t
+    }
+    require(WidenPromotions.get(from).contains(target),
+      s"widenColumn: '$col' is $from — cannot widen to $target (allowed: " +
+        WidenPromotions.map { case (f, t) => s"$f->$t" }.mkString(", ") + ")")
+    val stage = Paths.get(root, "data", s"stage-${java.util.UUID.randomUUID}")
+    Files.createDirectories(stage)
+    commitStaged(stage,
+      () => Map("schema_only" -> "true",
+        "widen_cols" -> encodeChain(widens :+ (col -> target))),
+      // same stale-validation guard as drop/rename: abort if any schema
+      // evolution landed between planning and commit
+      () => renamedColumns() == chain && droppedColumns() == dropped &&
+        widenedColumns() == widens)
+      .getOrElse(throw new IllegalStateException(
+        "widenColumn aborted: a concurrent schema-evolution commit landed; retry"))
+  }
+
   /** Cumulative ORDERED rename chain as of snapshot `asOf`. Every rename
     * commit records the FULL history in commit order, and replacement
     * manifests (compaction/upsert) carry it forward — so the chain at any
@@ -369,6 +445,7 @@ final class SnapshotStore(val root: String) {
     val liveAtPlan = snapshots.toSet
     val droppedAtPlan = droppedColumns() // one manifest scan, reused below
     val chainAtPlan = renamedColumns()
+    val widensAtPlan = widenedColumns()
     requireNoDroppedNames(updates, droppedAtPlan)
     requireNoRetiredNames(updates, chainAtPlan)
     val live = dataSnapshots
@@ -395,8 +472,9 @@ final class SnapshotStore(val root: String) {
         .join(keys, Seq(keyCol), "left_semi").limit(1).count() > 0
     }
     if (affected.isEmpty) return append(updates, statsCol = statsCol)
-    val survivors = applyDropSet(
-        applyRenameChain(readMerged(spark, affected), chainAtPlan), droppedAtPlan)
+    val survivors = applyWidenSet(applyDropSet(
+        applyRenameChain(readMerged(spark, affected), chainAtPlan), droppedAtPlan),
+        chainAtPlan, widensAtPlan)
       .join(keys, Seq(keyCol), "left_anti")
     // union SCHEMA = survivors ∪ updates: an update column the affected
     // snapshots never carried must land (survivors surface it as NULL),
@@ -423,12 +501,16 @@ final class SnapshotStore(val root: String) {
     val renameMeta =
       if (chainAtPlan.isEmpty) Map.empty[String, String]
       else Map("rename_cols" -> encodeChain(chainAtPlan))
+    val widenMeta =
+      if (widensAtPlan.isEmpty) Map.empty[String, String]
+      else Map("widen_cols" -> encodeChain(widensAtPlan))
     val id = commitStaged(stage,
       // ledger marks carried GLOBALLY (not just from the replaced inputs):
       // txnLastBatch scans newest-first, so a replacement manifest must
       // dominate every older mark for every app — and re-evaluated per
       // commit attempt so a mark committed during our id race is included
-      () => Map("replaces" -> affected.mkString(",")) ++ dropMeta ++ renameMeta ++ globalTxns ++ stats,
+      () => Map("replaces" -> affected.mkString(",")) ++ dropMeta ++ renameMeta ++
+        widenMeta ++ globalTxns ++ stats,
       // abort if the LIVE SET changed at all since planning: a retired
       // input means double-replace, and a concurrent APPEND may have
       // landed rows with matching keys that this rewrite would silently
@@ -515,13 +597,31 @@ final class SnapshotStore(val root: String) {
   /** The full schema-evolution projection as of `asOf`: the rename chain
     * first (files written before a rename surface the value under the new
     * name), then the drop set (whose names are post-rename by
-    * construction — [[dropColumn]] validates against the evolved schema).
-    * The two cannot interleave incorrectly: a drop's name can never be a
-    * rename source (a renamed-away name is not in the schema to drop) and
-    * a rename target can never be a dropped name ([[renameColumn]] rejects
-    * it), so chain-then-set is order-exact. */
-  private def applyEvolution(df: DataFrame, asOf: Long): DataFrame =
-    applyDropSet(applyRenameChain(df, renamedColumns(asOf)), droppedColumns(asOf))
+    * construction — [[dropColumn]] validates against the evolved schema),
+    * then the widen set (each widen's recorded name resolved through the
+    * FULL chain — a widen recorded pre-rename follows its column to the
+    * new name; recording post-rename under a not-yet-current name is
+    * impossible since [[widenColumn]] validates against the evolved
+    * schema). The pairs cannot interleave incorrectly: a drop's name can
+    * never be a rename source (a renamed-away name is not in the schema to
+    * drop) and a rename target can never be a dropped name
+    * ([[renameColumn]] rejects it), so chain-then-set-then-cast is
+    * order-exact. */
+  private def applyEvolution(df: DataFrame, asOf: Long): DataFrame = {
+    val chain = renamedColumns(asOf)
+    applyWidenSet(applyDropSet(applyRenameChain(df, chain), droppedColumns(asOf)),
+      chain, widenedColumns(asOf))
+  }
+
+  /** Up-cast every widened column still present (a widened-then-dropped
+    * column is simply absent). Cast of an already-wide column is a no-op
+    * the optimizer removes, so post-compaction reads pay nothing. */
+  private def applyWidenSet(df: DataFrame, chain: Seq[(String, String)],
+                            widens: Seq[(String, String)]): DataFrame =
+    widens.foldLeft(df) { case (d, (n, t)) =>
+      val cur = resolveName(chain, n)
+      if (d.columns.contains(cur)) d.withColumn(cur, d(cur).cast(t)) else d
+    }
 
   /** Apply the ordered rename chain to a (possibly mixed-era) relation:
     * both names present (old files + post-rename files under mergeSchema)
@@ -575,8 +675,23 @@ final class SnapshotStore(val root: String) {
     * own asOf bound (a schema commit can be NEWER than the newest data id in
     * the range, so the bound is the range end, not `ids.max`). */
   private def readMerged(spark: SparkSession, ids: Seq[Long]): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(ids.map(id => dataPathOf(id).toString): _*)
+    mergedScan(spark, ids.map(id => dataPathOf(id).toString))
+
+  /** Multi-era scan primitive: parquet `mergeSchema` while every era agrees
+    * on types (ONE scan node — the cheap steady state), switching to
+    * per-path reads folded with `unionByName(allowMissingColumns = true)`
+    * once any widen is recorded — parquet schema merging cannot reconcile
+    * int/bigint eras, while union coercion widens them exactly (and
+    * missing columns still null-fill, the same ADD-COLUMN contract). The
+    * union plan grows with the path count; compaction collapses it back to
+    * the single-scan shape, which is the maintenance cadence a
+    * high-frequency append table runs anyway. */
+  private def mergedScan(spark: SparkSession, paths: Seq[String]): DataFrame =
+    if (widenedColumns().isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    else
+      paths.map(p => spark.read.parquet(p))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Incremental read of snapshots in (fromExclusive, toInclusive].
     *
@@ -776,14 +891,12 @@ final class SnapshotStore(val root: String) {
       }
     }
     val base =
-      if (paths.nonEmpty)
-        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      if (paths.nonEmpty) mergedScan(spark, paths)
       else // everything pruned: empty result with the table's FULL merged
         // schema (a first-snapshot-only read would lack later-era added
         // columns, making .select on the empty result throw where the
         // unpruned path succeeds); lit(false) keeps it schema-only cost
-        spark.read.option("mergeSchema", "true")
-          .parquet(all.map(dataPathOf(_).toString): _*)
+        mergedScan(spark, all.map(dataPathOf(_).toString))
           .where(org.apache.spark.sql.functions.lit(false))
     applyEvolution(base, toInclusive).where(s"$col BETWEEN $lo AND $hi")
   }
@@ -815,7 +928,12 @@ final class SnapshotStore(val root: String) {
     // projecting any older non-compacted data and keep rejecting re-adds
     val dropped = droppedColumns()
     val chain = renamedColumns()
-    val merged = applyDropSet(applyRenameChain(readMerged(spark, dataInputs), chain), dropped)
+    val widens = widenedColumns()
+    // the rewrite also materializes any widened types physically (the
+    // widen twin of the drop-removal above)
+    val merged = applyWidenSet(
+      applyDropSet(applyRenameChain(readMerged(spark, dataInputs), chain), dropped),
+      chain, widens)
     val stage = stageWrite(merged)
     // stats survive compaction when every data input carries them for the
     // same column: merged range = [min of mins, max of maxes] — no extra job
@@ -839,8 +957,12 @@ final class SnapshotStore(val root: String) {
     val renameMeta =
       if (chain.isEmpty) Map.empty[String, String]
       else Map("rename_cols" -> encodeChain(chain))
+    val widenMeta =
+      if (widens.isEmpty) Map.empty[String, String]
+      else Map("widen_cols" -> encodeChain(widens))
     val id = commitStaged(stage,
-      () => Map("replaces" -> inputs.mkString(",")) ++ dropMeta ++ renameMeta ++ globalTxns ++ stats,
+      () => Map("replaces" -> inputs.mkString(",")) ++ dropMeta ++ renameMeta ++
+        widenMeta ++ globalTxns ++ stats,
       () => inputs.forall(snapshots.contains))
       .getOrElse(throw new IllegalStateException(
         "compact aborted: an input snapshot was retired by a concurrent commit"))

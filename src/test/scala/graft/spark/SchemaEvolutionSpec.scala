@@ -236,4 +236,60 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> (r.getString(1), Option(r.getAs[java.lang.Long]("z")))).toMap
     assert(rows === Map(1L -> ("X", Some(9L)), 2L -> ("y", None)))
   }
+
+  test("widenColumn: manifest-only, mixed-era reads up-cast, time travel intact") {
+    import spark.implicits._
+    val store = freshStore("widen")
+    val s1 = store.append(Seq((1L, 10, 1.5f)).toDF("k", "n", "x"))
+    val wid = store.widenColumn(spark, "n", "long")
+    assert(store.isSchemaOnly(wid))
+    // appends after the widen may write the WIDE type; mixed-era read
+    // up-casts the old files — the Iceberg int->long promotion
+    val s3 = store.append(Seq((2L, 3000000000L, 2.5f)).toDF("k", "n", "x"))
+    val got = store.readRange(spark, 0L, s3)
+    assert(got.schema("n").dataType === org.apache.spark.sql.types.LongType)
+    assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 10L, 2L -> 3000000000L))
+    // time travel below the widen still surfaces the narrow type
+    assert(store.read(spark, s1).schema("n").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    // float -> double too, and the second widen composes with the first
+    val wid2 = store.widenColumn(spark, "x", "double")
+    val got2 = store.readRange(spark, 0L, wid2)
+    assert(got2.schema("x").dataType === org.apache.spark.sql.types.DoubleType)
+    assert(got2.schema("n").dataType === org.apache.spark.sql.types.LongType)
+    // invalid widenings are rejected loudly: wrong source type, unknown
+    // target, re-widening an already-wide column
+    intercept[IllegalArgumentException](store.widenColumn(spark, "k", "double"))
+    intercept[IllegalArgumentException](store.widenColumn(spark, "n", "string"))
+    intercept[IllegalArgumentException](store.widenColumn(spark, "n", "long"))
+    intercept[IllegalArgumentException](store.widenColumn(spark, "missing", "long"))
+  }
+
+  test("widen survives compaction (materialized), upsert, and a later rename") {
+    import spark.implicits._
+    val store = freshStore("widenlife")
+    store.append(Seq((1L, 10)).toDF("k", "n"))
+    store.append(Seq((2L, 20)).toDF("k", "n"))
+    store.widenColumn(spark, "n", "long")
+    // compaction materializes the wide type physically and carries the
+    // record forward in its replacement manifest
+    val cid = store.compact(spark, upToInclusive = 3L)
+    assert(spark.read.parquet(store.dataLocation(cid).toString)
+      .schema("n").dataType === org.apache.spark.sql.types.LongType)
+    assert(store.read(spark, cid).schema("n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // upsert rewrites under the wide type; narrow-typed survivors up-cast
+    val uid = store.upsert(spark, Seq((2L, 3000000000L), (3L, 30L)).toDF("k", "n"), "k")
+    val rows = store.readRange(spark, 0L, uid).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(1L -> 10L, 2L -> 3000000000L, 3L -> 30L))
+    // a LATER rename keeps the widen attached to the column
+    val rid = store.renameColumn(spark, "n", "count")
+    val after = store.readRange(spark, 0L, rid)
+    assert(after.columns.sorted.toSeq === Seq("count", "k"))
+    assert(after.schema("count").dataType === org.apache.spark.sql.types.LongType)
+    assert(after.collect().map(r => r.getAs[Long]("count")).sorted.toSeq ===
+      Seq(10L, 30L, 3000000000L))
+  }
 }
