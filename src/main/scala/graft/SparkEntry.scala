@@ -123,6 +123,7 @@ object SparkEntry {
     "e_ann_pq" -> ((s, d) => Similarity.annPq(embs(s, d))),
     "e_ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(embs(s, d))),
     "e_ann_incr" -> ((s, d) => Similarity.annIvfAppend(embs(s, d))),
+    "e_ann_persisted" -> ((s, d) => Similarity.annIvfPersisted(embs(s, d))),
     "e_ann_drift" -> ((s, d) => Similarity.annIvfDrift(embs(s, d))),
     "e_ann_retrain" -> ((s, d) => Similarity.annIvfRetrain(embs(s, d))),
     "d_pagerank" -> ((s, d) => GraphOps.pagerank(docs(s, d))),
@@ -1912,6 +1913,12 @@ object SparkEntry {
     "e_ann_pq" -> pqOracle,
     "e_ann_ivfpq" -> ivfPqOracle,
     "e_ann_incr" -> annIvfAppendOracle,
+    // the persisted-index round trip is search-identical to e_ann_incr by
+    // construction (same kernels; centroid grids round-trip parquet BIGINTs
+    // exactly) — the SAME oracle therefore pins that the store round trip
+    // (write_index -> read_index -> append -> two-snapshot search) loses or
+    // corrupts nothing
+    "e_ann_persisted" -> annIvfAppendOracle,
     "e_ann_drift" -> annIvfDriftOracle,
     "e_ann_retrain" -> annIvfRetrainOracle,
     // replays Dedup.substrDedup: the shared span CTE chain (substrCtes),

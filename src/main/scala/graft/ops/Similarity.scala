@@ -735,6 +735,78 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** PERSISTED IVF index — the FAISS `write_index`/`read_index` shape that
+    * makes [[annIvfAppend]]'s "incremental maintenance" real maintenance:
+    * train ONCE on the standing slice, STORE the index (centroids table +
+    * postings table, both [[graft.io.SnapshotStore]] snapshots), and every
+    * later operation runs against the STORED artifact —
+    *
+    *   1. build: Lloyd-trained centroids → centroid table snapshot;
+    *      standing vectors assigned to those cells → postings snapshot 1.
+    *   2. incremental add: the delta batch is assigned using ONLY the
+    *      centroids READ BACK from the store (nothing retrained, nothing
+    *      recomputed from the standing slice) and APPENDED as postings
+    *      snapshot 2 — the atomic-commit append, so a concurrent reader
+    *      sees the index before or after the batch, never half of it.
+    *   3. search: queries probe the store-read centroids and rerank over
+    *      `readRange` across BOTH postings snapshots.
+    *
+    * Search output is bit-identical to [[annIvfAppend]] (same kernels,
+    * same probe and tie rules; the centroid grid round-trips parquet
+    * BIGINTs exactly), so the DuckDB oracle is shared — what this query
+    * additionally proves is the store round trip: a lost posting, a
+    * corrupted centroid, or an append that clobbered snapshot 1 surfaces
+    * as a value diff.
+    *
+    * Scale shape: the index tables ARE tables — the centroid read-back is
+    * nCells rows (bounded collect), postings never pass through the
+    * driver, and the per-batch add cost is O(delta·nCells) exactly as the
+    * in-flight variant. The query's store is scratch (self-contained
+    * gate); a production pipeline passes a durable root and calls the
+    * steps on its own schedule. */
+  def annIvfPersisted(embeddings: DataFrame, nQueries: Int = 20, k: Int = 5,
+                      nCells: Int = 32, nProbe: Int = 3, trainIters: Int = 2,
+                      deltaMod: Int = IvfAppendDeltaMod): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-index")
+    try {
+      val centStore = new graft.io.SnapshotStore(dir.resolve("centroids").toString)
+      val postStore = new graft.io.SnapshotStore(dir.resolve("postings").toString)
+      val deltaRule = s"(CAST(vec_id AS BIGINT) % $deltaMod) = ${deltaMod - 1}"
+      // 1. BUILD: train on the standing slice, write the index
+      val trained = standingCents(embeddings, nCells, trainIters, deltaMod)
+      centStore.append(trained.zipWithIndex
+        .map { case (m, c) => (c, m) }.toSeq.toDF("cell", "m"))
+      postStore.append(
+        assignWithProbes(embeddings.where(s"NOT ($deltaRule)"), trained, 0, nProbe)
+          .select("vec_id", "v", "nv", "cell"))
+      // 2. INCREMENTAL ADD: everything below uses ONLY the stored index
+      val stored: Array[Array[Long]] =
+        centStore.read(spark, centStore.latest.get)
+          .select("cell", "m").as[(Int, Array[Long])]
+          .collect().sortBy(_._1).map(_._2)
+      require(stored.length == nCells,
+        s"annIvfPersisted: stored index has ${stored.length} cells, expected $nCells")
+      postStore.append(
+        assignWithProbes(embeddings.where(deltaRule), stored, 0, nProbe)
+          .select("vec_id", "v", "nv", "cell"))
+      // 3. SEARCH across both stored snapshots
+      val corpus = postStore.readRange(spark, 0L, postStore.latest.get)
+      val queries =
+        assignWithProbes(embeddings.where(s"CAST(vec_id AS BIGINT) < $nQueries"),
+          stored, nQueries, nProbe)
+          .selectExpr("vec_id AS query_id", "v AS qv", "nv AS nq",
+            "explode(probes) AS cell")
+      // materialize before the scratch store is deleted; the sort rides on
+      // top of the checkpoint so the returned plan still guarantees it
+      searchPostings(corpus, queries, k)
+        .withColumn("from_delta", expr(s"(neighbor_id % $deltaMod) = ${deltaMod - 1}"))
+        .localCheckpoint(true)
+        .orderBy("query_id", "rank")
+    } finally graft.io.SnapshotStore.deleteRecursively(dir)
+  }
+
   /** [[annIvfAppend]]'s index health monitor — the "is a retrain due yet"
     * signal every frozen-centroid index needs: per cell, how many STANDING
     * vs DELTA vectors it holds and their mean squared grid distance to the
@@ -959,6 +1031,20 @@ object Similarity {
     * columns, then order). */
   private def ivfSearch(embeddings: DataFrame, grid: Array[Array[Long]],
                         nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    val assigned = assignWithProbes(embeddings, grid, nQueries, nProbe)
+    val corpus = assigned.select("vec_id", "v", "nv", "cell")
+    val queries = assigned.where(s"vec_id < $nQueries")
+      .selectExpr("vec_id AS query_id", "v AS qv", "nv AS nq", "explode(probes) AS cell")
+    searchPostings(corpus, queries, k)
+  }
+
+  /** Cell assignment (+ query probes) as ONE JIT'd typed pass against a
+    * centroid broadcast — the shared kernel behind [[ivfSearch]] and the
+    * persisted-index flow, factored so the bit-exactness contract lives in
+    * exactly one place. Returns (vec_id, v, nv, cell, probes), probes null
+    * for `vec_id >= nQueries` (pass 0 for an assignment-only pass). */
+  private def assignWithProbes(embeddings: DataFrame, grid: Array[Array[Long]],
+                               nQueries: Int, nProbe: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // /2^20 is a power-of-two division: exact in DOUBLE, so what the
@@ -977,7 +1063,7 @@ object Similarity {
     // the DuckDB oracle replays unchanged.
     // NOT destroyed: the plan below is lazy and may re-execute this scan.
     val bcC = spark.sparkContext.broadcast((cents, cnorms))
-    val assigned = withNorm(embeddings)
+    withNorm(embeddings)
       .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "v", "nv")
       .as[(Long, Array[Double], Double)]
       .map { case (vid, v, nv) =>
@@ -1019,9 +1105,14 @@ object Similarity {
         (vid, v, nv, best, probes)
       }
       .toDF("vec_id", "v", "nv", "cell", "probes")
-    val corpus = assigned.select("vec_id", "v", "nv", "cell")
-    val queries = assigned.where(s"vec_id < $nQueries")
-      .selectExpr("vec_id AS query_id", "v AS qv", "nv AS nq", "explode(probes) AS cell")
+  }
+
+  /** Probed-cell exact rerank: the IVF search join shared by [[ivfSearch]]
+    * and the persisted-index flow — `corpus` is the (stored or in-flight)
+    * postings relation (vec_id, v, nv, cell), `queries` one row per
+    * (query, probed cell). Bucket equi-join, exact cosine, top-k by
+    * (sim DESC, neighbor ASC). */
+  private def searchPostings(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     corpus
       .join(queries, Seq("cell"))
       .where("vec_id != query_id")
@@ -1033,7 +1124,6 @@ object Similarity {
           .orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
       .where(s"rank <= $k")
       .select("query_id", "rank", "neighbor_id", "cell", "sim")
-  }
 
   /** Probe masks for multi-probe LSH: the zero mask plus every 1- and 2-bit
     * flip of the sign word — 1 + P + P(P−1)/2 masks (37 of 256 for 8

@@ -113,6 +113,21 @@ class AnnTrainSpec extends AnyFunSuite with SparkFixture {
     assert(d1.map(_.getLong(1)).sum === d2.map(_.getLong(1)).sum)
   }
 
+  test("annIvfPersisted: the store round trip (write/read/append/search) is bit-identical to the in-flight index") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val emb = (0L until 320L).map(id => (id, Array.fill(64)(rnd.nextFloat()), 0))
+      .toDF("vec_id", "embedding", "label")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4), r.getBoolean(5))
+    val persisted = Similarity.annIvfPersisted(emb, nCells = 16).collect().map(key)
+    val inflight = Similarity.annIvfAppend(emb, nCells = 16).collect().map(key)
+    assert(persisted.toSeq === inflight.toSeq,
+      "persisted-index search must equal the in-flight index search exactly")
+    // delta vectors added via the SECOND stored snapshot genuinely surface
+    assert(persisted.exists(_._6), "no appended (delta-snapshot) neighbor surfaced")
+  }
+
   test("annIvfRetrain: drifted scenario fires and warm-start retrain repairs the delta fit; in-dist passes the frozen index through") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
