@@ -29,6 +29,21 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String) = Relational.tbl(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Relational.tbl(s, dir, "embeddings")
+
+  /** `(doc_id, lang, text)` view of the synthetic transcript corpus for the
+    * separable-classifier twin (`d_clf_sep_*`): one row per turn, doc_id
+    * densely derived from the padded conv index and turn_idx (turn_idx is
+    * bounded far below the 100000 stride), label = the turn's tool — html
+    * payloads carry markup tokens, so the label IS linearly separable from
+    * hashed BoW. Mirrored by the oracle's `clfSepSrc` over the _raw_turns
+    * fixture dump. */
+  private def clfSepDocs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val n = graft.gen.SyntheticTranscripts.convsForSfDir(dir)
+    graft.gen.SyntheticTranscripts.turns(s, n).toDF()
+      .selectExpr(
+        "CAST(substring(conv_id, 6) AS BIGINT) * 100000 + turn_idx AS doc_id",
+        "tool AS lang", "text")
+  }
   private def events(s: SparkSession, dir: String) = Relational.tbl(s, dir, "events")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -84,6 +99,14 @@ object SparkEntry {
     "d_ngram_lm" -> ((s, d) => Selection.stupidBackoff(docs(s, d))),
     "d_clf_train" -> ((s, d) => Selection.perceptronTrain(docs(s, d))),
     "d_clf_score" -> ((s, d) => Selection.perceptronScore(docs(s, d))),
+    // separable twin: same trainer over the transcript corpus, where the
+    // label (tool = html) IS learnable from BoW — convergence + >90%
+    // accuracy become gate-visible (the documents corpus's identical
+    // 31-token vocab caps honest accuracy near the majority rate)
+    "d_clf_sep_train" -> ((s, d) =>
+      Selection.perceptronTrain(clfSepDocs(s, d), refLang = "html")),
+    "d_clf_sep_score" -> ((s, d) =>
+      Selection.perceptronScore(clfSepDocs(s, d), refLang = "html")),
     "d_hll_distinct" -> ((s, d) => DocTextOps.hllDistinct(docs(s, d))),
     "d_repetition" -> ((s, d) => DocTextOps.repetitionSignals(docs(s, d))),
     "d_cms_freq" -> ((s, d) => DocTextOps.cmsFreq(docs(s, d))),
@@ -252,25 +275,70 @@ object SparkEntry {
     * so every margin replays bit-for-bit. Used by both `d_clf_train` and
     * `d_clf_score` (which read the pass-boundary rows / the final
     * accumulators respectively). */
-  private def perceptronCtes: String = {
+  private def perceptronCtes: String =
+    perceptronCtesFor("documents", graft.ops.Selection.DefaultRefLang)
+
+  /** The `(doc_id, lang, text)` projection of the transcript fixture used
+    * by the `d_clf_sep_*` oracles: doc_id densely derived from the padded
+    * conv index and turn_idx, label column = the turn's tool. Mirrors
+    * [[clfSepDocs]] exactly. */
+  private def clfSepSrc: String =
+    """(SELECT CAST(substr(conv_id, 6) AS BIGINT) * 100000 + turn_idx AS doc_id,
+      |   tool AS lang, text
+      | FROM read_parquet('__VERIFY_OUT__/_raw_turns/*.parquet'))""".stripMargin
+
+  /** Pass-boundary readout shared by the `d_clf_train` / `d_clf_sep_train`
+    * oracles. */
+  private def clfTrainTail: String =
+    """SELECT s // (SELECT k FROM nk) AS pass,
+      |  (SELECT k FROM nk) AS n_train,
+      |  nupd - lag(nupd, 1, 0::BIGINT) OVER (ORDER BY s) AS n_updates,
+      |  bias,
+      |  list_sum(list_transform(w, v -> abs(v)))::BIGINT AS w_l1
+      |FROM tr WHERE s % (SELECT k FROM nk) = 0 AND s > 0 ORDER BY pass""".stripMargin
+
+  /** Averaged-model scoring readout shared by the `d_clf_score` /
+    * `d_clf_sep_score` oracles: the final averaging accumulators
+    * (Σ_t w_t, Σ_t bias_t) applied back over every document's counts. */
+  private def clfScoreTail: String =
+    s""",
+       |fin AS (SELECT wsum, bsum FROM tr
+       |        WHERE s = ${Selection.ClfPasses} * (SELECT k FROM nk)),
+       |wrows AS (SELECT i AS b, f.wsum[i + 1] AS wt
+       |          FROM fin f, (SELECT unnest(range(0, ${Selection.ClfBuckets})) AS i) t(i)),
+       |sums AS (SELECT f.doc_id, sum(f.c * w.wt)::BIGINT AS t
+       |         FROM fx f JOIN wrows w USING (b) GROUP BY 1),
+       |sc AS (SELECT d.doc_id, d.y,
+       |         coalesce(s.t, 0) + (SELECT bsum FROM fin) AS margin
+       |       FROM docs0 d LEFT JOIN sums s USING (doc_id))
+       |SELECT doc_id, margin, margin > 0 AS pred_ref, y > 0 AS is_ref,
+       |  (margin > 0) = (y > 0) AS correct
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** [[perceptronCtes]] over an arbitrary `(doc_id, lang, text)` relation
+    * `src` with reference class `lang` — the separable-corpus twin
+    * (`d_clf_sep_*`) trains the SAME recursive replay over the transcript
+    * fixture, where the label (tool = html) IS linearly separable from
+    * bag-of-words (markup tokens), so the gate shows the trainer actually
+    * fitting instead of the documents corpus's vocab-identity ceiling. */
+  private def perceptronCtesFor(src: String, lang: String): String = {
     val b = graft.ops.Selection.ClfBuckets
     val trainN = graft.ops.Selection.ClfTrainN
     val passes = graft.ops.Selection.ClfPasses
-    val lang = graft.ops.Selection.DefaultRefLang
     s"""WITH RECURSIVE tok AS (SELECT doc_id,
       |    (CASE WHEN lang = '$lang' THEN 1 ELSE -1 END)::BIGINT AS y,
       |    unnest(string_split(text, ' ')) AS w
-      |  FROM documents WHERE text IS NOT NULL),
-      |fx AS (SELECT doc_id, y, ${dh32("w")} % $b AS b, count(*)::BIGINT AS c
+      |  FROM $src WHERE text IS NOT NULL),
+      |fx AS MATERIALIZED (SELECT doc_id, y, ${dh32("w")} % $b AS b, count(*)::BIGINT AS c
       |       FROM tok GROUP BY 1, 2, 3),
-      |docs0 AS (SELECT DISTINCT doc_id, y FROM fx),
-      |xv AS (SELECT doc_id, map(list(b ORDER BY b), list(c ORDER BY b)) AS mp
+      |docs0 AS MATERIALIZED (SELECT DISTINCT doc_id, y FROM fx),
+      |xv AS MATERIALIZED (SELECT doc_id, map(list(b ORDER BY b), list(c ORDER BY b)) AS mp
       |       FROM fx GROUP BY 1),
-      |train AS (SELECT doc_id, y,
+      |train AS MATERIALIZED (SELECT doc_id, y,
       |    row_number() OVER (ORDER BY ${dh32("doc_id::VARCHAR")}, doc_id) AS stp
       |  FROM docs0 QUALIFY stp <= $trainN),
-      |nk AS (SELECT count(*)::BIGINT AS k FROM train),
-      |exs AS (SELECT t.stp, t.y,
+      |nk AS MATERIALIZED (SELECT count(*)::BIGINT AS k FROM train),
+      |exs AS MATERIALIZED (SELECT t.stp, t.y,
       |    list_transform(range(0, $b), i -> coalesce(map_extract(x.mp, i)[1], 0::BIGINT)) AS xl
       |  FROM train t JOIN xv x USING (doc_id)),
       |tr(s, w, bias, wsum, bsum, nupd) AS (
@@ -1522,30 +1590,16 @@ object SparkEntry {
     // replays Selection.perceptronTrain: pass-boundary rows of the
     // recursive sequential-update walk (per-pass update count via a
     // cumulative-count lag diff)
-    "d_clf_train" ->
-      s"""$perceptronCtes
-         |SELECT s // (SELECT k FROM nk) AS pass,
-         |  (SELECT k FROM nk) AS n_train,
-         |  nupd - lag(nupd, 1, 0::BIGINT) OVER (ORDER BY s) AS n_updates,
-         |  bias,
-         |  list_sum(list_transform(w, v -> abs(v)))::BIGINT AS w_l1
-         |FROM tr WHERE s % (SELECT k FROM nk) = 0 AND s > 0 ORDER BY pass""".stripMargin,
+    "d_clf_train" -> s"$perceptronCtes\n$clfTrainTail",
     // replays Selection.perceptronScore: the final averaging accumulators
     // (Σ_t w_t, Σ_t bias_t) applied back over every document's counts
-    "d_clf_score" ->
-      s"""$perceptronCtes,
-         |fin AS (SELECT wsum, bsum FROM tr
-         |        WHERE s = ${Selection.ClfPasses} * (SELECT k FROM nk)),
-         |wrows AS (SELECT i AS b, f.wsum[i + 1] AS wt
-         |          FROM fin f, (SELECT unnest(range(0, ${Selection.ClfBuckets})) AS i) t(i)),
-         |sums AS (SELECT f.doc_id, sum(f.c * w.wt)::BIGINT AS t
-         |         FROM fx f JOIN wrows w USING (b) GROUP BY 1),
-         |sc AS (SELECT d.doc_id, d.y,
-         |         coalesce(s.t, 0) + (SELECT bsum FROM fin) AS margin
-         |       FROM docs0 d LEFT JOIN sums s USING (doc_id))
-         |SELECT doc_id, margin, margin > 0 AS pred_ref, y > 0 AS is_ref,
-         |  (margin > 0) = (y > 0) AS correct
-         |FROM sc ORDER BY doc_id""".stripMargin,
+    "d_clf_score" -> s"$perceptronCtes$clfScoreTail",
+    // the SEPARABLE twin over the transcript fixture: label = (tool =
+    // 'html'), learnable from BoW (markup tokens) — the trainer converges
+    // (updates fall across passes) and scores >90% where the documents
+    // corpus's identical-vocab ceiling sits near the majority rate
+    "d_clf_sep_train" -> s"${perceptronCtesFor(clfSepSrc, "html")}\n$clfTrainTail",
+    "d_clf_sep_score" -> s"${perceptronCtesFor(clfSepSrc, "html")}$clfScoreTail",
     "d_downselect" ->
       s"""WITH q AS (SELECT doc_id,
          |  (length(text) >= 80 AND len(string_split(text, ' ')) >= 16 AND
