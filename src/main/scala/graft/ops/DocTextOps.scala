@@ -1037,6 +1037,8 @@ object DocTextOps {
     import org.apache.spark.sql.expressions.Window
     val spark = documents.sparkSession
     import spark.implicits._
+    require(binWidth >= 1, s"histQuantiles: binWidth must be >= 1, got $binWidth " +
+      "(use derivedBinWidth to size it from the observed value range)")
     val bins = documents
       .selectExpr(s"n_chars DIV $binWidth AS bin")
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
@@ -1066,6 +1068,31 @@ object DocTextOps {
       .selectExpr("q_ppm", "n_total", s"bin * $binWidth AS bin_lo", "cnt AS bin_cnt",
         "est", "CAST(n_chars AS BIGINT) AS exact", "abs(est - n_chars) AS abs_err")
       .orderBy("q_ppm")
+  }
+
+  /** Data-derived bin width for [[histQuantiles]]: the smallest power of
+    * two keeping the bin count at or under `maxBins`, from ONE cheap
+    * min/max aggregation over the value column. This keeps the cumulative
+    * pass's single-partition window (cardinality = range / binWidth) at
+    * ≤ maxBins rows on ANY corpus — a 256M-char doc ceiling derives
+    * binWidth 4096 instead of pushing ~4M bins through one task at the
+    * fixed default — without the operator needing hand tuning. Power of
+    * two so the derivation is exact integer arithmetic any engine
+    * replays; deterministic given the data. */
+  def derivedBinWidth(documents: DataFrame, maxBins: Long = 1L << 16): Long = {
+    require(maxBins >= 1, s"derivedBinWidth: maxBins must be >= 1, got $maxBins")
+    val r = documents
+      .selectExpr("CAST(min(n_chars) AS BIGINT) AS mn", "CAST(max(n_chars) AS BIGINT) AS mx")
+      .head()
+    if (r.isNullAt(0)) 1L
+    else {
+      val range = r.getLong(1) - r.getLong(0) + 1L
+      val needed = (range + maxBins - 1L) / maxBins // ceil(range / maxBins)
+      // smallest power of two >= needed
+      var bw = 1L
+      while (bw < needed) bw <<= 1
+      bw
+    }
   }
 }
 

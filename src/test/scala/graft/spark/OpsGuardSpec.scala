@@ -105,6 +105,38 @@ class OpsGuardSpec extends AnyFunSuite with SparkFixture {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("derivedBinWidth keeps the histQuantiles bin window bounded on a wide-range corpus") {
+    import spark.implicits._
+    // n_chars spanning ~67M: the fixed default width (64) would push ~1M
+    // bins through the cumulative pass's single-partition window; the
+    // derived width keeps it at <= maxBins on ANY corpus
+    val docs = (0L until 4000L)
+      .map(i => (i, (i * 16787L) % 67108864L))
+      .toDF("doc_id", "n_chars")
+    val maxBins = 1024L
+    val bw = graft.ops.DocTextOps.derivedBinWidth(docs, maxBins)
+    // smallest power of two keeping range/bw <= maxBins
+    assert((bw & (bw - 1)) == 0L, s"bin width must be a power of two, got $bw")
+    val range = 67108864L
+    assert(range / bw <= maxBins && (bw == 1L || range / (bw / 2) > maxBins),
+      s"derived width $bw is not the smallest power of two for $maxBins bins")
+    // the quantiles under the derived width are exact at every rank
+    val got = graft.ops.DocTextOps.histQuantiles(docs, binWidth = bw).collect()
+      .map(r => r.getAs[Long]("q_ppm") -> r.getAs[Long]("exact")).toMap
+    val sorted = (0L until 4000L).map(i => (i * 16787L) % 67108864L).sorted
+    def want(ppm: Long) = sorted(((ppm * 4000L + 999999L) / 1000000L - 1L).toInt)
+    Seq(250000L, 500000L, 750000L, 900000L, 990000L).foreach { q =>
+      assert(got(q) === want(q), s"exact quantile at $q ppm under derived width $bw")
+    }
+    // degenerate corpora stay sane: empty -> width 1, constant -> width 1
+    assert(graft.ops.DocTextOps.derivedBinWidth(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n_chars"), maxBins) === 1L)
+    assert(graft.ops.DocTextOps.derivedBinWidth(
+      Seq((1L, 42L), (2L, 42L)).toDF("doc_id", "n_chars"), maxBins) === 1L)
+    intercept[IllegalArgumentException](
+      graft.ops.DocTextOps.histQuantiles(docs, binWidth = 0L))
+  }
+
   test("simhash excludes null-text documents (the oracle's unnest semantics)") {
     import spark.implicits._
     val df = Seq((1L, Some("a b c")), (2L, None), (3L, Some("a b c")))

@@ -49,6 +49,47 @@ class RouteEquivalenceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  import RouteEquivalenceSpec.mutate
+
+  for (seed <- Seq(31L, 4242L)) {
+    test(s"all four routes equal the sequential fold on an ADVERSARIAL rule corpus (seed $seed)") {
+      import spark.implicits._
+      val nConvs = 25L
+      val turns = SyntheticTranscripts.turns(spark, nConvs, seed)
+        .orderBy(hash($"text")).as[Turn]
+      val rules = SyntheticTranscripts.rules(spark, nConvs, seed).map(mutate)
+      val ruleMap = (0L until nConvs).map { ci =>
+        SyntheticTranscripts.convId(ci) ->
+          SyntheticTranscripts.rulesFor(seed, ci).map(r => Pipeline.toCoreRule(mutate(r)))
+      }.toMap
+      val bc = spark.sparkContext.broadcast(ruleMap)
+      // sequential fold over the SAME mutated rules; demarcateIsolated,
+      // because mutation case 4 plants a non-integer StartingMinusN —
+      // int("x") raises in the reference too (ocr_processor.py:457) and
+      // must quarantine that conversation identically on every route
+      val want = (0L until nConvs).flatMap { ci =>
+        val cid = SyntheticTranscripts.convId(ci)
+        val pages = SyntheticTranscripts.turnsFor(seed, ci).sortBy(_.turn_idx)
+          .map(t => Extractor.extract(t.tool, t.text).text)
+        Demarcator.demarcateIsolated(pages.toVector, ruleMap(cid))._1.map { r =>
+          ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber,
+            r.ToPageNumber, r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
+            r.UploadDataSheetId.getOrElse(0L), r.TotalNumberOfpages, r.NoOfPages,
+            r.Sequence.getOrElse(""), r.SessionId.getOrElse(""))
+        }
+      }.sortBy(s => (s.conv_id, s.Sequence.toInt))
+      assert(want.nonEmpty)
+      def norm(xs: Array[ConvSegment]): Seq[ConvSegment] =
+        xs.sortBy(s => (s.conv_id, s.Sequence.toInt)).toSeq
+      assert(norm(Pipeline.segmentFused(turns, bc).collect()) == want, "broadcast-fused")
+      assert(norm(Pipeline.segmentFusedCogroup(turns, rules).collect()) == want, "cogroup-fused")
+      assert(norm(Pipeline.segmentCogroup(Pipeline.extract(turns), rules).collect()) == want,
+        "two-stage salted")
+      assert(norm(graft.plans.SegmentPlans.segmentJoin(turns, rules, None)
+        .as[ConvSegment].collect()) == want, "whole-operator catalyst")
+    }
+  }
+
   test("poisoned rule decode quarantines ONE conversation identically on all four routes") {
     import spark.implicits._
     val (seed, nConvs) = (7L, 12L)
@@ -89,5 +130,29 @@ class RouteEquivalenceSpec extends AnyFunSuite with SparkFixture {
     Pipeline.segmentFusedCogroup(turns, rules, stats = Some(acc)).collect()
     assert(acc.value.values.map(_._3).sum == 2L,
       s"lineage must count the two quarantined conversations, got ${acc.value}")
+  }
+}
+
+/** Companion holding the closure-safe mutation (a suite method would drag
+  * the non-serializable ScalaTest engine into the Spark closure). */
+object RouteEquivalenceSpec {
+  /** Deterministic ADVERSARIAL rule mutation — fat identifiers, missing
+    * fields, unicode whitespace, degenerate pipe-alternatives, non-integer
+    * offsets — applied identically to the distributed rules and the
+    * sequential oracle, so the four-route equivalence is exercised on rule
+    * shapes the generator never draws. */
+  def mutate(r: ConvRule): ConvRule = {
+    val h = (r.conv_id + "|" + r.Sequence).hashCode & 0x7fffffff
+    (h % 6: @unchecked) match {
+      case 0 => r.copy(StartingIdentifier =
+        r.StartingIdentifier + " " + Seq.fill(400)("pad").mkString(" "))
+      case 1 => r.copy(EndingIdentifier = "", EndingIdentifierMinus1 = "")
+      case 2 => r.copy(StartingIdentifier =
+        "  " + r.StartingIdentifier + "\t ")
+      case 3 => r.copy(StartingIdentifier = r.StartingIdentifier + "||  | ",
+        EndingIdentifier = " |" + r.EndingIdentifier)
+      case 4 => r.copy(StartingMinusN = "x", EndingMinusN = "", DocumentTypeID = "")
+      case 5 => r.copy(Occurence = 0, NoOfPages = 3)
+    }
   }
 }
