@@ -73,6 +73,7 @@ object SparkEntry {
     "ev_funnel" -> ((s, d) => EventOps.funnel(events(s, d))),
     "ev_interval_join" -> ((s, d) => EventOps.intervalJoin(events(s, d))),
     "ev_retention" -> ((s, d) => EventOps.retention(events(s, d))),
+    "ev_anomaly" -> ((s, d) => EventOps.eventAnomaly(events(s, d))),
     "ev_hopping" -> ((s, d) => EventOps.hoppingCounts(events(s, d))),
     "ev_skew_join" -> ((s, d) => EventOps.skewJoinProfile(events(s, d))),
     "ev_zorder" -> ((s, d) => Layout.zorderCompare(events(s, d))),
@@ -93,6 +94,7 @@ object SparkEntry {
     "d_downselect" -> ((s, d) => DocTextOps.downselect(docs(s, d))),
     "d_decontaminate" -> ((s, d) => DocTextOps.decontaminate(docs(s, d))),
     "d_bloom_decontaminate" -> ((s, d) => DocTextOps.bloomDecontaminate(docs(s, d))),
+    "d_contam_overlap" -> ((s, d) => DocTextOps.contamOverlap(docs(s, d))),
     "d_lm_score" -> ((s, d) => Selection.lmScore(docs(s, d))),
     "d_dsir_weights" -> ((s, d) => Selection.dsirWeights(docs(s, d))),
     "d_source_cap" -> ((s, d) => Selection.sourceCap(docs(s, d))),
@@ -125,6 +127,7 @@ object SparkEntry {
     "d_substr_cut" -> ((s, d) => Dedup.substrCut(docs(s, d))),
     "d_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(docs(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
+    "d_dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(docs(s, d))),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
     "d_incr_dedup" -> ((s, d) => Dedup.incrementalMinhash(docs(s, d))),
     "d_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
@@ -439,6 +442,23 @@ object SparkEntry {
        |        FROM inter JOIN sizes sa ON da = sa.doc_id
        |                   JOIN sizes sb ON db = sb.doc_id)""".stripMargin
   }
+
+  /** Connected-components CTE chain over the `jac` pair table (shared by
+    * `d_dedup_clusters` and `d_dedup_keep_best`): transitive closure via a
+    * recursive reach, component = least reachable id, singletons labelled
+    * by themselves. Callers prepend `WITH RECURSIVE $dShingleDocs,
+    * ${dJaccard(...)}` and end with `lab` (doc_id, component) + `sz`
+    * (component, cluster_size). */
+  private val dClusterCtes =
+    s"""edges AS (SELECT da AS a, db AS b FROM jac WHERE jaccard_ppm >= 800000),
+       |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+       |reach AS (SELECT a, b FROM sym
+       |          UNION
+       |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+       |lab AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+       |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |sz AS (SELECT component, count(*) AS cluster_size FROM lab GROUP BY 1)""".stripMargin
 
   /** DuckDB exact-fold cosine between DOUBLE[] columns a and b. */
   private def dCos(a: String, b: String): String = {
@@ -1373,6 +1393,25 @@ object SparkEntry {
         |  COUNT(DISTINCT wk.user_id) AS n_users
         |FROM wk JOIN c ON wk.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // replays EventOps.eventAnomaly: per-(type, day) counts z-scored with
+    // exact integer moments — the |z| >= T decision multiplies through the
+    // variance denominator so no sqrt/float appears on either engine
+    "ev_anomaly" -> {
+      val t2 = graft.ops.EventOps.DefaultZThreshold * graft.ops.EventOps.DefaultZThreshold
+      s"""WITH daily AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS epoch_day,
+         |    count(*)::BIGINT AS cnt
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |stats AS (SELECT event_type, count(*)::BIGINT AS d, sum(cnt)::BIGINT AS s,
+         |    sum(cnt * cnt)::BIGINT AS q
+         |  FROM daily GROUP BY 1)
+         |SELECT daily.event_type, epoch_day, cnt,
+         |  (CASE WHEN d * q - s * s > 0
+         |    THEN (cnt * d - s) * (cnt * d - s) * 1000000 // (d * q - s * s)
+         |    ELSE 0 END)::BIGINT AS z2_ppm,
+         |  d * q - s * s > 0 AND (cnt * d - s) * (cnt * d - s) >= $t2 * (d * q - s * s) AS anomaly
+         |FROM daily JOIN stats USING (event_type)
+         |ORDER BY 1, 2""".stripMargin
+    },
     "ev_hopping" ->
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800 - h) * 1800 AS win_start_epoch,
         |  event_type, count(*) AS n_events
@@ -1629,6 +1668,23 @@ object SparkEntry {
         |FROM g d LEFT JOIN bench b USING (g)
         |WHERE d.doc_id % 97 != 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // replays DocTextOps.contamOverlap: distinct 4-grams per training doc,
+    // hit-count vs the benchmark slice, exact integer ppm fraction +
+    // threshold verdict
+    "d_contam_overlap" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') ws FROM documents
+         |              WHERE len(string_split(text, ' ')) >= 4),
+         |g AS (SELECT doc_id,
+         |        unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         |                              for i in range(1, len(ws) - 2)])) AS g
+         |      FROM docs),
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+         |SELECT d.doc_id, count(*)::BIGINT AS n_grams, count(b.g)::BIGINT AS n_hit,
+         |  (count(b.g) * 1000000 // count(*))::BIGINT AS overlap_ppm,
+         |  count(b.g) * 1000000 // count(*) >= ${graft.ops.DocTextOps.DefaultContamPpm} AS drop_doc
+         |FROM g d LEFT JOIN bench b USING (g)
+         |WHERE d.doc_id % 97 != 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // replays DocTextOps.bloomDecontaminate: the filter's set bits as a
     // DISTINCT position table (4 disjoint md5 slices per bench gram), a
     // probe gram is a bloom hit iff all 4 of its positions are set
@@ -1894,18 +1950,27 @@ object SparkEntry {
     "d_dedup_clusters" ->
       s"""WITH RECURSIVE $dShingleDocs,
          |${dJaccard(Some(graft.ops.Dedup.DefaultDfCap))},
-         |edges AS (SELECT da AS a, db AS b FROM jac WHERE jaccard_ppm >= 800000),
-         |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
-         |reach AS (SELECT a, b FROM sym
-         |          UNION
-         |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
-         |lab AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
-         |        FROM documents d LEFT JOIN comp c USING (doc_id)),
-         |sz AS (SELECT component, count(*) AS cluster_size FROM lab GROUP BY 1)
+         |$dClusterCtes
          |SELECT l.doc_id, l.component, sz.cluster_size,
          |  l.doc_id = l.component AS is_canonical
          |FROM lab l JOIN sz USING (component) ORDER BY l.doc_id""".stripMargin,
+    // replays Dedup.dedupKeepBest: same clusters, survivor = highest
+    // integer lexical-diversity ppm (doc_id asc tie-break); NULL text
+    // scores the -1 sentinel
+    "d_dedup_keep_best" ->
+      s"""WITH RECURSIVE $dShingleDocs,
+         |${dJaccard(Some(graft.ops.Dedup.DefaultDfCap))},
+         |$dClusterCtes,
+         |qual AS (SELECT doc_id,
+         |    coalesce((CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000)
+         |      // len(string_split(text, ' ')), -1) AS diversity_ppm
+         |  FROM documents),
+         |r AS (SELECT l.doc_id, l.component, sz.cluster_size, q.diversity_ppm,
+         |    row_number() OVER (PARTITION BY l.component
+         |      ORDER BY q.diversity_ppm DESC, l.doc_id ASC) AS rn
+         |  FROM lab l JOIN sz USING (component) JOIN qual q USING (doc_id))
+         |SELECT doc_id, component, cluster_size, diversity_ppm, rn = 1 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "d_minhash_lsh" -> minhashOracle,
     "d_incr_dedup" -> incrDedupOracle,
     "d_stream_dedup" ->

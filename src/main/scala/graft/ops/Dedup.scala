@@ -644,6 +644,37 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cluster-representative SELECTION — the survivor-picking step a
+    * production dedup pipeline runs after [[dedupClusters]] (FineWeb /
+    * RefinedWeb shape: near-dup clusters keep their best member, not an
+    * arbitrary one): within each component, the kept document is the one
+    * with the highest lexical-diversity score (the integer `diversity_ppm`
+    * micro-ratio [[graft.ops.DocTextOps.qualityScore]] emits), doc_id
+    * ascending as the total tie-break. Documents with NULL text score −1
+    * — they can only be singletons (a null text produces no shingles, so
+    * no edges), so the sentinel never competes inside a real cluster.
+    *
+    * Shape at 100 TB: clustering is the existing O(log n)-round CC; the
+    * quality column is one scan; selection is ONE hash shuffle on
+    * `component` plus a per-cluster window bounded by the cluster size —
+    * no driver-side state, no all-pairs anything. */
+  def dedupKeepBest(documents: DataFrame, thresholdPpm: Long = 800000L,
+                    maxIters: Int = 20): DataFrame = {
+    val clusters = dedupClusters(documents, thresholdPpm, maxIters)
+      .select("doc_id", "component", "cluster_size")
+    val quality = documents.selectExpr("doc_id",
+      "coalesce((CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000)" +
+        " DIV size(split(text, ' ')), -1) AS diversity_ppm")
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(col("diversity_ppm").desc, col("doc_id").asc)
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(byCluster))
+      .selectExpr("doc_id", "component", "cluster_size", "diversity_ppm",
+        "rn = 1 AS keep")
+      .orderBy("doc_id")
+  }
+
   /** Batch twin of the streaming bounded-state dedup
     * ([[graft.streaming.StreamingSegmenter.dedupDocs]], built on
     * `dropDuplicatesWithinWatermark`). The streaming operator keeps the

@@ -419,6 +419,54 @@ object DocTextOps {
       .orderBy("doc_id")
   }
 
+  /** Default contamination-fraction threshold for [[contamOverlap]]
+    * (ppm of a document's distinct n-grams found in the benchmark set).
+    * Shared with the DuckDB oracle. 2% is deliberately tight against the
+    * synthetic corpora's natural 4-gram overlap (which peaks ~3.4% at
+    * sf0.01) so BOTH verdict branches are visible in the correctness
+    * gate — a threshold the data never reaches would make `drop_doc` a
+    * vacuous constant. Production corpora with real benchmark leakage
+    * tune this up via the `thresholdPpm` parameter. */
+  val DefaultContamPpm = 20000L
+
+  /** FRACTION-based decontamination — the graded companion to
+    * [[decontaminate]]'s any-hit flag, and the rule large decon runs
+    * actually apply (PaLM / Llama-style: drop a document only when a
+    * substantial FRACTION of its n-grams overlap the benchmark, so a
+    * single idiomatic phrase shared with an eval question doesn't cost a
+    * whole document). Per training document: its distinct n-gram count,
+    * how many of those appear in the benchmark set, the overlap as an
+    * exact integer ppm ratio, and the drop verdict at `thresholdPpm`.
+    *
+    * Same shape at 100 TB as [[decontaminate]]: the benchmark n-gram set
+    * is MB-scale → broadcast hash join against the exploded training
+    * n-grams (corpus never shuffles); the per-document count/sum pair
+    * rides the scan partitioning through one map-side-partial
+    * aggregation. All-integer arithmetic, so the DuckDB oracle replays
+    * the ratio bit-for-bit. */
+  def contamOverlap(documents: DataFrame, n: Int = 4, benchMod: Long = 97L,
+                    thresholdPpm: Long = DefaultContamPpm): DataFrame = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000,
+      s"contamOverlap: thresholdPpm must be in [0, 1000000], got $thresholdPpm")
+    val grams = documents.where(s"size(split(text, ' ')) >= $n")
+      .selectExpr("doc_id", s"${Shingles.ws} AS ws")
+      .selectExpr("doc_id", s"explode(${Shingles.grams(n)}) AS g")
+    val bench = grams.where(s"doc_id % $benchMod = 0")
+      .select("g").distinct().withColumn("hit", lit(1L))
+    grams.where(s"doc_id % $benchMod != 0")
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy("doc_id")
+      // the exploded grams are per-doc DISTINCT (Shingles.grams), so
+      // count(*) is the distinct-gram denominator the fraction needs
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .selectExpr("doc_id", "n_grams", "n_hit",
+        "n_hit * 1000000 DIV n_grams AS overlap_ppm")
+      .selectExpr("doc_id", "n_grams", "n_hit", "overlap_ppm",
+        s"overlap_ppm >= $thresholdPpm AS drop_doc")
+      .orderBy("doc_id")
+  }
+
   /** Bloom-filter width (bits) for [[bloomDecontaminate]] — shared with the
     * DuckDB oracle. 4096 bits is deliberately tight against these corpora's
     * few-hundred benchmark n-grams so false positives actually occur and

@@ -248,6 +248,45 @@ object EventOps {
       .orderBy("cohort_wk", "week_offset")
   }
 
+  /** Default |z| decision threshold for [[eventAnomaly]] — shared with the
+    * DuckDB oracle (which compares against its square). */
+  val DefaultZThreshold = 2L
+
+  /** Daily event-volume ANOMALY flags — the ops-side monitor an ingest
+    * pipeline runs over its own telemetry: per (event_type, day) count,
+    * z-scored against that type's daily mean/variance across the observed
+    * window, all in EXACT integer arithmetic. With D days, S = Σcnt and
+    * Q = Σcnt² per type, z² = (cnt·D − S)² / (D·Q − S²) — both sides of
+    * the |z| ≥ `zThreshold` decision multiply through the denominator, so
+    * no square root and no float ever appears and the DuckDB oracle
+    * replays the flag bit-for-bit. A constant daily series (D·Q = S²) has
+    * zero variance: z²_ppm reports 0 and nothing flags.
+    *
+    * Shape at 100 TB: the daily count is ONE map-side-partial aggregation
+    * riding the scan; the per-type moment triple is a ≤(#types)-row
+    * aggregate broadcast back — nothing scales with the event count past
+    * the first agg. The binding overflow term is the z²_ppm numerator
+    * (cnt·D − S)²·10⁶, exact while |cnt·D − S| < 3·10⁶ (the flag itself
+    * only needs |cnt·D − S| < 3·10⁹ since its comparison skips the ppm
+    * scale-up); beyond that, pre-bucket counts (cnt DIV 2^k) — the z
+    * ratio is scale-invariant, so the verdicts are unchanged. */
+  def eventAnomaly(events: DataFrame, zThreshold: Long = DefaultZThreshold): DataFrame = {
+    require(zThreshold >= 1, s"eventAnomaly: zThreshold must be >= 1, got $zThreshold")
+    val daily = events.where("ts IS NOT NULL")
+      .selectExpr("event_type", "CAST(unix_timestamp(ts) AS BIGINT) DIV 86400 AS epoch_day")
+      .groupBy("event_type", "epoch_day").agg(count(lit(1)).as("cnt"))
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("d"), sum("cnt").as("s"),
+      sum(expr("cnt * cnt")).as("q"))
+    daily.join(broadcast(stats), "event_type")
+      .selectExpr("event_type", "epoch_day", "cnt",
+        "(cnt * d - s) * (cnt * d - s) AS dev2", "d * q - s * s AS var2")
+      .selectExpr("event_type", "epoch_day", "cnt",
+        "IF(var2 > 0, dev2 * 1000000 DIV var2, 0) AS z2_ppm",
+        s"var2 > 0 AND dev2 >= ${zThreshold * zThreshold} * var2 AS anomaly")
+      .orderBy("event_type", "epoch_day")
+  }
+
   /** JSON prop extraction + conditional aggregation (`from_json` /
     * `get_json_object` surface). */
   def propExtract(events: DataFrame): DataFrame =

@@ -78,6 +78,24 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
       s"benchmark join must broadcast, got:\n$plan")
   }
 
+  test("contamOverlap grades contamination as an exact n-gram fraction") {
+    // doc 0 is the benchmark (0 % 97 = 0); doc 1 shares 1 of its 3
+    // distinct 4-grams (333333 ppm >= the 100000 threshold -> drop),
+    // doc 2 shares nothing, doc 3 is too short to produce a 4-gram
+    val d = docs(
+      0L -> "alpha beta gamma delta epsilon",
+      1L -> "x alpha beta gamma delta y",
+      2L -> "alpha beta zeta gamma delta",
+      3L -> "a b c")
+    val got = DocTextOps.contamOverlap(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toList
+    assert(got == List((1L, 3L, 1L, 333333L, true), (2L, 2L, 0L, 0L, false)))
+    val plan = DocTextOps.contamOverlap(d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark join must broadcast, got:\n$plan")
+  }
+
   test("repetitionSignals computes top-bigram and duplicated-trigram char shares") {
     // "a b a b a b": bigrams a·b ×3, b·a ×2 → top ("a b", 3);
     // trigrams "a b a" ×2, "b a b" ×2 → dup chars = 2*5 + 2*5 = 20

@@ -58,6 +58,35 @@ class EventOpsSpec extends AnyFunSuite with SparkFixture {
         dim, "user_id", "event_id"))
   }
 
+  test("eventAnomaly flags the spike day via exact integer z-scores") {
+    import spark.implicits._
+    val day = 86400L
+    val t0 = 1767225600L // exact multiple of 86400
+    def ts(d: Long, off: Long = 1L) = new Timestamp((t0 + d * day + off) * 1000L)
+    // type a: days 0..4 at 2 events, day 5 spikes to 6
+    //   D=6 S=16 Q=56 -> var2 = 6*56-256 = 80
+    //   quiet day: dev=(12-16)=-4 -> z2_ppm = 16e6/80 = 200000, no flag
+    //   spike day: dev=(36-16)=20 -> z2_ppm = 400e6/80 = 5000000 >= 4 -> flag
+    // type b: constant 1/day -> zero variance -> z2_ppm 0, never flags
+    // null ts rows are excluded before counting
+    val rows =
+      (0L until 5L).flatMap(d => Seq(ts(d), ts(d, 2L)).map(("a", _))) ++
+      (0L until 6L).map(i => ("a", ts(5L, i + 1L))) ++
+      (0L until 3L).map(d => ("b", ts(d))) ++
+      Seq(("a", null.asInstanceOf[Timestamp]))
+    val events = rows.zipWithIndex
+      .map { case ((et, t), i) => (i.toLong, t, i.toLong, et, "1.0", "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.eventAnomaly(events).collect()
+      .map(r => (r.getString(0), r.getLong(1) - t0 / day, r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    val want =
+      (0L until 5L).map(d => ("a", d, 2L, 200000L, false)).toSet ++
+      Set(("a", 5L, 6L, 5000000L, true)) ++
+      (0L until 3L).map(d => ("b", d, 1L, 0L, false)).toSet
+    assert(got == want, s"got $got")
+  }
+
   test("approx_count_distinct (the countDistinct scale swap) tracks the exact count") {
     import spark.implicits._
     // the documented swap for tumblingCounts' n_users at 100 TB — exercised

@@ -165,6 +165,29 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got(30L) == ((30L, 1L, true)))
   }
 
+  test("dedupKeepBest keeps the highest-diversity member, not the min-id root") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (10L, base + " alpha"),            // near-dup of 11, repeated token
+      (11L, base),                       //   -> higher diversity than 10
+      (20L, "totally different words entirely unrelated content here now"),
+      (21L, "totally different words entirely unrelated content here now"),
+      (40L, null.asInstanceOf[String])   // null text: -1 sentinel singleton
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.dedupKeepBest(docs, thresholdPpm = 700000L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    // component root is min-id 10, but the KEPT doc is 11 (1000000 ppm
+    // beats 10's 10/11 = 909090); exact dups tie-break to the lower id
+    assert(got(10L) == ((10L, 2L, 909090L, false)))
+    assert(got(11L) == ((10L, 2L, 1000000L, true)))
+    assert(got(20L) == ((20L, 2L, 1000000L, true)))
+    assert(got(21L) == ((20L, 2L, 1000000L, false)))
+    assert(got(40L) == ((40L, 1L, -1L, true)))
+  }
+
   test("salted extraction balances a monster conversation across partitions") {
     import spark.implicits._
     // one conversation dominates the corpus: stage A's hash(conv_id, turn_idx)
