@@ -129,6 +129,8 @@ object SparkEntry {
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(docs(s, d))),
     "d_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
+    "d_lsh_recall" -> ((s, d) => Dedup.lshRecall(docs(s, d))),
+    "d_split" -> ((s, d) => Dedup.splitAssign(docs(s, d))),
     "d_incr_dedup" -> ((s, d) => Dedup.incrementalMinhash(docs(s, d))),
     "d_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     // deterministic event times spread over 36 min (< the 1h watermark
@@ -469,7 +471,12 @@ object SparkEntry {
 
   private def dMoneySum(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
 
-  private def minhashOracle: String = {
+  /** Signature + banding CTE fragment replaying [[Dedup.bandedOf]] — ONE
+    * construction shared by the `d_minhash_lsh`, `d_incr_dedup` and
+    * `d_lsh_recall` oracles so the band layout cannot drift between
+    * replays. Expects the `sh(doc_id, shs)` CTE in scope; yields `hs`,
+    * `sigt` and `banded(doc_id, band, key)`. */
+  private def dBandedCtes: String = {
     val sigs = (0 until Dedup.NumPerms).map { k =>
       s"list_min([(${Dedup.permA(k)} * h + ${Dedup.permB(k)}) % $P for h in hh]) AS sig$k"
     }
@@ -478,10 +485,14 @@ object SparkEntry {
       val combined = ks.foldLeft("CAST(0 AS BIGINT)")((acc, k) => s"(($acc) * 31 + sig$k) % $P")
       s"SELECT doc_id, $b AS band, $combined AS key FROM sigt"
     }
-    s"""WITH $dShingleDocs,
-       |hs AS (SELECT doc_id, [${dh32("s")} % $P for s in shs] AS hh FROM sh),
+    s"""hs AS (SELECT doc_id, [${dh32("s")} % $P for s in shs] AS hh FROM sh),
        |sigt AS (SELECT doc_id, ${sigs.mkString(", ")} FROM hs),
-       |banded AS (${bands.mkString(" UNION ALL ")}),
+       |banded AS (${bands.mkString(" UNION ALL ")})""".stripMargin
+  }
+
+  private def minhashOracle: String = {
+    s"""WITH $dShingleDocs,
+       |$dBandedCtes,
        |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared_bands
        |         FROM banded x JOIN banded y
        |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
@@ -498,18 +509,8 @@ object SparkEntry {
     * lookup (LEFT join: a banded collision with zero shared shingles
     * verifies at Jaccard 0 — probed, not a dup). */
   private def incrDedupOracle: String = {
-    val sigs = (0 until Dedup.NumPerms).map { k =>
-      s"list_min([(${Dedup.permA(k)} * h + ${Dedup.permB(k)}) % $P for h in hh]) AS sig$k"
-    }
-    val bands = (0 until Dedup.Bands).map { b =>
-      val ks = b * Dedup.RowsPerBand until (b + 1) * Dedup.RowsPerBand
-      val combined = ks.foldLeft("CAST(0 AS BIGINT)")((acc, k) => s"(($acc) * 31 + sig$k) % $P")
-      s"SELECT doc_id, $b AS band, $combined AS key FROM sigt"
-    }
     s"""WITH $dShingleDocs,
-       |hs AS (SELECT doc_id, [${dh32("s")} % $P for s in shs] AS hh FROM sh),
-       |sigt AS (SELECT doc_id, ${sigs.mkString(", ")} FROM hs),
-       |banded AS (${bands.mkString(" UNION ALL ")}),
+       |$dBandedCtes,
        |cand AS (SELECT x.doc_id AS doc_id, y.doc_id AS partner, count(*) AS nsb
        |         FROM banded x JOIN banded y
        |           ON x.band = y.band AND x.key = y.key AND x.doc_id != y.doc_id
@@ -1972,6 +1973,48 @@ object SparkEntry {
          |SELECT doc_id, component, cluster_size, diversity_ppm, rn = 1 AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
     "d_minhash_lsh" -> minhashOracle,
+    // replays Dedup.lshRecall: each doc vs its prefix-truncated twin (keep
+    // 50..90% by doc_id%5), exact subset Jaccard, one banding pass over
+    // originals+twins, shared-band count via the 1:1 offset join
+    "d_lsh_recall" -> {
+      val off = graft.ops.Dedup.RecallTwinOffset
+      def grams(c: String) =
+        s"list_distinct([$c[i] || ' ' || $c[i+1] || ' ' || $c[i+2] for i in range(1, len($c) - 1)])"
+      s"""WITH docs0 AS (SELECT doc_id, string_split(text, ' ') ws
+         |               FROM documents WHERE len(string_split(text, ' ')) >= 8),
+         |base0 AS (SELECT doc_id, ws, 50 + (doc_id % 5) * 10 AS keep_pct,
+         |            ws[1 : CAST(len(ws) * (50 + (doc_id % 5) * 10) // 100 AS INT)] AS wv
+         |          FROM docs0),
+         |base AS (SELECT doc_id, keep_pct, ${grams("ws")} AS sa, ${grams("wv")} AS sb FROM base0),
+         |jacd AS (SELECT doc_id, keep_pct,
+         |           (CAST(len(list_filter(sb, x -> list_contains(sa, x))) AS BIGINT) * 1000000)
+         |             // (len(sa) + len(sb) - len(list_filter(sb, x -> list_contains(sa, x)))) AS jaccard_ppm
+         |         FROM base),
+         |sh AS (SELECT doc_id, sa AS shs FROM base
+         |       UNION ALL SELECT doc_id + $off, sb FROM base),
+         |$dBandedCtes,
+         |shared AS (SELECT x.doc_id, count(*)::BIGINT AS nsb
+         |           FROM banded x JOIN banded y
+         |             ON x.doc_id + $off = y.doc_id AND x.band = y.band AND x.key = y.key
+         |           GROUP BY 1)
+         |SELECT j.doc_id, keep_pct::BIGINT AS keep_pct, jaccard_ppm,
+         |  coalesce(nsb, 0)::BIGINT AS n_shared_bands,
+         |  jaccard_ppm >= 500000 AS is_dup, coalesce(nsb, 0) > 0 AS found
+         |FROM jacd j LEFT JOIN shared s ON j.doc_id = s.doc_id
+         |ORDER BY j.doc_id""".stripMargin
+    },
+    // replays Dedup.splitAssign: cluster-atomic split assignment by the
+    // salted component hash (near-dup clusters never straddle splits)
+    "d_split" ->
+      s"""WITH RECURSIVE $dShingleDocs,
+         |${dJaccard(Some(graft.ops.Dedup.DefaultDfCap))},
+         |$dClusterCtes
+         |SELECT l.doc_id, l.component, sz.cluster_size,
+         |  ${dh32("l.component::VARCHAR || ':split'")} % 1000000 AS bucket_ppm,
+         |  CASE WHEN ${dh32("l.component::VARCHAR || ':split'")} % 1000000 < ${graft.ops.Dedup.DefaultTestPpm} THEN 'test'
+         |       WHEN ${dh32("l.component::VARCHAR || ':split'")} % 1000000 < ${graft.ops.Dedup.DefaultTestPpm + graft.ops.Dedup.DefaultValPpm} THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM lab l JOIN sz USING (component) ORDER BY l.doc_id""".stripMargin,
     "d_incr_dedup" -> incrDedupOracle,
     "d_stream_dedup" ->
       """WITH t AS (SELECT doc_id, md5(text) AS content_hash,

@@ -226,11 +226,13 @@ object Dedup {
     // frequency. Computed as a WINDOW (not groupBy+join) so the df filter
     // rides the exact hashpartitioning(s) exchange the pair self-join needs
     // — Catalyst reuses one shuffle for the filter and both join sides.
-    val shf = sh
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("s")))
-      .where(s"df <= $dfCap")
-      .drop("df")
+    val shf =
+      if (dfCap == Long.MaxValue) sh // uncapped (eval-only shape): skip the df pass
+      else sh
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("s")))
+        .where(s"df <= $dfCap")
+        .drop("df")
     val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
     shf.as("a")
       .join(shf.as("b"), expr("a.s = b.s AND a.doc_id < b.doc_id"))
@@ -672,6 +674,99 @@ object Dedup {
       .withColumn("rn", row_number().over(byCluster))
       .selectExpr("doc_id", "component", "cluster_size", "diversity_ppm",
         "rn = 1 AS keep")
+      .orderBy("doc_id")
+  }
+
+  /** doc_id offset separating twin rows from originals in [[lshRecall]]'s
+    * banding input — above any real doc_id; shared with the DuckDB oracle. */
+  val RecallTwinOffset: Long = 1L << 40
+
+  /** LSH quality gate — [[minhashLsh]]'s analog of
+    * [[graft.ops.Similarity.annRecall]]: measures the banding's operating
+    * point against exact ground truth, so the perm/band knobs are TUNED,
+    * not guessed, before a full-corpus run. A natural corpus can't gate
+    * this (near-dup pairs cluster at Jaccard ≈1 where banding never
+    * misses), so the truth pairs are CONSTRUCTED: each document is paired
+    * with its own prefix truncation at a doc-determined keep fraction
+    * (50/60/70/80/90% by `doc_id % 5`), which places exact Jaccard right
+    * across the banding S-curve's slope (8 bands × 4 rows passes ~40% at
+    * Jaccard 0.5 and ~95% at 0.8) — so hits AND misses are both
+    * driver-gate-visible. Per document: the twin's exact `jaccard_ppm`
+    * (prefix shingles are a subset, so it's exact set Jaccard),
+    * `n_shared_bands` between the two signatures (0 = an LSH miss),
+    * `is_dup` at `thresholdPpm`, and `found` — recall at a Jaccard level
+    * is the `found` fraction of its `is_dup` rows, inspectable from the
+    * dump, and the miss rate must track the S-curve.
+    *
+    * Scale shape: the eval is O(corpus) — twin construction is map-only
+    * array algebra, both signature sets ride ONE banding pass over the
+    * doubled input, and the shared-band count is a 1:1 equi-join on
+    * (doc_id, band, key) — no pair explosion anywhere, so the gate can
+    * run on the full corpus at any scale, not just a sample. */
+  def lshRecall(documents: DataFrame, thresholdPpm: Long = 500000L): DataFrame = {
+    val base = documents
+      .where("size(split(text, ' ')) >= 8") // keep≥50% leaves ≥3 twin tokens
+      .selectExpr("doc_id", s"${Shingles.ws} AS ws")
+      .selectExpr("doc_id", "ws", "50 + (doc_id % 5) * 10 AS keep_pct")
+      .selectExpr("doc_id", "keep_pct",
+        s"${Shingles.shingles} AS sa",
+        s"${Shingles.shinglesOf("slice(ws, 1, CAST(size(ws) * keep_pct DIV 100 AS INT))")} AS sb")
+      .selectExpr("doc_id", "keep_pct", "sa", "sb",
+        "size(array_intersect(sa, sb)) AS inter", "size(sa) AS na", "size(sb) AS nb")
+      .selectExpr("doc_id", "keep_pct", "sa", "sb",
+        "(CAST(inter AS BIGINT) * 1000000) DIV (na + nb - inter) AS jaccard_ppm")
+    val banded = bandedOf(
+      base.selectExpr("doc_id", "sa AS shs")
+        .union(base.selectExpr(s"doc_id + $RecallTwinOffset AS doc_id", "sb AS shs")))
+    val shared = banded.as("x")
+      .join(banded.as("y"), expr(
+        s"x.doc_id + $RecallTwinOffset = y.doc_id AND x.band = y.band AND x.key = y.key"))
+      .groupBy(col("x.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("nsb"))
+    base.join(shared, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "CAST(keep_pct AS BIGINT) AS keep_pct", "jaccard_ppm",
+        "CAST(coalesce(nsb, 0) AS BIGINT) AS n_shared_bands",
+        s"jaccard_ppm >= $thresholdPpm AS is_dup",
+        "coalesce(nsb, 0) > 0 AS found")
+      .orderBy("doc_id")
+  }
+
+  /** Split-fraction defaults for [[splitAssign]] (ppm of the bucket space),
+    * shared with the DuckDB oracle. */
+  val DefaultTestPpm = 100000L
+  val DefaultValPpm = 100000L
+
+  /** LEAKAGE-SAFE train/val/test split — the assignment step after dedup
+    * that a naive per-document hash split gets wrong: two near-duplicate
+    * documents hashed independently can land in train AND test, leaking
+    * eval content into training. Here the unit of assignment is the
+    * near-dup CLUSTER ([[dedupClusters]]'s component): every member gets
+    * the component hash's bucket, so a cluster lands in exactly one split
+    * by construction. The split is a pure function of the component id —
+    * deterministic, reshuffle-stable, and reproducible from the manifest
+    * alone (a salted md5, decorrelated from every other hash bucket in
+    * the engine by the `:split` salt).
+    *
+    * Per-stratum fractions are binomial-approximate (exact stratification
+    * would need a global rank per stratum — a sort the hash form avoids);
+    * documents whose clusters merge across corpus versions can migrate
+    * splits, which is the correct behavior (the merged cluster must not
+    * straddle). Shape at 100 TB: clustering is the existing O(log n)
+    * rounds; assignment is map-only hash arithmetic on the labelled
+    * output. */
+  def splitAssign(documents: DataFrame, testPpm: Long = DefaultTestPpm,
+                  valPpm: Long = DefaultValPpm, thresholdPpm: Long = 800000L,
+                  maxIters: Int = 20): DataFrame = {
+    require(testPpm >= 0 && valPpm >= 0 && testPpm + valPpm <= 1000000,
+      s"splitAssign: test+val ppm must fit in [0, 1000000], got $testPpm + $valPpm")
+    dedupClusters(documents, thresholdPpm, maxIters)
+      .selectExpr("doc_id", "component", "cluster_size",
+        s"${Shingles.h32("concat(CAST(component AS STRING), ':split')")}" +
+          " % 1000000 AS bucket_ppm")
+      .selectExpr("doc_id", "component", "cluster_size", "bucket_ppm",
+        s"CASE WHEN bucket_ppm < $testPpm THEN 'test' " +
+          s"WHEN bucket_ppm < ${testPpm + valPpm} THEN 'val' " +
+          "ELSE 'train' END AS split")
       .orderBy("doc_id")
   }
 

@@ -1166,9 +1166,12 @@ object Shingles {
     if (distinct) s"array_distinct($t)" else t
   }
 
+  /** Distinct 3-token shingles over an arbitrary token-array column. */
+  def shinglesOf(c: String): String =
+    s"array_distinct(transform(sequence(0, size($c) - 3), i -> concat_ws(' ', $c[i], $c[i+1], $c[i+2])))"
+
   /** Distinct 3-token shingles over the pre-split `ws` column (≥3 tokens). */
-  val shingles: String =
-    "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"
+  val shingles: String = shinglesOf("ws")
 
   /** 32-bit integer hash of a shingle string via md5 hex — identical in any
     * engine with md5: first 8 hex chars as unsigned int. */

@@ -188,6 +188,56 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got(40L) == ((40L, 1L, -1L, true)))
   }
 
+  test("lshRecall grades banding against exact truncated-twin Jaccard") {
+    import spark.implicits._
+    def toks(n: Int) = (0 until n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (0L, toks(20)),  // keep 50: twin = 10 tokens, 8 of 18 shingles
+      (3L, toks(10)),  // keep 80: twin = 8 tokens, 6 of 8 shingles
+      (4L, toks(20)),  // keep 90: twin = 18 tokens, 16 of 18 shingles
+      (7L, toks(7))    // < 8 tokens: excluded from the eval
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.lshRecall(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(got.keySet == Set(0L, 3L, 4L))
+    // exact subset Jaccard: |shingles(prefix)| / |shingles(full)|
+    assert(got(0L)._1 == 50L && got(0L)._2 == 8000000L / 18L)  // 444444, not a dup
+    assert(got(3L)._1 == 80L && got(3L)._2 == 750000L)
+    assert(got(4L)._1 == 90L && got(4L)._2 == 16000000L / 18L) // 888888, a dup
+    assert(!got(0L)._4 && got(3L)._4 && got(4L)._4)
+    // banding is probabilistic per doc, but the reported flags must agree
+    // with the band count and the count must fit the 8-band layout
+    got.values.foreach { case (_, _, nsb, _, found) =>
+      assert(nsb >= 0L && nsb <= 8L && found == (nsb > 0L))
+    }
+  }
+
+  test("splitAssign never splits a near-dup cluster across splits") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (10L, base + " alpha"),
+      (11L, base),                       // near-dup cluster {10, 11}
+      (20L, "totally different words entirely unrelated content here now"),
+      (21L, "totally different words entirely unrelated content here now"),
+      (30L, "lone unrelated singleton document body with distinct words")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.splitAssign(docs, thresholdPpm = 700000L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getString(4)))).toMap
+    assert(got.keySet == Set(10L, 11L, 20L, 21L, 30L)) // every doc assigned
+    // cluster-atomic: same component -> same bucket -> same split
+    assert(got(10L) == got(11L) && got(20L) == got(21L))
+    got.values.foreach { case (_, bucket, split) =>
+      assert(bucket >= 0L && bucket < 1000000L)
+      assert(Set("train", "val", "test")(split))
+    }
+    // determinism: the assignment is a pure function of the component id
+    val again = graft.ops.Dedup.splitAssign(docs, thresholdPpm = 700000L).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(again == got.map { case (k, v) => k -> v._3 })
+  }
+
   test("salted extraction balances a monster conversation across partitions") {
     import spark.implicits._
     // one conversation dominates the corpus: stage A's hash(conv_id, turn_idx)
