@@ -92,6 +92,7 @@ object SparkEntry {
     "d_redact" -> ((s, d) => DocTextOps.piiRedact(docs(s, d))),
     "d_kmv_distinct" -> ((s, d) => DocTextOps.kmvDistinct(docs(s, d))),
     "d_downselect" -> ((s, d) => DocTextOps.downselect(docs(s, d))),
+    "d_pipeline" -> ((s, d) => DocTextOps.selectionPipeline(docs(s, d))),
     "d_decontaminate" -> ((s, d) => DocTextOps.decontaminate(docs(s, d))),
     "d_bloom_decontaminate" -> ((s, d) => DocTextOps.bloomDecontaminate(docs(s, d))),
     "d_contam_overlap" -> ((s, d) => DocTextOps.contamOverlap(docs(s, d))),
@@ -416,13 +417,18 @@ object SparkEntry {
        |    count(*)::BIGINT AS n_windows
        |  FROM grp GROUP BY doc_id, g)""".stripMargin
 
-  private val dShingleDocs =
-    s"""docs AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents
+  /** Per-doc distinct 3-shingle CTE chain over an arbitrary doc relation
+    * (must expose doc_id, text) — parameterized so composed pipelines can
+    * cluster a FILTERED pool with the same replay. */
+  private def dShingleDocsFrom(from: String): String =
+    s"""docs AS (SELECT doc_id, text, string_split(text, ' ') ws FROM $from
        |         WHERE len(string_split(text, ' ')) >= 3),
        |sh AS (SELECT doc_id,
        |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
        |                        for i in range(1, len(ws) - 1)]) AS shs
        |       FROM docs)""".stripMargin
+
+  private val dShingleDocs = dShingleDocsFrom("documents")
 
   /** Shingle-pair Jaccard CTE chain; `cap` mirrors [[Dedup.DefaultDfCap]]
     * (shingles above the document-frequency cap are dropped from the
@@ -451,7 +457,7 @@ object SparkEntry {
     * by themselves. Callers prepend `WITH RECURSIVE $dShingleDocs,
     * ${dJaccard(...)}` and end with `lab` (doc_id, component) + `sz`
     * (component, cluster_size). */
-  private val dClusterCtes =
+  private def dClusterCtesFrom(from: String): String =
     s"""edges AS (SELECT da AS a, db AS b FROM jac WHERE jaccard_ppm >= 800000),
        |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
        |reach AS (SELECT a, b FROM sym
@@ -459,8 +465,10 @@ object SparkEntry {
        |          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
        |lab AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
-       |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |        FROM $from d LEFT JOIN comp c USING (doc_id)),
        |sz AS (SELECT component, count(*) AS cluster_size FROM lab GROUP BY 1)""".stripMargin
+
+  private val dClusterCtes = dClusterCtesFrom("documents")
 
   /** DuckDB exact-fold cosine between DOUBLE[] columns a and b. */
   private def dCos(a: String, b: String): String = {
@@ -1656,6 +1664,58 @@ object SparkEntry {
          |  f.q_keep AND f.doc_id = c.keep_doc_id AS is_canonical,
          |  (f.q_keep AND f.doc_id = c.keep_doc_id) AND f.bucket < f.rate AS sampled
          |FROM f LEFT JOIN c USING (content_hash) ORDER BY f.doc_id""".stripMargin,
+    // replays DocTextOps.selectionPipeline: quality gate -> near-dup
+    // keep-best over the surviving pool (the parameterized shingle/cluster
+    // CTEs re-run the d_dedup_* replay against `pool`) -> 4-gram
+    // contamination fraction -> cluster-atomic split, one verdict row per
+    // input document
+    "d_pipeline" -> {
+      val bucket = s"${dh32("r.component::VARCHAR || ':split'")} % 1000000"
+      s"""WITH RECURSIVE qual0 AS (SELECT doc_id,
+         |  coalesce((length(text) >= 80 AND len(string_split(text, ' ')) >= 16 AND
+         |   $dStopwordHits >= 1 AND
+         |   (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000) // len(string_split(text, ' ')) >= 300000 AND
+         |   (CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) * 1000000) // len(string_split(text, ' ')) BETWEEN 2000000 AND 12000000), false) AS q_keep
+         |FROM documents),
+         |pool AS (SELECT d.doc_id, d.text FROM documents d JOIN qual0 USING (doc_id)
+         |         WHERE q_keep AND d.doc_id % 97 != 0),
+         |${dShingleDocsFrom("pool")},
+         |${dJaccard(Some(graft.ops.Dedup.DefaultDfCap))},
+         |${dClusterCtesFrom("pool")},
+         |div AS (SELECT doc_id,
+         |    coalesce((CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000)
+         |      // len(string_split(text, ' ')), -1) AS diversity_ppm
+         |  FROM pool),
+         |rsel AS (SELECT l.doc_id, l.component,
+         |    row_number() OVER (PARTITION BY l.component
+         |      ORDER BY q.diversity_ppm DESC, l.doc_id ASC) AS rn
+         |  FROM lab l JOIN div q USING (doc_id)),
+         |cdocs AS (SELECT doc_id, string_split(text, ' ') ws FROM documents
+         |          WHERE len(string_split(text, ' ')) >= 4),
+         |cg AS (SELECT doc_id,
+         |        unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         |                              for i in range(1, len(ws) - 2)])) AS g
+         |      FROM cdocs),
+         |cbench AS (SELECT DISTINCT g FROM cg WHERE doc_id % 97 = 0),
+         |cov AS (SELECT d.doc_id, (count(b.g) * 1000000 // count(*))::BIGINT AS overlap_ppm
+         |        FROM cg d LEFT JOIN cbench b USING (g)
+         |        WHERE d.doc_id % 97 != 0 GROUP BY 1)
+         |SELECT d.doc_id, d.lang, d.doc_id % 97 = 0 AS is_bench, q.q_keep,
+         |  r.component,
+         |  coalesce(r.rn = 1, false) AS keep_best,
+         |  coalesce(c.overlap_ppm, 0)::BIGINT AS overlap_ppm,
+         |  coalesce(c.overlap_ppm, 0) >= ${graft.ops.DocTextOps.DefaultContamPpm} AS contam_drop,
+         |  CASE WHEN r.component IS NULL THEN NULL
+         |       WHEN $bucket < ${graft.ops.Dedup.DefaultTestPpm} THEN 'test'
+         |       WHEN $bucket < ${graft.ops.Dedup.DefaultTestPpm + graft.ops.Dedup.DefaultValPpm} THEN 'val'
+         |       ELSE 'train' END AS split,
+         |  d.doc_id % 97 != 0 AND q.q_keep AND coalesce(r.rn = 1, false)
+         |    AND NOT coalesce(c.overlap_ppm, 0) >= ${graft.ops.DocTextOps.DefaultContamPpm} AS selected
+         |FROM documents d JOIN qual0 q USING (doc_id)
+         |LEFT JOIN rsel r ON d.doc_id = r.doc_id
+         |LEFT JOIN cov c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "d_decontaminate" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') ws FROM documents
         |              WHERE len(string_split(text, ' ')) >= 4),

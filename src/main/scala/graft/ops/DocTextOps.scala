@@ -467,6 +467,69 @@ object DocTextOps {
       .orderBy("doc_id")
   }
 
+  /** The composed MODERN selection pipeline — the FineWeb/RefinedWeb
+    * recipe as ONE dataflow, the flagship companion to [[downselect]]
+    * (which composes the simpler quality → exact-dedup → sample chain):
+    *
+    *   1. benchmark carve-out: `doc_id % benchMod = 0` is the held-out
+    *      eval slice — reference material, never trainable;
+    *   2. quality gate ([[qualityFilter]]'s thresholds; NULL text fails);
+    *   3. near-dup dedup with best-member selection over the surviving
+    *      pool only ([[graft.ops.Dedup.dedupKeepBest]] — clustering
+    *      after filtering, the order real pipelines use: quality drops
+    *      are cheap scans, clustering is the expensive stage);
+    *   4. fraction-based decontamination against the benchmark slice's
+    *      distinct 4-grams ([[contamOverlap]]'s rule);
+    *   5. leakage-safe cluster-atomic split assignment
+    *      ([[graft.ops.Dedup.splitAssign]]'s salted component hash).
+    *
+    * One row per input document with EVERY stage's verdict — the lineage
+    * of why a document dropped is the first false flag — plus the final
+    * `selected` decision and the `split` for pool members. Shape at
+    * 100 TB: each stage keeps its own documented shape (scan-parallel
+    * flags, O(log n) CC + component window, broadcast gram probe,
+    * map-only hash split); the composition adds only the doc_id joins,
+    * which AQE broadcasts while the verdict tables stay thin. */
+  def selectionPipeline(documents: DataFrame, benchMod: Long = 97L,
+                        contamPpm: Long = DefaultContamPpm,
+                        nearDupPpm: Long = 800000L): DataFrame = {
+    val q = qualityFilter(documents)
+      .selectExpr("doc_id", "coalesce(keep, false) AS q_keep")
+    val base = documents.join(q, "doc_id")
+      .selectExpr("doc_id", "lang", "text",
+        s"doc_id % $benchMod = 0 AS is_bench", "q_keep")
+    val pool = base.where("NOT is_bench AND q_keep").select("doc_id", "text")
+    val kb = graft.ops.Dedup.dedupKeepBest(pool, nearDupPpm)
+      .selectExpr("doc_id", "component", "keep AS keep_best")
+    val grams = documents.where("size(split(text, ' ')) >= 4")
+      .selectExpr("doc_id", s"${Shingles.ws} AS ws")
+      .selectExpr("doc_id", s"explode(${Shingles.grams(4)}) AS g")
+    val bench = grams.where(s"doc_id % $benchMod = 0")
+      .select("g").distinct().withColumn("hit", lit(1L))
+    val overlap = grams.where(s"doc_id % $benchMod != 0")
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .selectExpr("doc_id", "n_hit * 1000000 DIV n_grams AS raw_overlap")
+    val bucket = Shingles.h32("concat(CAST(component AS STRING), ':split')") + " % 1000000"
+    base.join(kb, Seq("doc_id"), "left")
+      .join(overlap, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "lang", "is_bench", "q_keep", "component",
+        "coalesce(keep_best, false) AS keep_best",
+        "CAST(coalesce(raw_overlap, 0) AS BIGINT) AS overlap_ppm")
+      .selectExpr("doc_id", "lang", "is_bench", "q_keep", "component",
+        "keep_best", "overlap_ppm",
+        s"overlap_ppm >= $contamPpm AS contam_drop",
+        s"CASE WHEN component IS NULL THEN CAST(NULL AS STRING) " +
+          s"WHEN $bucket < ${graft.ops.Dedup.DefaultTestPpm} THEN 'test' " +
+          s"WHEN $bucket < ${graft.ops.Dedup.DefaultTestPpm + graft.ops.Dedup.DefaultValPpm} THEN 'val' " +
+          "ELSE 'train' END AS split")
+      .selectExpr("doc_id", "lang", "is_bench", "q_keep", "component",
+        "keep_best", "overlap_ppm", "contam_drop", "split",
+        "NOT is_bench AND q_keep AND keep_best AND NOT contam_drop AS selected")
+      .orderBy("doc_id")
+  }
+
   /** Bloom-filter width (bits) for [[bloomDecontaminate]] — shared with the
     * DuckDB oracle. 4096 bits is deliberately tight against these corpora's
     * few-hundred benchmark n-grams so false positives actually occur and

@@ -96,6 +96,37 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
       s"benchmark join must broadcast, got:\n$plan")
   }
 
+  test("selectionPipeline composes quality, keep-best dedup, decon and split with per-stage lineage") {
+    val benchText = "alpha beta gamma the delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma"                   // 19 tokens, has 'the'
+    val passText = "the quick brown fox jumps over lazy dogs while many other " +
+      "animals watch quietly from distant green hills today"   // 19 tokens, has 'the'
+    val d = docs(
+      0L -> benchText,                  // 0 % 97 = 0: the held-out benchmark
+      1L -> "too short",                // fails the quality gate
+      2L -> passText,                   // near-dup pair {2,3}: tie-break keeps 2
+      3L -> (passText + " extra"),
+      4L -> (benchText + " unique tail words here now"), // heavy 4-gram overlap -> contam
+      5L -> ("a completely separate clean document about weather patterns and " +
+        "ocean currents that keeps drifting toward warmer shores every season"))
+    val got = DocTextOps.selectionPipeline(d).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(5),
+        r.getBoolean(7), if (r.isNullAt(8)) null else r.getString(8), r.getBoolean(9))))
+      .toMap
+    // (is_bench, q_keep, keep_best, contam_drop, split, selected)
+    assert(got(0L)._1 && !got(0L)._6, "benchmark doc is never selected")
+    assert(got(0L)._5 == null, "bench doc is outside the pool: no split")
+    assert(!got(1L)._2 && got(1L)._5 == null && !got(1L)._6, "quality reject")
+    assert(got(2L) == ((false, true, true, false, got(2L)._5, true)))
+    assert(got(3L) == ((false, true, false, false, got(3L)._5, false)),
+      "near-dup loser survives every other stage but is not selected")
+    assert(got(2L)._5 == got(3L)._5 && got(2L)._5 != null,
+      "cluster members share one split")
+    assert(got(4L)._2 && got(4L)._3 && got(4L)._4 && !got(4L)._6,
+      "contaminated doc passes quality+dedup but is dropped by decon")
+    assert(got(5L) == ((false, true, true, false, got(5L)._5, true)))
+  }
+
   test("repetitionSignals computes top-bigram and duplicated-trigram char shares") {
     // "a b a b a b": bigrams a·b ×3, b·a ×2 → top ("a b", 3);
     // trigrams "a b a" ×2, "b a b" ×2 → dup chars = 2*5 + 2*5 = 20
