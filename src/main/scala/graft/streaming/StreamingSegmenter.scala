@@ -144,6 +144,69 @@ object StreamingSegmenter {
       .selectExpr("CAST(unix_timestamp(window.start) AS BIGINT) AS win_start_epoch",
         "event_type", "n_events")
 
+  final case class AnomalyState(days: Map[Long, Long], lastTs: Long)
+  final case class AnomalyRow(event_type: String, epoch_day: Long, cnt: Long,
+                              z2_ppm: Long, anomaly: Boolean)
+
+  /** Streaming twin of [[graft.ops.EventOps.eventAnomaly]] — the ingest
+    * monitor running ON the stream it monitors. Per event type, state holds
+    * one (epoch_day → count) map — bounded by the observed DAY span
+    * (`maxDays`, guarded loudly), never by event count — and once the
+    * event-time watermark passes the type's last event + `idleGapMs`, every
+    * day is emitted scored against the type's full accumulated moments,
+    * with the batch twin's exact integer arithmetic (truncating division on
+    * nonnegative operands agrees between JVM `/` and SQL `DIV`; epoch_day
+    * uses the same seconds-DIV-86400 bucket). On a closed input the output
+    * is asserted EQUAL to the batch query — the same contract the
+    * segments/hopping/dedup twins honor. A true online variant would score
+    * each day against the moments so far; scoring at close keeps the twin
+    * equality exact, and the trailing-history variant is one
+    * `setTimeoutTimestamp` change away. */
+  def anomalyRates(events: Dataset[StreamEvent], watermark: String = "10 minutes",
+                   idleGapMs: Long = 30 * 60 * 1000L,
+                   zThreshold: Long = graft.ops.EventOps.DefaultZThreshold,
+                   maxDays: Int = 10000): Dataset[AnomalyRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(_.ts != null)
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, AnomalyRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (et: String, rows: Iterator[StreamEvent], state: GroupState[AnomalyState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            val d = st.days.size.toLong
+            val s = st.days.valuesIterator.sum
+            val q = st.days.valuesIterator.map(c => c * c).sum
+            val var2 = d * q - s * s
+            st.days.toSeq.sortBy(_._1).iterator.map { case (day, cnt) =>
+              val dev = cnt * d - s
+              val dev2 = dev * dev
+              AnomalyRow(et, day, cnt,
+                if (var2 > 0) dev2 * 1000000L / var2 else 0L,
+                var2 > 0 && dev2 >= zThreshold * zThreshold * var2)
+            }
+          } else {
+            val prev = state.getOption.getOrElse(AnomalyState(Map.empty, 0L))
+            var days = prev.days
+            var lastTs = prev.lastTs
+            rows.foreach { e =>
+              val day = (e.ts.getTime / 1000L) / 86400L
+              days = days.updated(day, days.getOrElse(day, 0L) + 1L)
+              lastTs = math.max(lastTs, e.ts.getTime)
+            }
+            require(days.size <= maxDays,
+              s"anomalyRates: type '$et' spans ${days.size} days > maxDays=$maxDays " +
+                "— widen the day bucket or raise the bound")
+            state.update(AnomalyState(days, lastTs))
+            state.setTimeoutTimestamp(lastTs + idleGapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   final case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
 
   /** Streaming exact dedup — the streaming twin of `Dedup.exact`: the first

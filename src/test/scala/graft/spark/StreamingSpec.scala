@@ -222,6 +222,48 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed == batch, s"streaming $streamed != batch $batch")
   }
 
+  test("streaming anomaly monitor equals the batch twin on closed input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSegmenter.StreamEvent
+    val day = 86400L
+    val t0 = 1767225600L // multiple of 86400
+    def ev(et: String, d: Long, off: Long) =
+      StreamEvent(et, new Timestamp((t0 + d * day + off) * 1000L))
+    // type a: 2/day for 5 days, then a 6-event spike; type b: constant 1/day
+    val main =
+      (0L until 5L).flatMap(d => Seq(ev("a", d, 1L), ev("a", d, 2L))) ++
+      (0L until 6L).map(i => ev("a", 5L, i + 1L)) ++
+      (0L until 3L).map(d => ev("b", d, 1L))
+    val input = MemoryStream[StreamEvent]
+    val out = StreamingSegmenter.anomalyRates(input.toDS())
+    val query = out.writeStream.format("memory").queryName("stream_anomaly")
+      .outputMode("append").start()
+    // two CHRONOLOGICAL batches (as a real source delivers — an event
+    // arriving days behind the watermark is late data and is correctly
+    // dropped): state must accumulate day counts across micro-batches
+    val sorted = main.sortBy(_.ts.getTime)
+    input.addData(sorted.take(8))
+    query.processAllAvailable()
+    input.addData(sorted.drop(8))
+    query.processAllAvailable()
+    // far-future event advances the watermark past a+b's idle timeouts;
+    // its own (still-open) type is not emitted
+    input.addData(ev("flush", 30L, 0L))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("stream_anomaly").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val batch = graft.ops.EventOps.eventAnomaly(
+      main.zipWithIndex.map { case (e, i) => (i.toLong, e.ts, 0L, e.event_type, "1.0", "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(streamed == batch, s"streaming $streamed != batch $batch")
+    assert(streamed.exists(_._5), "the spike day must flag in both engines")
+  }
+
   test("stream-static enrichment join: broadcast per micro-batch, unmatched rows survive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
