@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
   * SPARK_GRAFT_SCALE_CONVS (default 100000; 0 disables scaling),
-  * SPARK_GRAFT_SCALE_BUDGET_MS (default 330000 — total time inside
+  * SPARK_GRAFT_SCALE_BUDGET_MS (default 420000 — total time inside
   * burst pairs).
   */
 object Bench {
@@ -31,7 +31,7 @@ object Bench {
     // scheduling overhead stops biasing the 16-thread level (at 60k it
     // shaves ~0.1 off the ratio)
     val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "100000").toLong
-    val scaleBudget = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MS", "330000").toLong
+    val scaleBudget = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MS", "420000").toLong
 
     val session: Option[graft.bench.Scaling.BurstSession] =
       if (scaleConvs > 0)

@@ -1409,7 +1409,7 @@ object SparkEntry {
       val t2 = graft.ops.EventOps.DefaultZThreshold * graft.ops.EventOps.DefaultZThreshold
       s"""WITH daily AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS epoch_day,
          |    count(*)::BIGINT AS cnt
-         |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
          |stats AS (SELECT event_type, count(*)::BIGINT AS d, sum(cnt)::BIGINT AS s,
          |    sum(cnt * cnt)::BIGINT AS q
          |  FROM daily GROUP BY 1)

@@ -502,32 +502,21 @@ object Scaling {
       }
     }
 
-    /** Current min-based headline efficiency from the levels' best draws
-      * (1.0 until both levels have one). Used only to pace the hunt. */
-    private def headlineEff: Double = {
-      val byC = children.sortBy(_.cpus)
-      if (byC.size < 2) 1.0
-      else {
-        val (lo, hi) = (byC.head, byC.last)
-        if (lo.best == Double.MaxValue || hi.best == Double.MaxValue || hi.best <= 0) 1.0
-        else (lo.best / hi.best) * (lo.cpus.toDouble / hi.cpus)
-      }
-    }
-
-    /** Another pulse is still useful and fits the budget: minima not yet
-      * stable for 3 pairs, under the 16-pair cap, and (after the 2-pair
-      * minimum) the budget fits another pair at steady-state cost.
-      * Minima plateauing BELOW the ≥0.8 north-rule bar is not treated as
-      * convergence while budget remains: a uniformly noisy stretch can
-      * hold both levels' draws flat for 3 pairs (r5 saw 4 consecutive
-      * 0.77 pairs with budget to spare), and the min-based protocol's
-      * whole point is to keep sampling windows until a clean one is
-      * caught — a genuine software regression simply spends the full
-      * budget and still reports honestly. */
+    /** Another pulse is still useful: under the 16-pair cap, and — when a
+      * budget is set — the budget fits another pair at steady-state cost.
+      * A budgeted run always drains its FULL budget, deliberately and
+      * SYMMETRICALLY: r5 showed that stopping on "minima stable for 3
+      * pairs" ends a uniformly-noisy run at a flat 0.77 with budget to
+      * spare, while any stop rule keyed to the headline clearing a bar is
+      * an optional-stopping bias (sample until it passes, stop as soon as
+      * it does). Draining the same budget every run conditions the record
+      * on nothing; the only cost is that clean runs no longer finish
+      * early. Budget-less callers (one-shot ScalingBench) keep the
+      * stability rule as their terminator. */
     def wantMore: Boolean = readyFlag && !dead && pair < 16 &&
-      (stablePairs < 3 || headlineEff < 0.80) &&
-      (pair < 2 || budgetMs == 0L ||
-        spentMs + (if (minPairMs == Double.MaxValue) 0.0 else minPairMs) * 1.1 < budgetMs)
+      (if (budgetMs == 0L) stablePairs < 3
+       else pair < 2 ||
+         spentMs + (if (minPairMs == Double.MaxValue) 0.0 else minPairMs) * 1.1 < budgetMs)
 
     /** One alternating burst pair across the levels. */
     def pulse(): Unit = synchronized {

@@ -226,13 +226,11 @@ object Dedup {
     // frequency. Computed as a WINDOW (not groupBy+join) so the df filter
     // rides the exact hashpartitioning(s) exchange the pair self-join needs
     // — Catalyst reuses one shuffle for the filter and both join sides.
-    val shf =
-      if (dfCap == Long.MaxValue) sh // uncapped (eval-only shape): skip the df pass
-      else sh
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("s")))
-        .where(s"df <= $dfCap")
-        .drop("df")
+    val shf = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .where(s"df <= $dfCap")
+      .drop("df")
     val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
     shf.as("a")
       .join(shf.as("b"), expr("a.s = b.s AND a.doc_id < b.doc_id"))
@@ -706,6 +704,15 @@ object Dedup {
   def lshRecall(documents: DataFrame, thresholdPpm: Long = 500000L): DataFrame = {
     val base = documents
       .where("size(split(text, ' ')) >= 8") // keep≥50% leaves ≥3 twin tokens
+      // loud range guard (the repo convention — monster-conv budget, bin
+      // caps, maxDays): an id at or above the twin offset (or negative)
+      // would silently ALIAS a twin row onto a real document and corrupt
+      // the shared-band counts the gate exists to measure
+      .selectExpr(
+        s"IF(doc_id >= 0 AND doc_id < $RecallTwinOffset, doc_id, " +
+          "CAST(raise_error(CONCAT('lshRecall: doc_id ', CAST(doc_id AS STRING), " +
+          s"' outside [0, $RecallTwinOffset) aliases the twin offset')) AS BIGINT)) AS doc_id",
+        "text")
       .selectExpr("doc_id", s"${Shingles.ws} AS ws")
       .selectExpr("doc_id", "ws", "50 + (doc_id % 5) * 10 AS keep_pct")
       .selectExpr("doc_id", "keep_pct",
@@ -736,6 +743,20 @@ object Dedup {
   val DefaultTestPpm = 100000L
   val DefaultValPpm = 100000L
 
+  /** The salted component-hash bucket expression behind [[splitAssign]] —
+    * ONE definition shared with [[graft.ops.DocTextOps.selectionPipeline]]
+    * so the composed pipeline's splits can never drift from the standalone
+    * `d_split` query's. */
+  def splitBucketExpr: String =
+    s"${Shingles.h32("concat(CAST(component AS STRING), ':split')")} % 1000000"
+
+  /** The bucket→split CASE shared by the same two call sites; `bucketExpr`
+    * is any integer expression in [0, 10^6). */
+  def splitCaseSql(bucketExpr: String, testPpm: Long = DefaultTestPpm,
+                   valPpm: Long = DefaultValPpm): String =
+    s"CASE WHEN $bucketExpr < $testPpm THEN 'test' " +
+      s"WHEN $bucketExpr < ${testPpm + valPpm} THEN 'val' ELSE 'train' END"
+
   /** LEAKAGE-SAFE train/val/test split — the assignment step after dedup
     * that a naive per-document hash split gets wrong: two near-duplicate
     * documents hashed independently can land in train AND test, leaking
@@ -761,12 +782,9 @@ object Dedup {
       s"splitAssign: test+val ppm must fit in [0, 1000000], got $testPpm + $valPpm")
     dedupClusters(documents, thresholdPpm, maxIters)
       .selectExpr("doc_id", "component", "cluster_size",
-        s"${Shingles.h32("concat(CAST(component AS STRING), ':split')")}" +
-          " % 1000000 AS bucket_ppm")
+        s"$splitBucketExpr AS bucket_ppm")
       .selectExpr("doc_id", "component", "cluster_size", "bucket_ppm",
-        s"CASE WHEN bucket_ppm < $testPpm THEN 'test' " +
-          s"WHEN bucket_ppm < ${testPpm + valPpm} THEN 'val' " +
-          "ELSE 'train' END AS split")
+        s"${splitCaseSql("bucket_ppm", testPpm, valPpm)} AS split")
       .orderBy("doc_id")
   }
 

@@ -501,29 +501,22 @@ object DocTextOps {
     val pool = base.where("NOT is_bench AND q_keep").select("doc_id", "text")
     val kb = graft.ops.Dedup.dedupKeepBest(pool, nearDupPpm)
       .selectExpr("doc_id", "component", "keep AS keep_best")
-    val grams = documents.where("size(split(text, ' ')) >= 4")
-      .selectExpr("doc_id", s"${Shingles.ws} AS ws")
-      .selectExpr("doc_id", s"explode(${Shingles.grams(4)}) AS g")
-    val bench = grams.where(s"doc_id % $benchMod = 0")
-      .select("g").distinct().withColumn("hit", lit(1L))
-    val overlap = grams.where(s"doc_id % $benchMod != 0")
-      .join(broadcast(bench), Seq("g"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .selectExpr("doc_id", "n_hit * 1000000 DIV n_grams AS raw_overlap")
-    val bucket = Shingles.h32("concat(CAST(component AS STRING), ':split')") + " % 1000000"
+    // the contamination stage IS the standalone operator — not a re-spelled
+    // copy, so a rule change (gram width, benchmark slice, threshold) can
+    // never diverge the pipeline's verdicts from d_contam_overlap's
+    val overlap = contamOverlap(documents, 4, benchMod, contamPpm)
+      .select("doc_id", "overlap_ppm", "drop_doc")
     base.join(kb, Seq("doc_id"), "left")
       .join(overlap, Seq("doc_id"), "left")
       .selectExpr("doc_id", "lang", "is_bench", "q_keep", "component",
         "coalesce(keep_best, false) AS keep_best",
-        "CAST(coalesce(raw_overlap, 0) AS BIGINT) AS overlap_ppm")
+        "CAST(coalesce(overlap_ppm, 0) AS BIGINT) AS overlap_ppm",
+        "coalesce(drop_doc, false) AS contam_drop")
       .selectExpr("doc_id", "lang", "is_bench", "q_keep", "component",
-        "keep_best", "overlap_ppm",
-        s"overlap_ppm >= $contamPpm AS contam_drop",
+        "keep_best", "overlap_ppm", "contam_drop",
+        // splitAssign's own bucket + CASE, NULL for docs outside the pool
         s"CASE WHEN component IS NULL THEN CAST(NULL AS STRING) " +
-          s"WHEN $bucket < ${graft.ops.Dedup.DefaultTestPpm} THEN 'test' " +
-          s"WHEN $bucket < ${graft.ops.Dedup.DefaultTestPpm + graft.ops.Dedup.DefaultValPpm} THEN 'val' " +
-          "ELSE 'train' END AS split")
+          s"ELSE ${graft.ops.Dedup.splitCaseSql(graft.ops.Dedup.splitBucketExpr)} END AS split")
       .selectExpr("doc_id", "lang", "is_bench", "q_keep", "component",
         "keep_best", "overlap_ppm", "contam_drop", "split",
         "NOT is_bench AND q_keep AND keep_best AND NOT contam_drop AS selected")

@@ -272,7 +272,12 @@ object EventOps {
     * ratio is scale-invariant, so the verdicts are unchanged. */
   def eventAnomaly(events: DataFrame, zThreshold: Long = DefaultZThreshold): DataFrame = {
     require(zThreshold >= 1, s"eventAnomaly: zThreshold must be >= 1, got $zThreshold")
-    val daily = events.where("ts IS NOT NULL")
+    // NULL event_type is excluded EXPLICITLY (the inner equi-join below
+    // would drop the NULL-key group anyway — NULL never equals NULL — but
+    // an implicit drop reads as an accident): malformed events belong in
+    // an upstream quarantine count, and the streaming twin filters the
+    // same way so the closed-input equality holds
+    val daily = events.where("ts IS NOT NULL AND event_type IS NOT NULL")
       .selectExpr("event_type", "CAST(unix_timestamp(ts) AS BIGINT) DIV 86400 AS epoch_day")
       .groupBy("event_type", "epoch_day").agg(count(lit(1)).as("cnt"))
     val stats = daily.groupBy("event_type").agg(

@@ -158,17 +158,25 @@ object StreamingSegmenter {
     * nonnegative operands agrees between JVM `/` and SQL `DIV`; epoch_day
     * uses the same seconds-DIV-86400 bucket). On a closed input the output
     * is asserted EQUAL to the batch query — the same contract the
-    * segments/hopping/dedup twins honor. A true online variant would score
-    * each day against the moments so far; scoring at close keeps the twin
-    * equality exact, and the trailing-history variant is one
-    * `setTimeoutTimestamp` change away. */
+    * segments/hopping/dedup twins honor, under the same PRECONDITION all
+    * idle-gap operators carry: a type that goes quiet past `idleGapMs`
+    * mid-stream is CLOSED then and there, so if it later resumes, the
+    * resumed traffic is a new observation window (the day it straddles is
+    * emitted twice with split counts — exactly as a conversation resuming
+    * past [[segments]]' idle gap splits). Size `idleGapMs` above the
+    * monitored types' real inter-event gaps. Events with NULL `event_type`
+    * are excluded to match the batch twin (whose equi-join can never match
+    * a NULL key) — count malformed events upstream if they matter. A true
+    * online variant would score each day against the moments so far;
+    * scoring at close keeps the twin equality exact, and the
+    * trailing-history variant is one `setTimeoutTimestamp` change away. */
   def anomalyRates(events: Dataset[StreamEvent], watermark: String = "10 minutes",
                    idleGapMs: Long = 30 * 60 * 1000L,
                    zThreshold: Long = graft.ops.EventOps.DefaultZThreshold,
                    maxDays: Int = 10000): Dataset[AnomalyRow] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.filter(_.ts != null)
+    events.filter(e => e.ts != null && e.event_type != null)
       .withWatermark("ts", watermark)
       .groupByKey(_.event_type)
       .flatMapGroupsWithState[AnomalyState, AnomalyRow](

@@ -80,7 +80,7 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
 
   test("contamOverlap grades contamination as an exact n-gram fraction") {
     // doc 0 is the benchmark (0 % 97 = 0); doc 1 shares 1 of its 3
-    // distinct 4-grams (333333 ppm >= the 100000 threshold -> drop),
+    // distinct 4-grams (333333 ppm >= DefaultContamPpm = 20000 -> drop),
     // doc 2 shares nothing, doc 3 is too short to produce a 4-gram
     val d = docs(
       0L -> "alpha beta gamma delta epsilon",

@@ -211,6 +211,14 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     got.values.foreach { case (_, _, nsb, _, found) =>
       assert(nsb >= 0L && nsb <= 8L && found == (nsb > 0L))
     }
+    // loud range guard: an id at/above the twin offset would silently alias
+    // a twin row onto a real document — it must fail, not corrupt the gate
+    val bad = Seq((graft.ops.Dedup.RecallTwinOffset, toks(10))).toDF("doc_id", "text")
+    val e = intercept[Exception](graft.ops.Dedup.lshRecall(bad).collect())
+    assert(e.getMessage != null && e.toString.contains("SparkRuntimeException")
+      || e.getMessage.contains("aliases the twin offset")
+      || Option(e.getCause).exists(_.getMessage.contains("aliases the twin offset")),
+      s"expected the range guard to fire, got $e")
   }
 
   test("splitAssign never splits a near-dup cluster across splits") {
