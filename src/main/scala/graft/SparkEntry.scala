@@ -113,7 +113,12 @@ object SparkEntry {
     "d_hll_distinct" -> ((s, d) => DocTextOps.hllDistinct(docs(s, d))),
     "d_repetition" -> ((s, d) => DocTextOps.repetitionSignals(docs(s, d))),
     "d_cms_freq" -> ((s, d) => DocTextOps.cmsFreq(docs(s, d))),
-    "d_hist_quantiles" -> ((s, d) => DocTextOps.histQuantiles(docs(s, d))),
+    // binWidth derived from the observed value range (auto-sized single-
+    // partition bin window); the oracle replays the same derivation
+    "d_hist_quantiles" -> ((s, d) => {
+      val dd = docs(s, d)
+      DocTextOps.histQuantiles(dd, DocTextOps.derivedBinWidth(dd))
+    }),
     "d_incr_view" -> ((s, d) => Incremental.incrementalView(docs(s, d))),
     "d_schema_evolve" -> ((s, d) => Evolution.schemaEvolveRoundTrip(docs(s, d))),
     "d_chunk" -> ((s, d) => DocTextOps.chunk(docs(s, d))),
@@ -1986,8 +1991,15 @@ object SparkEntry {
          |  greatest(cells_user_slice, cells_time_slice) AS worst_slice_cells
          |FROM agg ORDER BY layout""".stripMargin
     },
+    // binWidth replays DocTextOps.derivedBinWidth: ceil(range/2^16), then
+    // the smallest power of two >= it — exact integer shifts, no log2 float
     "d_hist_quantiles" ->
-      """WITH b AS (SELECT n_chars // 64 AS bin, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+      """WITH rng AS (SELECT CASE WHEN min(n_chars) IS NULL THEN 1::BIGINT
+        |         ELSE (CAST(max(n_chars) AS BIGINT) - CAST(min(n_chars) AS BIGINT) + 1 + 65535) // 65536 END AS needed
+        |       FROM documents),
+        |bw AS (SELECT min(1::BIGINT << g) AS w FROM generate_series(0, 62) t(g), rng
+        |       WHERE (1::BIGINT << g) >= rng.needed),
+        |b AS (SELECT n_chars // bw.w AS bin, count(*)::BIGINT AS cnt FROM documents, bw GROUP BY 1),
         |c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum FROM b),
         |t AS (SELECT sum(cnt)::BIGINT AS n_total FROM b),
         |q AS (SELECT unnest([250000, 500000, 750000, 900000, 990000])::BIGINT AS q_ppm),
@@ -1997,10 +2009,10 @@ object SparkEntry {
         |pe AS (SELECT pk.q_ppm, pk.n_total, pk.target, pk.bin, c.cnt,
         |         c.cum - c.cnt AS cum_before FROM pk JOIN c USING (bin)),
         |ex AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rn FROM documents),
-        |r AS (SELECT pe.q_ppm, pe.n_total, pe.bin * 64 AS bin_lo, pe.cnt AS bin_cnt,
-        |        pe.bin * 64 + (pe.target - pe.cum_before - 1) * 64 // pe.cnt AS est,
+        |r AS (SELECT pe.q_ppm, pe.n_total, pe.bin * bw.w AS bin_lo, pe.cnt AS bin_cnt,
+        |        pe.bin * bw.w + (pe.target - pe.cum_before - 1) * bw.w // pe.cnt AS est,
         |        CAST(ex.n_chars AS BIGINT) AS exact
-        |      FROM pe JOIN ex ON ex.rn = pe.target)
+        |      FROM pe JOIN ex ON ex.rn = pe.target, bw)
         |SELECT q_ppm, n_total, bin_lo, bin_cnt, est, exact, abs(est - exact) AS abs_err
         |FROM r ORDER BY q_ppm""".stripMargin,
     "d_ngram_jaccard" ->

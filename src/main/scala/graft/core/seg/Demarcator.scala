@@ -208,10 +208,16 @@ object Demarcator {
     * `ocr_processor.py:446`, failing that ONE message while the consumer
     * loop continues — quarantines the conversation: zero segments, the
     * failure surfaced as the returned flag so the caller can count it in
-    * lineage and log the conv_id. ONLY the Sequence-decode failure
-    * (NumberFormatException out of the rule sort) is isolated; any other
-    * exception is an engine bug and still propagates. At 10^12 turns one
-    * corrupt rule row must cost one conversation, not the job. */
+    * lineage and log the conv_id. ANY NumberFormatException out of the
+    * fold is isolated — not just the Sequence sort but the offset decodes
+    * (StartingMinusN / EndingMinusN, `ocr_processor.py:331,398`) too —
+    * because the reference's consumer catches per-message exceptions
+    * BROADLY (`main.py:394-402`): every stringly-int rule field that makes
+    * `int(...)` raise fails exactly one message there, so the faithful
+    * quarantine boundary is the conversation, not one specific field.
+    * Exceptions of any other class still propagate as engine bugs. At
+    * 10^12 turns one corrupt rule row must cost one conversation, not the
+    * job. */
   def demarcateIsolated(
       pages: IndexedSeq[String], rules: Seq[Rule]): (Vector[SegmentRow], Boolean) =
     try (demarcate(pages, rules), false)

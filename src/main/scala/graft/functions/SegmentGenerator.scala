@@ -183,10 +183,17 @@ case class SegmentRowsGenerator(turns: Expression, rules: Expression)
     // malformed Sequence yields ZERO segment rows for this input row (the
     // reference fails one message, main.py:394-402), never the query
     val (segRows, decodeFailed) = Demarcator.demarcateIsolated(pages, coreRules)
-    if (decodeFailed)
+    if (decodeFailed) {
+      // identify the quarantined row the way the pipeline routes log a
+      // conv_id — segment_rows has no conversation key in scope, so the
+      // rules' own identifiers (DocReceivedId/SessionId) name the input
+      val ids = coreRules.flatMap(r =>
+        r.docReceivedId.map(_.toString).orElse(r.sessionId)).distinct
       org.slf4j.LoggerFactory.getLogger("graft.functions.SegmentRowsGenerator")
-        .warn("segment_rows: malformed rule Sequence failed integer decode; " +
-          "zero segments emitted for the row")
+        .warn("segment_rows: malformed rule integer field failed decode; zero " +
+          s"segments emitted for the row (rule ids: ${
+            if (ids.isEmpty) "none" else ids.take(8).mkString(",")})")
+    }
     segRows.map { r =>
       InternalRow(
         r.DocReceivedId.map(Long.box).orNull,

@@ -149,16 +149,18 @@ final class SnapshotStore(val root: String) {
     * under the cast and no reader can lose information. */
   private val WidenPromotions: Map[String, String] = Map("int" -> "bigint", "float" -> "double")
 
-  /** Cumulative ordered (column, target-type) widen list as of `asOf` —
-    * recorded and resolved exactly like the rename chain (full history per
-    * commit, longest list wins; replacement manifests carry it forward so
-    * the record survives physical cleanup of the widen commit itself). */
-  def widenedColumns(asOf: Long = Long.MaxValue): Seq[(String, String)] =
+  /** Longest encoded `from>to,…` chain recorded at or below `asOf` — the
+    * ONE manifest fold behind [[renamedColumns]] and [[widenedColumns]]
+    * (full history per commit, length monotone in commit id, replacement
+    * manifests carry it forward so the record survives physical cleanup
+    * of the evolution commit itself). */
+  private def chainFromManifests(re: scala.util.matching.Regex,
+                                 asOf: Long): Seq[(String, String)] =
     manifestIds.filter(_ <= asOf).foldLeft(Seq.empty[(String, String)]) { (best, id) =>
       val m = manifestDir.resolve(s"$id.json")
       if (!Files.exists(m)) best
       else {
-        val cur = WidenColsRe.findFirstMatchIn(
+        val cur = re.findFirstMatchIn(
           new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
           .toSeq.flatMap(_.group(1).split(',').filter(_.nonEmpty).map { e =>
             val i = e.indexOf('>')
@@ -167,6 +169,11 @@ final class SnapshotStore(val root: String) {
         if (cur.length > best.length) cur else best
       }
     }
+
+  /** Cumulative ordered (column, target-type) widen list as of `asOf` —
+    * recorded and resolved exactly like the rename chain. */
+  def widenedColumns(asOf: Long = Long.MaxValue): Seq[(String, String)] =
+    chainFromManifests(WidenColsRe, asOf)
 
   /** TYPE-WIDENING schema evolution — the fourth manifest-only op next to
     * ADD / DROP / RENAME: `int -> bigint` or `float -> double` (the
@@ -226,19 +233,7 @@ final class SnapshotStore(val root: String) {
     * order, which [[applyRenameChain]] must respect for chains like
     * a→b then b→c). */
   def renamedColumns(asOf: Long = Long.MaxValue): Seq[(String, String)] =
-    manifestIds.filter(_ <= asOf).foldLeft(Seq.empty[(String, String)]) { (best, id) =>
-      val m = manifestDir.resolve(s"$id.json")
-      if (!Files.exists(m)) best
-      else {
-        val cur = RenameColsRe.findFirstMatchIn(
-          new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
-          .toSeq.flatMap(_.group(1).split(',').filter(_.nonEmpty).map { e =>
-            val i = e.indexOf('>')
-            (e.substring(0, i), e.substring(i + 1))
-          })
-        if (cur.length > best.length) cur else best
-      }
-    }
+    chainFromManifests(RenameColsRe, asOf)
 
   /** RENAME-COLUMN schema evolution — the third manifest-only op next to
     * ADD (schema-merge reads) and DROP: data files are untouched; readers
@@ -686,8 +681,29 @@ final class SnapshotStore(val root: String) {
     * union plan grows with the path count; compaction collapses it back to
     * the single-scan shape, which is the maintenance cadence a
     * high-frequency append table runs anyway. */
+  // widen-PRESENCE cache for the scan-path routing decision below: widens
+  // are cumulative and never removed, so the verdict is a pure function of
+  // the manifest set — keyed by (count, max id), both from the directory
+  // listing every operation performs anyway. Without this, EVERY scan of a
+  // widen-free store (the steady state) re-read and re-regexed the entire
+  // manifest directory just to learn "no widens" — O(#manifests) file
+  // reads per read at the 10^3-commit scale this file's own resolveName
+  // comment warns about. A concurrent commit changes the key and refreshes.
+  @volatile private var widenPresence: ((Int, Long), Boolean) = ((-1, -1L), false)
+  private def anyWiden: Boolean = {
+    val ids = manifestIds
+    val key = (ids.size, if (ids.isEmpty) 0L else ids.max)
+    val cached = widenPresence
+    if (cached._1 == key) cached._2
+    else {
+      val v = widenedColumns().nonEmpty
+      widenPresence = (key, v)
+      v
+    }
+  }
+
   private def mergedScan(spark: SparkSession, paths: Seq[String]): DataFrame =
-    if (widenedColumns().isEmpty)
+    if (!anyWiden)
       spark.read.option("mergeSchema", "true").parquet(paths: _*)
     else
       paths.map(p => spark.read.parquet(p))

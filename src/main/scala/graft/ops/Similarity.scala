@@ -921,9 +921,21 @@ object Similarity {
         }
         .toDF("is_delta", "d")
         .groupBy("is_delta")
-        .agg(count(lit(1)).as("n"), sum("d").as("s"))
-        .as[(Boolean, Long, Long)].collect()
-        .map { case (dl, n, s) => dl -> ((n, s)) }.toMap
+        .agg(count(lit(1)).as("n"), sum("d").as("s"), max("d").as("mx"))
+        .as[(Boolean, Long, Long, Long)].collect()
+        .map { case (dl, n, s, mx) =>
+          // post-hoc exactness proof for the Long sum (Spark sums wrap
+          // silently; DuckDB's replay promotes to HUGEINT and stays exact):
+          // every per-pair d ≤ mx is exact per row, so n·mx < 2^63 ⇒ the
+          // sum could not have wrapped. The drifted shift costs ~2^51 per
+          // pair at dim 64, so this binds at ~4k drifted vectors per slice
+          // — beyond it, fail LOUDLY with the documented fix, never decide
+          // retrain_due from a wrapped mean
+          require(mx <= 0 || n <= Long.MaxValue / mx,
+            s"annIvfRetrain: slice sqdist sum may exceed Long (n=$n, max_d=$mx)" +
+              " — shard the sum by a vid-hash subkey before the mean")
+          dl -> ((n, s))
+        }.toMap
       bc.destroy()
       require(m.contains(true) && m.contains(false),
         "annIvfRetrain: corpus must contain both standing and delta vectors")

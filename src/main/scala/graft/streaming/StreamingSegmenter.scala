@@ -72,9 +72,10 @@ object StreamingSegmenter {
             state.remove()
             // an at-least-once source legitimately re-delivers a turn
             // across micro-batches: identical (turn_idx, text) duplicates
-            // are collapsed here (sort by the pair, drop equal neighbors)
-            // so redelivery never shifts a segment boundary OR fails the
-            // query. Only a genuinely CONFLICTING duplicate — same
+            // are dropped at state-UPDATE time (so they never inflate the
+            // guardConv budget or sit in the state store); the collapse
+            // here (sort by the pair, drop equal neighbors) is defense in
+            // depth. Only a genuinely CONFLICTING duplicate — same
             // turn_idx, different text — remains, and that quarantines
             // the conversation (zero segments, the batch pipeline's E5
             // whole-doc-failure shape) instead of `require`-poisoning a
@@ -107,13 +108,23 @@ object StreamingSegmenter {
           } else {
             val prev = state.getOption.getOrElse(ConvState(Nil, 0L, 0L))
             val add = rows.map(r => (r.turn_idx, r.text, r.ts.getTime)).toList
+            // identical (turn_idx, text) redeliveries are dropped AT UPDATE
+            // TIME, before they enter state or count against guardConv: a
+            // heavily-redelivered conversation near the memory budget must
+            // not poison-pill the query with duplicate-inflated nChars (and
+            // duplicates must not sit in the state store until timeout).
+            // The transient per-batch set is O(conversation) — the same
+            // bound guardConv enforces on the state itself.
+            val seen = scala.collection.mutable.HashSet.empty[(Int, String)]
+            prev.turns.foreach(seen += _)
+            val fresh = add.filter(a => seen.add((a._1, a._2)))
             // PREPEND the batch (order is restored by the sort at emit):
             // appending would copy the whole accumulated list every
             // micro-batch — quadratic in conversation length
             val st = ConvState(
-              add.map(a => (a._1, a._2)) ::: prev.turns,
+              fresh.map(a => (a._1, a._2)) ::: prev.turns,
               math.max(prev.lastTs, if (add.isEmpty) 0L else add.map(_._3).max),
-              prev.nChars + add.iterator.map(_._2.length.toLong).sum)
+              prev.nChars + fresh.iterator.map(_._2.length.toLong).sum)
             // the batch fold's single-task budget, enforced on the state
             // store too: fail loudly instead of growing executor state
             // until the task OOMs
