@@ -97,6 +97,8 @@ object SparkEntry {
     "d_bloom_decontaminate" -> ((s, d) => DocTextOps.bloomDecontaminate(docs(s, d))),
     "d_contam_overlap" -> ((s, d) => DocTextOps.contamOverlap(docs(s, d))),
     "d_lm_score" -> ((s, d) => Selection.lmScore(docs(s, d))),
+    "d_ppl_buckets" -> ((s, d) => Selection.pplBuckets(docs(s, d))),
+    "d_token_budget" -> ((s, d) => Selection.tokenBudget(docs(s, d))),
     "d_dsir_weights" -> ((s, d) => Selection.dsirWeights(docs(s, d))),
     "d_source_cap" -> ((s, d) => Selection.sourceCap(docs(s, d))),
     "d_ngram_lm" -> ((s, d) => Selection.stupidBackoff(docs(s, d))),
@@ -1796,6 +1798,44 @@ object SparkEntry {
          |FROM big b LEFT JOIN ref USING (g)
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // replays Selection.pplBuckets: lmScore's avg joined with lang, then
+    // value-tercile labels from the per-(lang, score) bin cumulative window
+    "d_ppl_buckets" -> {
+      val lp = FixedLog.duck("coalesce(ref.c, 0) + 1")
+      s"""WITH big AS (SELECT doc_id, lang,
+         |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents
+         |        WHERE len(string_split(text, ' ')) >= 2)),
+         |ref AS (SELECT g, count(*)::BIGINT AS c FROM big
+         |        WHERE lang = '${Selection.DefaultRefLang}' GROUP BY 1),
+         |scored AS (SELECT b.doc_id, sum($lp)::BIGINT // count(*) AS avg_log2_x64
+         |           FROM big b LEFT JOIN ref USING (g) GROUP BY 1),
+         |sl AS (SELECT s.doc_id, d.lang, s.avg_log2_x64
+         |       FROM scored s JOIN documents d USING (doc_id)),
+         |bins AS (SELECT lang, avg_log2_x64, count(*)::BIGINT AS n_docs
+         |         FROM sl GROUP BY 1, 2),
+         |lab AS (SELECT lang, avg_log2_x64,
+         |    coalesce(sum(n_docs) OVER (PARTITION BY lang ORDER BY avg_log2_x64 DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_above,
+         |    sum(n_docs) OVER (PARTITION BY lang) AS n FROM bins)
+         |SELECT sl.doc_id, sl.lang, sl.avg_log2_x64,
+         |  CASE WHEN 3 * c_above < n THEN 'head'
+         |       WHEN 3 * c_above < 2 * n THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         |FROM sl JOIN lab USING (lang, avg_log2_x64) ORDER BY doc_id""".stripMargin
+    },
+    // replays Selection.tokenBudget: the bin-windowed greedy prefix equals
+    // the naive global running sum under (score DESC, doc_id) — tokens are
+    // positive, so "inclusive cumsum fits" IS the greedy prefix
+    "d_token_budget" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000)
+         |      // len(string_split(text, ' ')) AS score
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT *, sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s)
+         |SELECT doc_id, n_tokens, score, cum <= ${Selection.DefaultTokenBudget} AS keep
+         |FROM c ORDER BY doc_id""".stripMargin,
     // replays Selection.dsirWeights: hashed bigram buckets, negated
     // target-vs-raw fixed-point log ratio
     "d_dsir_weights" -> {

@@ -177,6 +177,96 @@ object Selection {
       .orderBy("source", "rk")
   }
 
+  /** CCNet head/middle/tail PERPLEXITY BUCKETING (Wenzek et al. 2020 §4.4
+    * — after LM scoring, CCNet splits each language into equal thirds by
+    * perplexity and typically trains on head+middle): per-language
+    * terciles of [[lmScore]]'s `avg_log2_x64` (higher = more fluent under
+    * the reference model = `head`). Ties share a bucket — the split is by
+    * score VALUE, not row rank, so the assignment is a pure function of
+    * the (lang, score) multiset: deterministic, reshuffle-stable, and
+    * never splits equal-quality documents across buckets the way a
+    * row-numbered ntile would.
+    *
+    * Shape at 100 TB: deliberately NOT `ntile() OVER (PARTITION BY lang)`
+    * — that window pins every document of a language into one sorting
+    * task. Instead the [[DocTextOps.histQuantiles]] pattern: aggregate to
+    * per-(lang, score) BIN counts (cardinality ≤ langs × the score value
+    * range — the fixed-point grid is what bounds it), run the cumulative
+    * window over the tiny bin table, and broadcast the bin→bucket map
+    * back onto the per-document rows. The per-document side stays
+    * map-only after the lmScore aggregation. */
+  def pplBuckets(documents: DataFrame, refLang: String = DefaultRefLang): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmScore(documents, refLang)
+      .join(documents.select("doc_id", "lang"), Seq("doc_id"))
+    val bins = scored.groupBy("lang", "avg_log2_x64")
+      .agg(count(lit(1)).as("n_docs"))
+    val desc = Window.partitionBy("lang").orderBy(col("avg_log2_x64").desc)
+    val labelled = bins
+      .withColumn("c_above", coalesce(
+        sum("n_docs").over(desc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("n_docs").over(Window.partitionBy("lang")))
+      .selectExpr("lang", "avg_log2_x64",
+        "CASE WHEN 3 * c_above < n THEN 'head' " +
+          "WHEN 3 * c_above < 2 * n THEN 'middle' ELSE 'tail' END AS ppl_bucket")
+    scored.join(broadcast(labelled), Seq("lang", "avg_log2_x64"))
+      .select("doc_id", "lang", "avg_log2_x64", "ppl_bucket")
+      .orderBy("doc_id")
+  }
+
+  /** Global token budget for [[tokenBudget]] — shared with the oracle.
+    * Sized to bite at every test scale (sf0.01 holds ~27k corpus tokens —
+    * ~55% keep; sf0.1 holds ~271k — ~5.5% keep), so both verdicts are
+    * driver-gate-visible at both scales. */
+  val DefaultTokenBudget = 15000L
+
+  /** BUDGETED SELECTION — "take the best documents until the token budget
+    * is spent", the greedy score-ordered prefix every fixed-compute
+    * pretraining run uses to cut a corpus down to its token target
+    * (data-constrained scaling: spend the budget on the highest-quality
+    * tokens first). Order is (quality DESC, doc_id ASC) with lexical
+    * diversity as the quality signal ([[DocTextOps.qualityScore]]'s
+    * integer micro-ratio); a document is kept iff its INCLUSIVE running
+    * token total under that order fits the budget — with positive token
+    * counts that set is exactly the greedy prefix.
+    *
+    * Shape at 100 TB: the naive form is one global sort + one global
+    * running sum — a single-task window over the corpus. Here the
+    * [[DocTextOps.histQuantiles]] pattern again: per-SCORE bins carry
+    * token sums, the budget line is found on the bin table's cumulative
+    * window (bins fully under the line keep everything, bins past it drop
+    * everything), and only documents in the ONE boundary bin that
+    * straddles the budget need a per-document running sum — a window
+    * partitioned by that single score value, bounded by the bin size, not
+    * the corpus. The broadcast bin map decides every other row map-side. */
+  def tokenBudget(documents: DataFrame, budget: Long = DefaultTokenBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"tokenBudget: budget must be >= 0, got $budget")
+    val s = documents.where("text IS NOT NULL")
+      .selectExpr("doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+        "(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000)" +
+          " DIV size(split(text, ' ')) AS score")
+    val bins = s.groupBy("score").agg(sum("n_tokens").as("bin_tokens"))
+    // single-partition window over the BIN aggregate (histQuantiles
+    // pattern): cardinality is the score value range, not the corpus
+    val desc = Window.orderBy(col("score").desc)
+    val cum = bins
+      .withColumn("cum_before", coalesce(
+        sum("bin_tokens").over(desc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .selectExpr("score", "cum_before", "cum_before + bin_tokens AS cum_incl")
+    val verdict = s.join(broadcast(cum), Seq("score"))
+    val full = verdict.where(s"cum_incl <= $budget OR cum_before >= $budget")
+      .selectExpr("doc_id", "n_tokens", "score", s"cum_incl <= $budget AS keep")
+    // the one straddling bin: per-doc running sum, bounded by the bin size
+    val intra = Window.partitionBy("score").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundary = verdict.where(s"cum_before < $budget AND cum_incl > $budget")
+      .withColumn("cum", col("cum_before") + sum("n_tokens").over(intra))
+      .selectExpr("doc_id", "n_tokens", "score", s"cum <= $budget AS keep")
+    full.unionByName(boundary).orderBy("doc_id")
+  }
+
   /** log2(0.4)·64 rounded to the nearest integer — the STUPID BACKOFF
     * penalty α = 0.4 on the fixed-point log2 grid, shared with the DuckDB
     * oracle (Brants et al. use α = 0.4 throughout). */

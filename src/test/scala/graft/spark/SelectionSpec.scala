@@ -56,6 +56,88 @@ class SelectionSpec extends AnyFunSuite with SparkFixture {
     assert(r(2L) === ((2L, 96L, 48L)))
   }
 
+  // ---- pplBuckets ---------------------------------------------------------
+
+  test("pplBuckets: per-language value terciles of the LM score, ties share a bucket") {
+    val rnd = new scala.util.Random(7)
+    val words = Array("a", "b", "c", "d", "e", "f", "g")
+    val rows = (0L until 60L).map { i =>
+      val lang = Seq("en", "de", "fr")((i % 3).toInt)
+      val n = 3 + rnd.nextInt(10)
+      (i, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "), lang, s"s${i % 4}")
+    }
+    val d = docs(rows: _*)
+    val got = Selection.pplBuckets(d).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getString(3))))
+    // JVM replay: per-lang cumulative-above counts over score VALUES
+    val avg = Selection.lmScore(d).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val langOf = rows.map(r => r._1 -> r._3).toMap
+    val expect = avg.toSeq.groupBy { case (id, _) => langOf(id) }.flatMap { case (_, xs) =>
+      val n = xs.size
+      val scoreCounts = xs.groupBy(_._2).view.mapValues(_.size).toSeq.sortBy(-_._1)
+      val cumAbove = scoreCounts.scanLeft(0)((acc, sc) => acc + sc._2)
+      val bucketOf = scoreCounts.zip(cumAbove).map { case ((s, _), cAbove) =>
+        s -> (if (3 * cAbove < n) "head" else if (3 * cAbove < 2 * n) "middle" else "tail")
+      }.toMap
+      xs.map { case (id, s) => id -> bucketOf(s) }
+    }
+    assert(got.length === avg.size)
+    got.foreach { case (id, (l, s, b)) =>
+      assert(l === langOf(id))
+      assert(s === avg(id))
+      assert(b === expect(id), s"doc $id")
+    }
+    // non-vacuous: every language realizes all three buckets on this corpus
+    got.groupBy(_._2._1).foreach { case (l, g) =>
+      assert(g.map(_._2._3).toSet === Set("head", "middle", "tail"), l)
+    }
+    // equal scores never straddle a bucket boundary
+    got.groupBy(g => (g._2._1, g._2._2)).values
+      .foreach(g => assert(g.map(_._2._3).toSet.size === 1))
+  }
+
+  // ---- tokenBudget --------------------------------------------------------
+
+  test("tokenBudget: hand-computed greedy prefix, straddling bin split per-doc") {
+    val d = docs(
+      (1L, "a b c d", "en", "s"), //  4 tokens, score 1000000, cum  4 keep
+      (2L, "a b c c", "en", "s"), //  4 tokens, score  750000, cum  8 keep
+      (3L, "x y z z", "en", "s"), //  4 tokens, score  750000, cum 12 drop (boundary bin)
+      (4L, "p q r r", "en", "s"), //  4 tokens, score  750000, cum 16 drop
+      (5L, "a a a b", "en", "s"), //  score  500000 — whole bin past the line
+      (6L, "a a a a a", "en", "s")) // score 200000
+    val got = Selection.tokenBudget(d, budget = 10L).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((4L, 1000000L, true)))
+    assert(got(2L) === ((4L, 750000L, true)))
+    assert(got(3L) === ((4L, 750000L, false)))
+    assert(got(4L) === ((4L, 750000L, false)))
+    assert(!got(5L)._3 && !got(6L)._3)
+  }
+
+  test("tokenBudget: equals the naive global running-sum prefix on a random corpus") {
+    val rnd = new scala.util.Random(11)
+    val words = Array("a", "b", "c", "d", "e")
+    val rows = (0L until 80L).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "), "en", "s")
+    }
+    val budget = 250L
+    val got = Selection.tokenBudget(docs(rows: _*), budget).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val naive = rows.map { case (id, txt, _, _) =>
+      val ws = txt.split(" ")
+      (id, ws.length.toLong, ws.distinct.length.toLong * 1000000L / ws.length)
+    }.sortBy { case (id, _, s) => (-s, id) }
+    var cum = 0L
+    naive.foreach { case (id, n, _) =>
+      cum += n
+      assert(got(id) === (cum <= budget), s"doc $id cum=$cum")
+    }
+    // the budget line lands strictly inside the corpus (both verdicts real)
+    assert(got.values.exists(identity) && got.values.exists(!_))
+  }
+
   // ---- dsirWeights --------------------------------------------------------
 
   test("dsirWeights: target docs score 0, off-target docs positive, never negative") {
