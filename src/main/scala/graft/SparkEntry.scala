@@ -89,6 +89,7 @@ object SparkEntry {
     "d_langid_trigram" -> ((s, d) => DocTextOps.langIdTrigram(docs(s, d))),
     "d_fingerprint" -> ((s, d) => DocTextOps.fingerprint(docs(s, d))),
     "d_tfidf" -> ((s, d) => DocTextOps.tfidfTopTerms(docs(s, d))),
+    "d_collocations" -> ((s, d) => DocTextOps.collocations(docs(s, d))),
     "d_redact" -> ((s, d) => DocTextOps.piiRedact(docs(s, d))),
     "d_kmv_distinct" -> ((s, d) => DocTextOps.kmvDistinct(docs(s, d))),
     "d_downselect" -> ((s, d) => DocTextOps.downselect(docs(s, d))),
@@ -210,6 +211,13 @@ object SparkEntry {
           "concat_ws(',', span_starts) AS span_starts_csv",
           "concat_ws(',', span_ends) AS span_ends_csv", "error")
         .orderBy("conv_id", "turn_idx")),
+    // assistant-parrot quality gate over the RAW transcript table (the
+    // oracle replays it from the _raw_turns fixture dump)
+    "t_echo" -> ((s, d) => {
+      val n = graft.gen.SyntheticTranscripts.convsForSfDir(d)
+      graft.ops.TranscriptOps.echoDetect(
+        graft.gen.SyntheticTranscripts.turns(s, n).toDF())
+    }),
     "t_segment" -> ((s, d) =>
       Pipeline.run(s, graft.gen.SyntheticTranscripts.convsForSfDir(d)).toDF()
         .orderBy("conv_id", "Sequence")),
@@ -1198,6 +1206,24 @@ object SparkEntry {
         |FROM read_parquet('__VERIFY_OUT__/_raw_turns/*.parquet')
         |WHERE tool NOT IN ('html', 'pdf')
         |ORDER BY conv_id, turn_idx""".stripMargin,
+    // replays TranscriptOps.echoDetect over the raw-turns fixture dump:
+    // running last user text per conversation, distinct-token overlap ppm
+    "t_echo" ->
+      s"""WITH t AS (SELECT conv_id, turn_idx, role, text,
+         |    last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
+         |      OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_user
+         |  FROM read_parquet('__VERIFY_OUT__/_raw_turns/*.parquet')),
+         |o AS (SELECT conv_id, turn_idx,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+         |    CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+         |        x -> list_contains(list_distinct(string_split(prev_user, ' ')), x))) AS BIGINT)
+         |      * 1000000 // len(list_distinct(string_split(text, ' '))) AS overlap_ppm
+         |  FROM t
+         |  WHERE role = 'assistant' AND prev_user IS NOT NULL AND text IS NOT NULL)
+         |SELECT conv_id, turn_idx, n_distinct_tokens, overlap_ppm,
+         |  overlap_ppm >= ${graft.ops.TranscriptOps.DefaultEchoThresholdPpm} AS is_echo
+         |FROM o ORDER BY conv_id, turn_idx""".stripMargin,
     "d_langid_trigram" -> trigramOracle,
     // evolved-store round trip (Evolution.schemaEvolveRoundTrip): batches
     // split doc_id % 3; `extra` added with batch 1 (NULL before), `legacy`
@@ -1538,6 +1564,29 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, rank, term, tf, df, score_ppm FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // replays DocTextOps.collocations: per-term FixedLog PMI over unigram +
+    // bigram counts from multi-token documents, minCount floor, top-k
+    "d_collocations" -> {
+      import graft.ops.DocTextOps.{DefaultCollocMinCount, DefaultCollocTopK}
+      def f(v: String) = FixedLog.duck(v)
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents
+         |              WHERE len(string_split(text, ' ')) >= 2),
+         |uni AS (SELECT x, count(*)::BIGINT AS c_x
+         |        FROM (SELECT unnest(ws) AS x FROM toks) GROUP BY 1),
+         |bi AS (SELECT string_split(g, ' ')[1] AS x, string_split(g, ' ')[2] AS y,
+         |         count(*)::BIGINT AS c_xy
+         |       FROM (SELECT unnest([ws[i] || ' ' || ws[i+1]
+         |                            for i in range(1, len(ws))]) AS g FROM toks)
+         |       GROUP BY 1, 2 HAVING count(*) >= $DefaultCollocMinCount),
+         |tot AS (SELECT CAST((SELECT sum(c_x) FROM uni) AS BIGINT) AS n_uni,
+         |        CAST((SELECT sum(len(ws) - 1) FROM toks) AS BIGINT) AS n_bi)
+         |SELECT x, y, c_xy, c_x, c_y,
+         |  ${f("c_xy")} - ${f("c_x")} - ${f("c_y")}
+         |    + 2 * ${f("n_uni")} - ${f("n_bi")} AS pmi_x64
+         |FROM bi JOIN uni USING (x)
+         |JOIN (SELECT x AS y, c_x AS c_y FROM uni) USING (y) CROSS JOIN tot
+         |ORDER BY pmi_x64 DESC, x, y LIMIT $DefaultCollocTopK""".stripMargin
+    },
     "d_redact" -> {
       val e = graft.ops.DocTextOps.EmailRe
       val p = graft.ops.DocTextOps.PhoneRe

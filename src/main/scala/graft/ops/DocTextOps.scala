@@ -236,6 +236,63 @@ object DocTextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Count floor and result size for [[collocations]] — shared with the
+    * DuckDB oracle (Manning & Schütze's standard guard: PMI is unstable on
+    * rare pairs, so collocation miners floor the pair count first). */
+  val DefaultCollocMinCount = 5L
+  val DefaultCollocTopK = 50
+
+  /** COLLOCATION MINING — top-k adjacent word pairs by pointwise mutual
+    * information, the phrase-extraction pass a tokenizer/vocab-building
+    * pipeline runs to promote multiword units ("new york") before BPE
+    * training. PMI on the [[FixedLog]] fixed-point log2 grid:
+    *
+    *   pmi_x64 = lp(c_xy) − lp(c_x) − lp(c_y) + 2·lp(n_uni) − lp(n_bi)
+    *
+    * i.e. log2( p(xy) / (p(x)·p(y)) ) with every log taken per-TERM, so no
+    * intermediate product can overflow (each argument is a plain count ≤
+    * the corpus token total; a fused `lp(c_xy·n_uni²)` form would overflow
+    * Long past ~10^9 tokens). Engine-exact: the DuckDB oracle replays every
+    * term on the same grid. Only documents with ≥2 tokens contribute (a
+    * 1-token document has no bigram — excluding it from BOTH count tables
+    * keeps the marginals consistent).
+    *
+    * Shape at 100 TB: two hash aggregations (unigram + bigram counts), both
+    * with map-side partials absorbing hot pairs; the `minCount` floor prunes
+    * the bigram table BEFORE the marginal joins; the unigram-count joins are
+    * vocabulary-sized equi-joins AQE broadcasts while the vocab fits; totals
+    * are 1-row broadcast aggregates over the already-aggregated tables; the
+    * final top-k is a TakeOrderedAndProject over the floored pair table,
+    * never a global sort of the corpus. */
+  def collocations(documents: DataFrame,
+                   minCount: Long = DefaultCollocMinCount,
+                   k: Int = DefaultCollocTopK): DataFrame = {
+    require(minCount >= 1, s"collocations: minCount must be >= 1, got $minCount")
+    require(k >= 1, s"collocations: k must be >= 1, got $k")
+    val toks = documents.where(s"size(${Shingles.ws}) >= 2")
+      .selectExpr(s"${Shingles.ws} AS ws")
+    val uni = toks.selectExpr("explode(ws) AS x")
+      .groupBy("x").agg(count(lit(1)).as("c_x"))
+    val bi = toks
+      .selectExpr("explode(transform(sequence(0, size(ws) - 2)," +
+        " i -> struct(ws[i] AS x, ws[i+1] AS y))) AS g")
+      .selectExpr("g.x AS x", "g.y AS y")
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .where(s"c_xy >= $minCount")
+    val totU = uni.agg(sum("c_x").as("n_uni"))
+    val totB = toks.selectExpr("CAST(size(ws) - 1 AS BIGINT) AS nb")
+      .agg(sum("nb").as("n_bi"))
+    bi.join(uni, "x")
+      .join(uni.selectExpr("x AS y", "c_x AS c_y"), "y")
+      .crossJoin(broadcast(totU))
+      .crossJoin(broadcast(totB))
+      .selectExpr("x", "y", "c_xy", "c_x", "c_y",
+        s"${FixedLog.spark("c_xy")} - ${FixedLog.spark("c_x")} - ${FixedLog.spark("c_y")}" +
+          s" + 2 * ${FixedLog.spark("n_uni")} - ${FixedLog.spark("n_bi")} AS pmi_x64")
+      .orderBy(col("pmi_x64").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
   /** PII patterns shared by the Spark query and the DuckDB oracle. Kept
     * RE2-safe (no lookaround, no backrefs) so Java regex (Spark) and RE2
     * (DuckDB) agree; all-ASCII classes so word semantics can't diverge. */

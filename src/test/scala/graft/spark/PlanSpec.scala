@@ -291,6 +291,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert("Window.*doc_id".r.findFirstIn(p).isDefined || p.contains("[doc_id"), p)
   }
 
+  test("d_collocations: top-k is TakeOrdered; totals broadcast; floor precedes the joins") {
+    val docs = Relational.tbl(spark, Sf, "documents")
+    val plan = graft.ops.DocTextOps.collocations(docs)
+    val p = formatted(plan)
+    // never a global sort of the pair table — top-k must be TakeOrdered
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the two 1-row totals ride broadcasts, not shuffled cross joins
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the minCount floor prunes the pair table BEFORE the marginal joins:
+    // the filter on the bigram count must sit under an aggregate, not
+    // above a join output
+    assert("c_xy#\\d+L? >= 5".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("t_echo: one conv_id-clustered window, overlap stays map-side after it") {
+    import spark.implicits._
+    val turns = (1 to 50).flatMap(c => Seq(
+      (s"c$c", 1, "user", "a b c"), (s"c$c", 2, "assistant", "a b d")))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val plan = graft.ops.TranscriptOps.echoDetect(turns)
+    val p = formatted(plan)
+    // the running-last window partitions by conv_id (conversation-bounded
+    // state), and nothing joins or re-aggregates after it
+    assert(p.contains("windowspecdefinition(conv_id"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("q13 quantiles: no window over the low-cardinality group key") {
     val df = Relational.q13Quantiles(spark, Sf)
     val p = formatted(df)
