@@ -226,6 +226,83 @@ object StreamingSegmenter {
       }
   }
 
+  final case class EchoConvState(turns: List[(Int, String, String)], lastTs: Long, nChars: Long)
+  final case class EchoVerdict(conv_id: String, turn_idx: Int, n_distinct_tokens: Long,
+                               overlap_ppm: Long, is_echo: Boolean)
+
+  /** Streaming twin of [[graft.ops.TranscriptOps.echoDetect]] — the
+    * assistant-parrot gate running ON the live transcript stream, in the
+    * same conversation-close shape as [[segments]]: state buffers one
+    * conversation's `(turn_idx, role, text)` rows (the same `guardConv`
+    * memory budget as the fold), and once the event-time watermark passes
+    * `last turn ts + idleGapMs` the verdicts are computed over the sorted
+    * conversation with the batch operator's exact arithmetic — Spark's
+    * `split` keeps trailing empties (`String.split(sep, -1)`), set-semantic
+    * distinct/intersect, truncating nonnegative integer division — so on a
+    * closed input the output is asserted EQUAL to the batch query.
+    * Identical `(turn_idx, role, text)` redeliveries are dropped at
+    * state-update time; a CONFLICTING duplicate turn_idx quarantines the
+    * conversation (zero verdicts, the [[segments]] rule) instead of
+    * poisoning the query. NULL-text user turns never update the pairing and
+    * NULL-text assistant turns get no verdict — exactly the batch
+    * operator's `ignoreNulls` window + filter. */
+  def echoVerdicts(turns: Dataset[Turn], watermark: String = "10 minutes",
+                   idleGapMs: Long = 30 * 60 * 1000L,
+                   thresholdPpm: Long = graft.ops.TranscriptOps.DefaultEchoThresholdPpm
+                  ): Dataset[EchoVerdict] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.filter(_.ts != null)
+      .withWatermark("ts", watermark)
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[EchoConvState, EchoVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (cid: String, rows: Iterator[Turn], state: GroupState[EchoConvState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            val sorted = st.turns.sortBy(_._1)
+            if (sorted.iterator.map(_._1).toSeq.distinct.length != sorted.length) {
+              org.slf4j.LoggerFactory.getLogger("graft.streaming.StreamingSegmenter")
+                .warn(s"quarantined conversation $cid: conflicting duplicate turn_idx")
+              Iterator.empty
+            } else {
+              var lastUser: Option[Set[String]] = None
+              sorted.iterator.flatMap { case (idx, role, text) =>
+                if (role == "user") {
+                  if (text != null) lastUser = Some(text.split(" ", -1).toSet)
+                  Iterator.empty
+                } else if (role == "assistant" && text != null && lastUser.isDefined) {
+                  val toks = text.split(" ", -1).distinct
+                  val overlap = toks.count(lastUser.get.contains) * 1000000L / toks.length
+                  Iterator.single(EchoVerdict(cid, idx, toks.length.toLong,
+                    overlap, overlap >= thresholdPpm))
+                } else Iterator.empty
+              }.toVector.iterator
+            }
+          } else {
+            val prev = state.getOption.getOrElse(EchoConvState(Nil, 0L, 0L))
+            val seen = scala.collection.mutable.HashSet.empty[(Int, String, String)]
+            prev.turns.foreach(seen += _)
+            var lastTs = prev.lastTs
+            val fresh = rows.flatMap { t =>
+              lastTs = math.max(lastTs, t.ts.getTime)
+              val row = (t.turn_idx, t.role, t.text)
+              if (seen.add(row)) Some(row) else None
+            }.toList
+            val st = EchoConvState(fresh ::: prev.turns, lastTs,
+              prev.nChars + fresh.iterator.map(r =>
+                if (r._3 == null) 0L else r._3.length.toLong).sum)
+            graft.pipeline.Pipeline.guardConv(cid, st.turns.length, st.nChars,
+              graft.pipeline.Pipeline.DefaultMaxConvPages,
+              graft.pipeline.Pipeline.DefaultMaxConvChars)
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastTs + idleGapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   final case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
 
   /** Streaming exact dedup — the streaming twin of `Dedup.exact`: the first

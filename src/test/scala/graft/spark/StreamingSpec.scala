@@ -120,6 +120,51 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "conflicting duplicate turn_idx must quarantine the conversation")
   }
 
+  test("streaming echo verdicts equal the batch twin on closed input; redelivery-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Turn]
+    val out = StreamingSegmenter.echoVerdicts(
+      input.toDS(), watermark = "1 minute", idleGapMs = 60000L)
+    val query = out.writeStream.format("memory").queryName("stream_echo")
+      .outputMode("append").start()
+
+    val nConvs = 4L
+    val allTurns = (0L until nConvs).flatMap(i => SyntheticTranscripts.turnsFor(Seed, i))
+    val (b1, b2) = allTurns.sortBy(_.ts.getTime).splitAt(allTurns.size / 2)
+    input.addData(b1)
+    query.processAllAvailable()
+    input.addData(b2)
+    query.processAllAvailable()
+    // at-least-once redelivery of a verbatim slice must not change verdicts
+    input.addData(b2.take(3))
+    query.processAllAvailable()
+    // a conversation poisoned by a conflicting duplicate turn_idx
+    val poisoned = SyntheticTranscripts.turnsFor(Seed, nConvs)
+    val pcid = SyntheticTranscripts.convId(nConvs)
+    input.addData(poisoned)
+    input.addData(Seq(poisoned.head.copy(text = poisoned.head.text + " CONFLICT")))
+    query.processAllAvailable()
+    val maxTs = (allTurns ++ poisoned).map(_.ts.getTime).max
+    input.addData(Turn("conv-sentinel", 1, "user", "x", "",
+      new Timestamp(maxTs + 24 * 3600 * 1000L)))
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("stream_echo").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .filterNot(_._1 == "conv-sentinel").toSet
+    val batch = graft.ops.TranscriptOps.echoDetect(allTurns.toDF()).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(streamed.filterNot(_._1 == pcid) == batch,
+      s"streaming ${streamed.size} rows != batch ${batch.size}")
+    assert(batch.nonEmpty, "the synthetic corpus must produce verdicts")
+    assert(streamed.count(_._1 == pcid) == 0,
+      "conflicting duplicate turn_idx must quarantine the conversation")
+  }
+
   test("windowed turn-rate aggregation with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
