@@ -84,6 +84,7 @@ object SparkEntry {
     "d_token_bpe" -> ((s, d) => DocTextOps.tokenBpe(docs(s, d))),
     "d_quality" -> ((s, d) => DocTextOps.qualityScore(docs(s, d))),
     "d_quality_filter" -> ((s, d) => DocTextOps.qualityFilter(docs(s, d))),
+    "d_quality_rules" -> ((s, d) => DocTextOps.qualityRules(docs(s, d))),
     "d_sample" -> ((s, d) => DocTextOps.stratifiedSample(docs(s, d))),
     "d_langid_stopword" -> ((s, d) => DocTextOps.langIdStopword(docs(s, d))),
     "d_langid_trigram" -> ((s, d) => DocTextOps.langIdTrigram(docs(s, d))),
@@ -1522,6 +1523,30 @@ object SparkEntry {
          |  (n_chars_actual >= 80 AND n_tokens >= 16 AND stopword_hits >= 1 AND
          |   diversity_ppm >= 300000 AND mean_word_len_ppm BETWEEN 2000000 AND 12000000) AS keep
          |FROM q ORDER BY doc_id""".stripMargin,
+    // replays DocTextOps.qualityRules: signals in DuckDB list algebra, then
+    // the SAME interpolated rule predicates / first-failed CASE / keep fold
+    "d_quality_rules" -> {
+      val rules = DocTextOps.QualityRuleTable
+      val flags = rules.map { case (n, p) => s"($p) AS pass_$n" }.mkString(",\n|  ")
+      val firstFailed = rules
+        .map { case (n, _) => s"WHEN NOT pass_$n THEN '$n'" }
+        .mkString("CASE ", " ", " ELSE '' END AS first_failed")
+      val keep = rules.map { case (n, _) => s"pass_$n" }.mkString(" AND ")
+      s"""WITH s AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS stopword_tokens,
+         |  (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS diversity_ppm,
+         |  (CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS mean_word_len_ppm
+         |FROM documents),
+         |f AS (SELECT *,
+         |  $flags
+         |FROM s)
+         |SELECT doc_id, n_chars, n_tokens, stopword_tokens, diversity_ppm,
+         |  mean_word_len_ppm, ${rules.map { case (n, _) => s"pass_$n" }.mkString(", ")},
+         |  $firstFailed, ($keep) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
     "d_sample" ->
       s"""WITH s AS (SELECT doc_id, lang,
          |  ${dh32("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,

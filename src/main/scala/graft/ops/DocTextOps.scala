@@ -128,6 +128,56 @@ object DocTextOps {
           "diversity_ppm >= 300000 AND mean_word_len_ppm BETWEEN 2000000 AND 12000000) AS keep")
       .orderBy("doc_id")
 
+  /** Rule table for [[qualityRules]] — (name, predicate over the signal
+    * columns), in evaluation order, shared with the DuckDB oracle (the
+    * predicates are engine-portable SQL). Thresholds are set where every
+    * rule realizes BOTH verdicts on the sf0.01 corpus (chars 479/500,
+    * tokens 457/500, stopwords 388/500, diversity 492/500, word-length
+    * ~90% — checked against the generator's distributions), so no branch
+    * is invisible to the driver gate. */
+  private[graft] val QualityRuleTable: Seq[(String, String)] = Seq(
+    "min_chars" -> "n_chars >= 80",
+    "min_tokens" -> "n_tokens >= 20",
+    "stopwords" -> "stopword_tokens >= 2",
+    "diversity" -> "diversity_ppm >= 300000",
+    "word_length" -> "mean_word_len_ppm BETWEEN 4000000 AND 4800000")
+
+  /** Gopher-style QUALITY RULE LINEAGE (Rae et al. 2021 Table A1's rule
+    * battery, adapted to the synthetic corpus's signal ranges): per-document
+    * pass flags for EVERY rule plus the first failing rule's name — the
+    * rule-level kill-rate report a production filter emits, because "37% of
+    * the crawl died on min_tokens" is the number that drives threshold
+    * tuning, and a single fused boolean ([[qualityFilter]]) can't provide
+    * it. Unlike the substring heuristic in [[qualityScore]], stopwords are
+    * counted at TOKEN level (a substring count matches inside words and
+    * never fails). `keep` = all rules pass; `first_failed` = '' when kept.
+    *
+    * Shape at 100 TB: pure per-row column algebra — one projection, no
+    * shuffle beyond the deterministic output ordering, whole-stage
+    * codegen'd; rule verdicts and the CASE lineage fold are computed once
+    * per document on the scan. */
+  def qualityRules(documents: DataFrame): DataFrame = {
+    val flags = QualityRuleTable.map { case (n, p) => s"($p) AS pass_$n" }
+    val firstFailed = QualityRuleTable
+      .map { case (n, _) => s"WHEN NOT pass_$n THEN '$n'" }
+      .mkString("CASE ", " ", " ELSE '' END AS first_failed")
+    val keep = QualityRuleTable.map { case (n, _) => s"pass_$n" }.mkString(" AND ")
+    documents
+      .selectExpr("doc_id",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+        "CAST(size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS stopword_tokens",
+        "(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000) DIV size(split(text, ' ')) AS diversity_ppm",
+        "(CAST(length(text) - size(split(text, ' ')) + 1 AS BIGINT) * 1000000) DIV size(split(text, ' ')) AS mean_word_len_ppm")
+      .selectExpr(Seq("doc_id", "n_chars", "n_tokens", "stopword_tokens",
+        "diversity_ppm", "mean_word_len_ppm") ++ flags: _*)
+      .selectExpr(Seq("doc_id", "n_chars", "n_tokens", "stopword_tokens",
+        "diversity_ppm", "mean_word_len_ppm") ++
+        QualityRuleTable.map { case (n, _) => s"pass_$n" } ++
+        Seq(firstFailed, s"($keep) AS keep"): _*)
+      .orderBy("doc_id")
+  }
+
   /** Default per-language percent keep rates (and the everything-else
     * fallback) for [[stratifiedSample]] and [[downselect]] — ONE table
     * shared by both operators and interpolated into the `d_sample` /

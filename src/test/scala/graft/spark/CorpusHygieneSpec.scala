@@ -127,6 +127,42 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
     assert(got(5L) == ((false, true, true, false, got(5L)._5, true)))
   }
 
+  test("qualityRules: every rule realizes a first-failure; boundary values inclusive") {
+    val d = docs(
+      // 20 words, 95 token chars (114 with spaces), 2 stopword tokens,
+      // all-distinct, avg word len 4.75 → every rule passes
+      1L -> ("the of mango apple bread chair plane train globe stone river " +
+        "cloud field grass heart light money night ocean power"),
+      2L -> "the of cat", //                        10 chars → min_chars first
+      // 94 chars but 10 tokens → min_tokens is the FIRST failure
+      3L -> ("the of waterfalls basketball helicopter dictionary watermelon " +
+        "strawberry playground lighthouse"),
+      // doc 1's shape with 'cat dog' for 'the of': avg 4.8 exactly (upper
+      // bound inclusive) and ZERO stopword tokens → stopwords first
+      4L -> ("cat dog mango apple bread chair plane train globe stone river " +
+        "cloud field grass heart light money night ocean power"),
+      // 'the of' + 18×'tree': diversity 3/20 → diversity fires BEFORE the
+      // (also-failing) word_length rule
+      5L -> ("the of tree tree tree tree tree tree tree tree tree tree tree " +
+        "tree tree tree tree tree tree tree"),
+      // 21 distinct short words, 82 chars: only word_length fails (avg 2.95)
+      6L -> ("the of cat dog bat rat hen fox owl ant bee cow pig ram ewe elk " +
+        "jay koi eel fly gnu"))
+    val got = DocTextOps.qualityRules(d).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getString(11), r.getBoolean(12)))).toMap
+    assert(got(1L) === ((114L, 20L, 2L, 1000000L, 4750000L, "", true)))
+    assert(got(2L)._6 === "min_chars")
+    assert(got(3L) === ((94L, 10L, 2L, 1000000L, 8500000L, "min_tokens", false)))
+    assert(got(4L)._5 === 4800000L, "upper word-length bound is inclusive")
+    assert(got(4L)._6 === "stopwords")
+    assert(got(5L) === ((96L, 20L, 2L, 150000L, 3850000L, "diversity", false)))
+    assert(got(6L) === ((82L, 21L, 2L, 1000000L, 2952380L, "word_length", false)))
+    // rule-level flags agree with the lineage: doc 6 fails ONLY word_length
+    val f6 = DocTextOps.qualityRules(d).where("doc_id = 6").collect()(0)
+    assert((6 to 10).map(f6.getBoolean) === Seq(true, true, true, true, false))
+  }
+
   test("repetitionSignals computes top-bigram and duplicated-trigram char shares") {
     // "a b a b a b": bigrams a·b ×3, b·a ×2 → top ("a b", 3);
     // trigrams "a b a" ×2, "b a b" ×2 → dup chars = 2*5 + 2*5 = 20
