@@ -95,6 +95,7 @@ object SparkEntry {
     "d_kmv_distinct" -> ((s, d) => DocTextOps.kmvDistinct(docs(s, d))),
     "d_downselect" -> ((s, d) => DocTextOps.downselect(docs(s, d))),
     "d_pipeline" -> ((s, d) => DocTextOps.selectionPipeline(docs(s, d))),
+    "d_ccnet" -> ((s, d) => Selection.ccnetPipeline(docs(s, d))),
     "d_decontaminate" -> ((s, d) => DocTextOps.decontaminate(docs(s, d))),
     "d_bloom_decontaminate" -> ((s, d) => DocTextOps.bloomDecontaminate(docs(s, d))),
     "d_contam_overlap" -> ((s, d) => DocTextOps.contamOverlap(docs(s, d))),
@@ -485,6 +486,70 @@ object SparkEntry {
        |sz AS (SELECT component, count(*) AS cluster_size FROM lab GROUP BY 1)""".stripMargin
 
   private val dClusterCtes = dClusterCtesFrom("documents")
+
+  /** Keep-best ranking CTEs replaying [[graft.ops.Dedup.dedupKeepBest]]'s
+    * representative choice — expects the cluster CTEs (`lab`, `sz`) in
+    * scope; yields `qual` and `r(doc_id, component, cluster_size,
+    * diversity_ppm, rn)`. ONE builder shared by the `d_dedup_keep_best`
+    * and `d_ccnet` oracles so the survivor choice cannot drift. */
+  private val dKeepBestCtes: String =
+    s"""qual AS (SELECT doc_id,
+       |    coalesce((CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000)
+       |      // len(string_split(text, ' ')), -1) AS diversity_ppm
+       |  FROM documents),
+       |r AS (SELECT l.doc_id, l.component, sz.cluster_size, q.diversity_ppm,
+       |    row_number() OVER (PARTITION BY l.component
+       |      ORDER BY q.diversity_ppm DESC, l.doc_id ASC) AS rn
+       |  FROM lab l JOIN sz USING (component) JOIN qual q USING (doc_id))""".stripMargin
+
+  /** Reference-LM CTEs replaying [[graft.ops.Selection.lmScore]] over
+    * `src` — yields `big(doc_id, lang, g)`, `ref(g, c)` and
+    * `scored(doc_id, avg_log2_x64)`. ONE builder shared by the
+    * `d_lm_score`, `d_ppl_buckets` and `d_ccnet` oracles. */
+  private def dLmCtes(src: String): String = {
+    val lp = FixedLog.duck("coalesce(ref.c, 0) + 1")
+    s"""big AS (SELECT doc_id, lang,
+       |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') ws FROM $src
+       |        WHERE len(string_split(text, ' ')) >= 2)),
+       |ref AS (SELECT g, count(*)::BIGINT AS c FROM big
+       |        WHERE lang = '${graft.ops.Selection.DefaultRefLang}' GROUP BY 1),
+       |scored AS (SELECT b.doc_id, sum($lp)::BIGINT // count(*) AS avg_log2_x64
+       |           FROM big b LEFT JOIN ref USING (g) GROUP BY 1)""".stripMargin
+  }
+
+  /** Stopword-profile language-ID CTEs replaying
+    * [[graft.ops.DocTextOps.langIdStopword]] over `src` — yields
+    * `lid(doc_id, lang_declared, score_*, lang_pred)`. ONE builder shared
+    * by the `d_langid_stopword` and `d_ccnet` oracles. */
+  private def dLangPredCtes(src: String): String = {
+    val scoreCols = graft.ops.DocTextOps.langStops
+      .map { case (l, ws) => ws.map(dcnt).mkString(" + ") + s" AS score_$l" }
+      .mkString(",\n|    ")
+    s"""lids AS (SELECT doc_id, lang AS lang_declared,
+       |    $scoreCols FROM $src),
+       |lidm AS (SELECT *, greatest(greatest(score_en, score_de), greatest(score_es, score_fr)) AS best FROM lids),
+       |lid AS (SELECT doc_id, lang_declared, score_en, score_de, score_es, score_fr,
+       |  CASE WHEN score_en = best THEN 'en' WHEN score_de = best THEN 'de'
+       |       WHEN score_es = best THEN 'es' WHEN score_fr = best THEN 'fr'
+       |       ELSE 'und' END AS lang_pred
+       |FROM lidm)""".stripMargin
+  }
+
+  /** Value-tercile CTEs replaying [[graft.ops.Selection]]'s shared
+    * `tercileLabels` over an `sl(doc_id, <part>, avg_log2_x64)` CTE in
+    * scope — yields `tbins`, `tlab` and `buck(sl.*, ppl_bucket)`. ONE
+    * builder shared by the `d_ppl_buckets` and `d_ccnet` oracles. */
+  private def dTercileCtes(part: String): String =
+    s"""tbins AS (SELECT $part, avg_log2_x64, count(*)::BIGINT AS n_docs
+       |          FROM sl GROUP BY 1, 2),
+       |tlab AS (SELECT $part, avg_log2_x64,
+       |    coalesce(sum(n_docs) OVER (PARTITION BY $part ORDER BY avg_log2_x64 DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_above,
+       |    sum(n_docs) OVER (PARTITION BY $part) AS n FROM tbins),
+       |buck AS (SELECT sl.*, CASE WHEN 3 * c_above < n THEN 'head'
+       |       WHEN 3 * c_above < 2 * n THEN 'middle' ELSE 'tail' END AS ppl_bucket
+       |  FROM sl JOIN tlab USING ($part, avg_log2_x64))""".stripMargin
 
   /** DuckDB exact-fold cosine between DOUBLE[] columns a and b. */
   private def dCos(a: String, b: String): String = {
@@ -1048,7 +1113,17 @@ object SparkEntry {
     * ranked profiles are emitted as literal VALUES rows from the SAME
     * constants the Scala kernel uses (`TrigramLangId.languageProfiles`), so
     * the two cannot drift. */
-  private def trigramOracle: String = {
+  private def trigramOracle: String =
+    s"""WITH ${dTrigramCtes("documents")}
+       |SELECT doc_id, lang_declared, lang_pred, dist_de, dist_en, dist_es, dist_fr
+       |FROM lid ORDER BY doc_id""".stripMargin
+
+  /** Trigram language-ID CTEs replaying
+    * [[graft.ops.DocTextOps.langIdTrigram]] over `src` (profiles as
+    * literal VALUES rows) — yields `lid(doc_id, lang_declared, lang_pred,
+    * dist_*)`. ONE builder shared by the `d_langid_trigram` and `d_ccnet`
+    * oracles so the rank-distance replay cannot drift. */
+  private def dTrigramCtes(src: String): String = {
     import graft.core.text.TrigramLangId
     val profRows = TrigramLangId.Langs.flatMap { l =>
       TrigramLangId.languageProfiles(l).toSeq.sortBy(_._2).map { case (t, r) =>
@@ -1057,15 +1132,15 @@ object SparkEntry {
     }.mkString(", ")
     val pen = TrigramLangId.ProfileSize
     val maxL = Long.MaxValue
-    s"""WITH docw AS (SELECT doc_id, lang,
+    s"""docw AS (SELECT doc_id, lang,
        |    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> length(w) > 0) AS ws
-       |  FROM documents),
+       |  FROM $src),
        |tg AS (SELECT doc_id,
        |    unnest(flatten([[substring('_' || w || '_', i, 3) for i in range(1, length(w) + 1)] for w in ws])) AS t
        |  FROM docw),
-       |cnt AS (SELECT doc_id, t, count(*) AS c FROM tg GROUP BY 1, 2),
+       |tcnt AS (SELECT doc_id, t, count(*) AS c FROM tg GROUP BY 1, 2),
        |dp AS (SELECT doc_id, t, r FROM (
-       |    SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, t) - 1 AS r FROM cnt)
+       |    SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, t) - 1 AS r FROM tcnt)
        |  WHERE r < $pen),
        |lp(lang, t, lr) AS (VALUES $profRows),
        |dist AS (SELECT dp.doc_id, lc.l AS lang,
@@ -1078,8 +1153,8 @@ object SparkEntry {
        |    MAX(CASE WHEN lang = 'en' THEN d END) AS dist_en,
        |    MAX(CASE WHEN lang = 'es' THEN d END) AS dist_es,
        |    MAX(CASE WHEN lang = 'fr' THEN d END) AS dist_fr
-       |  FROM dist GROUP BY 1)
-       |SELECT d.doc_id, d.lang AS lang_declared,
+       |  FROM dist GROUP BY 1),
+       |lid AS (SELECT d.doc_id, d.lang AS lang_declared,
        |  CASE WHEN p.doc_id IS NULL THEN 'und'
        |       WHEN p.dist_de <= p.dist_en AND p.dist_de <= p.dist_es AND p.dist_de <= p.dist_fr THEN 'de'
        |       WHEN p.dist_en <= p.dist_es AND p.dist_en <= p.dist_fr THEN 'en'
@@ -1089,7 +1164,7 @@ object SparkEntry {
        |  COALESCE(p.dist_en, $maxL) AS dist_en,
        |  COALESCE(p.dist_es, $maxL) AS dist_es,
        |  COALESCE(p.dist_fr, $maxL) AS dist_fr
-       |FROM documents d LEFT JOIN piv p ON d.doc_id = p.doc_id ORDER BY d.doc_id""".stripMargin
+       |FROM docw d LEFT JOIN piv p ON d.doc_id = p.doc_id)""".stripMargin
   }
 
   /** IVF ANN oracle: replays the deterministic Lloyd TRAINING rounds of
@@ -1554,19 +1629,12 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, lang, bucket, rate FROM s WHERE bucket < rate
          |ORDER BY doc_id""".stripMargin,
-    "d_langid_stopword" -> {
+    "d_langid_stopword" ->
       // word lists shared with the Spark side via DocTextOps.langStops
-      val scoreCols = DocTextOps.langStops
-        .map { case (l, ws) => ws.map(dcnt).mkString(" + ") + s" AS score_$l" }
-        .mkString(",\n  ")
-      s"""WITH s AS (SELECT doc_id, lang AS lang_declared, $scoreCols FROM documents),
-         |m AS (SELECT *, greatest(greatest(score_en, score_de), greatest(score_es, score_fr)) AS best FROM s)
+      s"""WITH ${dLangPredCtes("documents")}
          |SELECT doc_id, lang_declared, score_en, score_de, score_es, score_fr,
-         |  CASE WHEN score_en = best THEN 'en' WHEN score_de = best THEN 'de'
-         |       WHEN score_es = best THEN 'es' WHEN score_fr = best THEN 'fr'
-         |       ELSE 'und' END AS lang_pred
-         |FROM m ORDER BY doc_id""".stripMargin
-    },
+         |  lang_pred
+         |FROM lid ORDER BY doc_id""".stripMargin,
     "d_fingerprint" ->
       s"""WITH $dShingleDocs
          |SELECT d.doc_id,
@@ -1860,12 +1928,7 @@ object SparkEntry {
     // slice, fixed-point log2 (FixedLog — engine-exact integer math)
     "d_lm_score" -> {
       val lp = FixedLog.duck("coalesce(ref.c, 0) + 1")
-      s"""WITH big AS (SELECT doc_id, lang,
-         |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
-         |  FROM (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents
-         |        WHERE len(string_split(text, ' ')) >= 2)),
-         |ref AS (SELECT g, count(*)::BIGINT AS c FROM big
-         |        WHERE lang = '${Selection.DefaultRefLang}' GROUP BY 1)
+      s"""WITH ${dLmCtes("documents")}
          |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
          |  sum($lp)::BIGINT AS lm_log2_x64,
          |  sum($lp)::BIGINT // count(*) AS avg_log2_x64
@@ -1874,29 +1937,13 @@ object SparkEntry {
     },
     // replays Selection.pplBuckets: lmScore's avg joined with lang, then
     // value-tercile labels from the per-(lang, score) bin cumulative window
-    "d_ppl_buckets" -> {
-      val lp = FixedLog.duck("coalesce(ref.c, 0) + 1")
-      s"""WITH big AS (SELECT doc_id, lang,
-         |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
-         |  FROM (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents
-         |        WHERE len(string_split(text, ' ')) >= 2)),
-         |ref AS (SELECT g, count(*)::BIGINT AS c FROM big
-         |        WHERE lang = '${Selection.DefaultRefLang}' GROUP BY 1),
-         |scored AS (SELECT b.doc_id, sum($lp)::BIGINT // count(*) AS avg_log2_x64
-         |           FROM big b LEFT JOIN ref USING (g) GROUP BY 1),
+    "d_ppl_buckets" ->
+      s"""WITH ${dLmCtes("documents")},
          |sl AS (SELECT s.doc_id, d.lang, s.avg_log2_x64
          |       FROM scored s JOIN documents d USING (doc_id)),
-         |bins AS (SELECT lang, avg_log2_x64, count(*)::BIGINT AS n_docs
-         |         FROM sl GROUP BY 1, 2),
-         |lab AS (SELECT lang, avg_log2_x64,
-         |    coalesce(sum(n_docs) OVER (PARTITION BY lang ORDER BY avg_log2_x64 DESC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_above,
-         |    sum(n_docs) OVER (PARTITION BY lang) AS n FROM bins)
-         |SELECT sl.doc_id, sl.lang, sl.avg_log2_x64,
-         |  CASE WHEN 3 * c_above < n THEN 'head'
-         |       WHEN 3 * c_above < 2 * n THEN 'middle' ELSE 'tail' END AS ppl_bucket
-         |FROM sl JOIN lab USING (lang, avg_log2_x64) ORDER BY doc_id""".stripMargin
-    },
+         |${dTercileCtes("lang")}
+         |SELECT doc_id, lang, avg_log2_x64, ppl_bucket
+         |FROM buck ORDER BY doc_id""".stripMargin,
     // replays Selection.tokenBudget: the bin-windowed greedy prefix equals
     // the naive global running sum under (score DESC, doc_id) — tokens are
     // positive, so "inclusive cumsum fits" IS the greedy prefix
@@ -2148,16 +2195,31 @@ object SparkEntry {
       s"""WITH RECURSIVE $dShingleDocs,
          |${dJaccard(Some(graft.ops.Dedup.DefaultDfCap))},
          |$dClusterCtes,
-         |qual AS (SELECT doc_id,
-         |    coalesce((CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000)
-         |      // len(string_split(text, ' ')), -1) AS diversity_ppm
-         |  FROM documents),
-         |r AS (SELECT l.doc_id, l.component, sz.cluster_size, q.diversity_ppm,
-         |    row_number() OVER (PARTITION BY l.component
-         |      ORDER BY q.diversity_ppm DESC, l.doc_id ASC) AS rn
-         |  FROM lab l JOIN sz USING (component) JOIN qual q USING (doc_id))
+         |$dKeepBestCtes
          |SELECT doc_id, component, cluster_size, diversity_ppm, rn = 1 AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+    // replays Selection.ccnetPipeline: keep-best dedup (shared cluster +
+    // keep-best CTEs), lang-ID + reference-LM over the SURVIVORS (shared
+    // builders re-sourced on `surv`), per-predicted-lang terciles (shared
+    // tercile CTEs), lineage row per input document
+    "d_ccnet" ->
+      s"""WITH RECURSIVE $dShingleDocs,
+         |${dJaccard(Some(graft.ops.Dedup.DefaultDfCap))},
+         |$dClusterCtes,
+         |$dKeepBestCtes,
+         |kb AS (SELECT doc_id, rn = 1 AS dedup_keep FROM r),
+         |surv AS (SELECT d.* FROM documents d JOIN kb USING (doc_id)
+         |         WHERE dedup_keep AND d.text IS NOT NULL),
+         |${dLmCtes("surv")},
+         |${dTrigramCtes("surv")},
+         |sl AS (SELECT s.doc_id, l.lang_pred, s.avg_log2_x64
+         |       FROM scored s JOIN lid l USING (doc_id)),
+         |${dTercileCtes("lang_pred")}
+         |SELECT d.doc_id, coalesce(kb.dedup_keep, false) AS dedup_keep,
+         |  b.lang_pred, b.avg_log2_x64, b.ppl_bucket,
+         |  coalesce(b.ppl_bucket IN ('head', 'middle'), false) AS selected
+         |FROM documents d LEFT JOIN kb USING (doc_id) LEFT JOIN buck b USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "d_minhash_lsh" -> minhashOracle,
     // replays Dedup.lshRecall: each doc vs its prefix-truncated twin (keep
     // 50..90% by doc_id%5), exact subset Jaccard, one banding pass over

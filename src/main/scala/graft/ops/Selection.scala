@@ -195,22 +195,76 @@ object Selection {
     * window over the tiny bin table, and broadcast the bin→bucket map
     * back onto the per-document rows. The per-document side stays
     * map-only after the lmScore aggregation. */
-  def pplBuckets(documents: DataFrame, refLang: String = DefaultRefLang): DataFrame = {
+  /** Value-tercile bucket labels over `scored(partCol, avg_log2_x64)` — the
+    * bin-aggregate + cumulative-window + broadcast-map-back core shared by
+    * [[pplBuckets]] and [[ccnetPipeline]] (one builder, so the two replays
+    * cannot drift). Returns one `(partCol, avg_log2_x64, ppl_bucket)` row
+    * per distinct bin; join it back broadcast. */
+  private def tercileLabels(scored: DataFrame, partCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = lmScore(documents, refLang)
-      .join(documents.select("doc_id", "lang"), Seq("doc_id"))
-    val bins = scored.groupBy("lang", "avg_log2_x64")
+    val bins = scored.groupBy(partCol, "avg_log2_x64")
       .agg(count(lit(1)).as("n_docs"))
-    val desc = Window.partitionBy("lang").orderBy(col("avg_log2_x64").desc)
-    val labelled = bins
+    val desc = Window.partitionBy(partCol).orderBy(col("avg_log2_x64").desc)
+    bins
       .withColumn("c_above", coalesce(
         sum("n_docs").over(desc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("n", sum("n_docs").over(Window.partitionBy("lang")))
-      .selectExpr("lang", "avg_log2_x64",
+      .withColumn("n", sum("n_docs").over(Window.partitionBy(partCol)))
+      .selectExpr(partCol, "avg_log2_x64",
         "CASE WHEN 3 * c_above < n THEN 'head' " +
           "WHEN 3 * c_above < 2 * n THEN 'middle' ELSE 'tail' END AS ppl_bucket")
-    scored.join(broadcast(labelled), Seq("lang", "avg_log2_x64"))
+  }
+
+  def pplBuckets(documents: DataFrame, refLang: String = DefaultRefLang): DataFrame = {
+    val scored = lmScore(documents, refLang)
+      .join(documents.select("doc_id", "lang"), Seq("doc_id"))
+    scored.join(broadcast(tercileLabels(scored, "lang")), Seq("lang", "avg_log2_x64"))
       .select("doc_id", "lang", "avg_log2_x64", "ppl_bucket")
+      .orderBy("doc_id")
+  }
+
+  /** The composed CCNet recipe (Wenzek et al. 2020) as ONE oracled
+    * dataflow — dedup, language-ID, reference-LM scoring, per-language
+    * perplexity terciles, keep head+middle — with one lineage row per
+    * input document so every drop names its stage:
+    *
+    *  1. near-dup KEEP-BEST ([[Dedup.dedupKeepBest]] — CCNet's paragraph
+    *     hash dedup, in the non-vacuous near-dup form this corpus
+    *     exercises: exact hashes are all-distinct at sf0.01);
+    *  2. language-ID on the survivors ([[DocTextOps.langIdTrigram]] —
+    *     CCNet's fastText stage; the trigram model, not the stopword
+    *     profile, because the stopword heuristic predicts one language
+    *     for this whole corpus while the trigram distances genuinely
+    *     split it; downstream grouping uses the PREDICTED language, as
+    *     CCNet does, not the declared label);
+    *  3. [[lmScore]] against the trusted `refLang` slice (CCNet's
+    *     Wikipedia-KenLM stand-in, as in `d_lm_score`);
+    *  4. per-PREDICTED-language value terciles ([[tercileLabels]] — the
+    *     same builder as [[pplBuckets]]);
+    *  5. `selected` iff the document survived dedup, was scorable (≥2
+    *     tokens), and sits in head or middle — CCNet §4.4's training cut.
+    *
+    * Unscorable survivors (fewer than 2 tokens: no bigrams, no
+    * perplexity) carry NULL score/bucket and are not selected — dropping
+    * what the model cannot score is the honest default. Shape at 100 TB:
+    * the stages reuse their operators' own shapes (banded pair-finding,
+    * broadcast LM, bin-table terciles); the lineage assembly is two left
+    * joins keyed doc_id riding the scan partitioning. */
+  def ccnetPipeline(documents: DataFrame, refLang: String = DefaultRefLang): DataFrame = {
+    val kb = Dedup.dedupKeepBest(documents)
+      .selectExpr("doc_id", "keep AS dedup_keep")
+    val surv = documents.join(kb.where("dedup_keep").select("doc_id"), Seq("doc_id"))
+      .where("text IS NOT NULL")
+    val lid = DocTextOps.langIdTrigram(surv).select("doc_id", "lang_pred")
+    val sl = lmScore(surv, refLang).select("doc_id", "avg_log2_x64")
+      .join(lid, Seq("doc_id"))
+    val bucketed = sl
+      .join(broadcast(tercileLabels(sl, "lang_pred")), Seq("lang_pred", "avg_log2_x64"))
+    documents.select("doc_id")
+      .join(kb, Seq("doc_id"), "left")
+      .join(bucketed, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(dedup_keep, false) AS dedup_keep",
+        "lang_pred", "avg_log2_x64", "ppl_bucket",
+        "coalesce(ppl_bucket IN ('head', 'middle'), false) AS selected")
       .orderBy("doc_id")
   }
 

@@ -335,6 +335,85 @@ class SelectionSpec extends AnyFunSuite with SparkFixture {
     assert(Selection.perceptronScore(d5, trainN = 16).collect().length === 150)
   }
 
+  // ---- ccnetPipeline ------------------------------------------------------
+
+  test("ccnetPipeline: equals the composition of its public stages; every branch realizes") {
+    import org.apache.spark.sql.functions.col
+    // Natural-language sentences so the trigram stage genuinely splits the
+    // corpus; two near-identical docs so keep-best dedup genuinely drops;
+    // a one-token doc (unscorable survivor) and a letterless doc ('und').
+    val en = Vector(
+      "this is what they wanted to know about the things that were done",
+      "the people said that they would come to the house in the morning",
+      "there was nothing more to say about the state of the world today",
+      "what they found in the house was not what they had hoped to find",
+      "it was the best of times and it was the worst of times for them",
+      "she walked to the market in the morning to buy bread and butter")
+    val de = Vector(
+      "das ist was sie wissen wollten ueber die dinge die getan wurden",
+      "die leute sagten dass sie am morgen zu dem haus kommen wuerden",
+      "es gab nichts mehr zu sagen ueber den zustand der welt von heute",
+      "was sie in dem haus fanden war nicht das was sie erhofft hatten",
+      "es war die beste der zeiten und es war die schlechteste der zeiten",
+      "sie ging am morgen zu dem markt um brot und butter zu kaufen")
+    val dupA = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val dupB = dupA + " again" // near-dup of dupA -> one of the pair is dropped
+    val rows =
+      en.zipWithIndex.map { case (t, i) => (100L + i, t, "en", "s0") } ++
+      de.zipWithIndex.map { case (t, i) => (200L + i, t, "de", "s1") } ++
+      Seq((300L, dupA, "en", "s2"), (301L, dupB, "en", "s2"),
+          (302L, "hello", "en", "s3"),          // 1 token: survives, unscorable
+          (303L, "12345 999 777 999", "en", "s3")) // letterless -> lang_pred 'und'
+    val d = docs(rows: _*)
+
+    // Replay the documented composition through the PUBLIC stage operators.
+    val keep = graft.ops.Dedup.dedupKeepBest(d).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val survIds = rows.map(_._1).filter(keep.getOrElse(_, false)).toSet
+    val surv = d.where(col("doc_id").isInCollection(survIds))
+    val pred = DocTextOps.langIdTrigram(surv).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val avg = Selection.lmScore(surv).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // only >=2-token docs
+    val scored = avg.keySet
+    val bucketOf = scored.groupBy(pred).flatMap { case (_, ids) =>
+      val n = ids.size
+      val scoreCounts = ids.groupBy(avg).view.mapValues(_.size).toSeq.sortBy(-_._1)
+      val cumAbove = scoreCounts.scanLeft(0)((acc, sc) => acc + sc._2)
+      val byScore = scoreCounts.zip(cumAbove).map { case ((s, _), cAbove) =>
+        s -> (if (3 * cAbove < n) "head" else if (3 * cAbove < 2 * n) "middle" else "tail")
+      }.toMap
+      ids.map(id => id -> byScore(avg(id)))
+    }
+
+    val got = Selection.ccnetPipeline(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.getString(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          Option(r.getString(4)), r.getBoolean(5)))).toMap
+    assert(got.keySet === rows.map(_._1).toSet) // one lineage row per input
+    rows.map(_._1).foreach { id =>
+      val (dk, lp, a, b, sel) = got(id)
+      assert(dk === keep.getOrElse(id, false), s"doc $id dedup_keep")
+      if (scored(id)) {
+        assert(lp === Some(pred(id)), s"doc $id lang_pred")
+        assert(a === Some(avg(id)), s"doc $id avg")
+        assert(b === Some(bucketOf(id)), s"doc $id bucket")
+        assert(sel === Set("head", "middle").contains(bucketOf(id)), s"doc $id selected")
+      } else {
+        // dedup-dropped or unscorable survivor: NULL trail, never selected
+        assert(lp.isEmpty && a.isEmpty && b.isEmpty && !sel, s"doc $id null trail")
+      }
+    }
+    // non-vacuous: both dedup verdicts, an unscorable survivor, an 'und'
+    // prediction, all three buckets, both selected verdicts
+    assert(got.values.map(_._1).toSet === Set(true, false))
+    assert(got(302L)._1 && got(302L)._4.isEmpty)
+    assert(got(303L)._2 === Some("und"))
+    assert(got.values.flatMap(_._4).toSet === Set("head", "middle", "tail"))
+    assert(got.values.map(_._5).toSet === Set(true, false))
+  }
+
   test("sourceCap: null text/source rows are excluded, not NPEd") {
     import spark.implicits._
     val d = Seq((1L, "a b c", "en", "s0"), (2L, null, "en", "s0"), (3L, "d e", "en", null))
