@@ -220,6 +220,14 @@ object SparkEntry {
       graft.ops.TranscriptOps.echoDetect(
         graft.gen.SyntheticTranscripts.turns(s, n).toDF())
     }),
+    // conversation-level MinHash near-dedup over the RAW transcript table,
+    // gated on the deterministic retried-session fork scenario (the oracle
+    // replays forks, bands, and verdicts from the _raw_turns fixture dump)
+    "t_conv_dedup" -> ((s, d) => {
+      val n = graft.gen.SyntheticTranscripts.convsForSfDir(d)
+      graft.ops.TranscriptOps.convDedup(
+        graft.gen.SyntheticTranscripts.turns(s, n).toDF())
+    }),
     "t_segment" -> ((s, d) =>
       Pipeline.run(s, graft.gen.SyntheticTranscripts.convsForSfDir(d)).toDF()
         .orderBy("conv_id", "Sequence")),
@@ -618,6 +626,53 @@ object SparkEntry {
        |  coalesce(n_dups, 0) = 0 AS admitted
        |FROM documents d LEFT JOIN agg USING (doc_id)
        |WHERE d.doc_id % ${Dedup.DefaultDeltaMod} = ${Dedup.DefaultDeltaMod - 1} ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Replays [[graft.ops.TranscriptOps.convDedup]] over the raw-turns
+    * fixture dump: the retried-session fork CTE (drop-last-turn twin for
+    * `h32(conv_id) % ConvForkMod = 0`), per-turn shingle unions as
+    * conversation fingerprints, the SAME band CTEs as the doc-level paths
+    * ([[dBandedCtes]] — conv_id aliased as doc_id so the fragment is
+    * shared verbatim), the symmetric candidate probe, exact-Jaccard
+    * verification via least/greatest pair lookup (LEFT join: a banded
+    * collision with zero shared shingles verifies at 0 — probed, never a
+    * dup), and per-conversation verdicts. */
+  private def convDedupOracle: String = {
+    val fm = graft.ops.TranscriptOps.ConvForkMod
+    val thr = graft.ops.TranscriptOps.ConvDupThresholdPpm
+    s"""WITH base AS (SELECT conv_id, turn_idx, text,
+       |    max(turn_idx) OVER (PARTITION BY conv_id) AS max_idx
+       |  FROM read_parquet('__VERIFY_OUT__/_raw_turns/*.parquet')
+       |  WHERE text IS NOT NULL),
+       |allt AS (SELECT conv_id, text FROM base
+       |  UNION ALL
+       |  SELECT conv_id || '~f', text FROM base
+       |  WHERE ${dh32("conv_id")} % $fm = 0 AND turn_idx < max_idx),
+       |sh AS (SELECT conv_id AS doc_id, list_distinct(flatten(list(shs))) AS shs FROM (
+       |    SELECT conv_id, [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                     for i in range(1, len(ws) - 1)] AS shs
+       |    FROM (SELECT conv_id, string_split(text, ' ') AS ws FROM allt)
+       |    WHERE len(ws) >= 3) GROUP BY 1),
+       |$dBandedCtes,
+       |cand AS (SELECT x.doc_id AS doc_id, y.doc_id AS partner
+       |         FROM banded x JOIN banded y
+       |           ON x.band = y.band AND x.key = y.key AND x.doc_id != y.doc_id
+       |         GROUP BY 1, 2),
+       |${dJaccard(None)},
+       |ver AS (SELECT c.doc_id, c.partner, coalesce(j.jaccard_ppm, 0) AS jaccard_ppm
+       |        FROM cand c LEFT JOIN jac j
+       |          ON j.da = least(c.doc_id, c.partner) AND j.db = greatest(c.doc_id, c.partner)),
+       |agg AS (SELECT doc_id, count(*)::BIGINT AS n_candidates,
+       |          max(jaccard_ppm)::BIGINT AS max_jaccard_ppm,
+       |          sum(CASE WHEN jaccard_ppm >= $thr THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+       |          min(CASE WHEN jaccard_ppm >= $thr THEN partner END) AS dup_of
+       |        FROM ver GROUP BY 1)
+       |SELECT s.doc_id AS conv_id, s.doc_id LIKE '%~f' AS is_fork,
+       |  coalesce(n_candidates, 0)::BIGINT AS n_candidates,
+       |  coalesce(max_jaccard_ppm, 0)::BIGINT AS max_jaccard_ppm,
+       |  coalesce(n_dups, 0)::BIGINT AS n_dups, dup_of,
+       |  coalesce(n_dups, 0) > 0 AS is_dup
+       |FROM sh s LEFT JOIN agg USING (doc_id) ORDER BY conv_id""".stripMargin
   }
 
   /** 60-bit hash: first 15 md5 hex chars (sign-safe in every engine). */
@@ -1300,6 +1355,7 @@ object SparkEntry {
          |SELECT conv_id, turn_idx, n_distinct_tokens, overlap_ppm,
          |  overlap_ppm >= ${graft.ops.TranscriptOps.DefaultEchoThresholdPpm} AS is_echo
          |FROM o ORDER BY conv_id, turn_idx""".stripMargin,
+    "t_conv_dedup" -> convDedupOracle,
     "d_langid_trigram" -> trigramOracle,
     // evolved-store round trip (Evolution.schemaEvolveRoundTrip): batches
     // split doc_id % 3; `extra` added with batch 1 (NULL before), `legacy`

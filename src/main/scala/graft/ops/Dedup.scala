@@ -79,39 +79,54 @@ object Dedup {
   private def bandedOf(shingleSets: DataFrame): DataFrame = {
     val spark = shingleSets.sparkSession
     import spark.implicits._
-    val pA = (0 until NumPerms).map(permA).toArray
-    val pB = (0 until NumPerms).map(permB).toArray
-    val (nPerms, bands, rpb, p) = (NumPerms, Bands, RowsPerBand, P)
     shingleSets.selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "shs")
       .as[(Long, Array[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, shs) =>
-          val sigs = Array.fill(nPerms)(Long.MaxValue)
-          var i = 0
-          while (i < shs.length) {
-            // Shingles.h32: first 8 lowercase-hex chars of md5 = first 4
-            // digest bytes, parsed base-16 (unsigned 32-bit, fits Long)
-            val d = md.digest(shs(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % p
-            var k = 0
-            while (k < nPerms) {
-              val v = (pA(k) * h + pB(k)) % p
-              if (v < sigs(k)) sigs(k) = v
-              k += 1
-            }
-            i += 1
-          }
-          (0 until bands).iterator.map { b =>
-            var key = 0L
-            var k = b * rpb
-            while (k < (b + 1) * rpb) { key = (key * 31 + sigs(k)) % p; k += 1 }
-            (id, b, key)
-          }
+          val keys = bandKeys(md, shs)
+          (0 until Bands).iterator.map(b => (id, b, keys(b)))
         }
       }
       .toDF("doc_id", "band", "key")
+  }
+
+  private val PermAs: Array[Long] = (0 until NumPerms).map(permA).toArray
+  private val PermBs: Array[Long] = (0 until NumPerms).map(permB).toArray
+
+  /** Shingle set → [[Bands]] band keys: the [[bandedOf]] arithmetic as a
+    * reusable per-row kernel, so the conversation-level LSH
+    * ([[TranscriptOps.convDedup]], string conv ids) shares the EXACT band
+    * layout with the doc-level paths (Long doc ids) and neither can drift
+    * from the DuckDB replays. Shingles.h32: first 8 lowercase-hex chars of
+    * md5 = first 4 digest bytes, parsed base-16 (unsigned 32-bit, fits
+    * Long); minima fold `(a_k·h + b_k) % P`; band keys roll base-31 — all
+    * exact integer ops in any engine. */
+  private[ops] def bandKeys(md: java.security.MessageDigest, shs: Array[String]): Array[Long] = {
+    val sigs = Array.fill(NumPerms)(Long.MaxValue)
+    var i = 0
+    while (i < shs.length) {
+      val d = md.digest(shs(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % P
+      var k = 0
+      while (k < NumPerms) {
+        val v = (PermAs(k) * h + PermBs(k)) % P
+        if (v < sigs(k)) sigs(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    val keys = new Array[Long](Bands)
+    var b = 0
+    while (b < Bands) {
+      var key = 0L
+      var k = b * RowsPerBand
+      while (k < (b + 1) * RowsPerBand) { key = (key * 31 + sigs(k)) % P; k += 1 }
+      keys(b) = key
+      b += 1
+    }
+    keys
   }
 
   /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard over

@@ -59,4 +59,106 @@ object TranscriptOps {
         s"overlap_ppm >= $thresholdPpm AS is_echo")
       .orderBy("conv_id", "turn_idx")
   }
+
+  /** Fork rule for [[convDedup]]'s deterministic retried-session twin
+    * scenario: conversations with `h32(conv_id) % ConvForkMod = 0` get a
+    * fork. Shared with the DuckDB oracle so the two cannot drift. */
+  val ConvForkMod = 4L
+
+  /** Near-dup verdict threshold for [[convDedup]] (exact shingle-Jaccard
+    * ppm). 50% cleanly separates the synthetic corpus: drop-last-turn forks
+    * verify at 83–99%, the closest unrelated conversation pair under 20%. */
+  val ConvDupThresholdPpm = 500000L
+
+  /** CONVERSATION-LEVEL NEAR-DEDUP — the transcript-native twin of
+    * [[Dedup.minhashLsh]]: agent pipelines re-run sessions (retries,
+    * speculative rollouts, resumed conversations), and training on the
+    * transcript table means the SAME dialogue minus its tail appears many
+    * times. A conversation's fingerprint is the union of its turns'
+    * distinct 3-token shingles (per-turn shingling — no cross-turn-boundary
+    * grams, so turn insertion/removal perturbs only the affected turns);
+    * near-dup candidates come from the SAME MinHash band layout as the
+    * doc-level paths ([[Dedup.bandKeys]] — one kernel, one arithmetic) and
+    * are verified by exact shingle Jaccard.
+    *
+    * Because the synthetic corpus holds no natural near-dup conversations
+    * (closest unrelated pair <20% Jaccard — checked, not assumed), the gate
+    * runs on a deterministic RETRIED-SESSION scenario built in-query, the
+    * [[graft.ops.Similarity]] retrain-twin house pattern: conversations
+    * matching [[ConvForkMod]]'s hash rule gain a fork (`conv_id || '~f'`)
+    * with the LAST turn dropped — the "session resumed, tail lost" shape —
+    * and dedup runs over the union, so BOTH verdicts realize at sf0.01
+    * (~48 fork pairs at 83–99% Jaccard; everything else clean). One fork
+    * pair sits at 83% and can miss all 8 bands — honest LSH recall (the
+    * band layout targets ≥~85%); its members then read `is_dup = false`
+    * WITH `n_candidates = 0`, which is exactly what a production index
+    * would report. A production run feeds real batches and drops the fork
+    * CTE; the verdict columns are the contract.
+    *
+    * Output: one row per conversation in the unioned corpus —
+    * `(conv_id, is_fork, n_candidates, max_jaccard_ppm, n_dups, dup_of,
+    * is_dup)`, `dup_of` = smallest verified partner (canonical-is-min, as
+    * in the doc-level ops).
+    *
+    * Shape at 100 TB: the fork window and the shingle-union aggregation are
+    * both conv_id-clustered (the flagship table's bucket key — zero extra
+    * exchanges on a bucketed scan); the candidate join shuffles on
+    * (band, key) with fan-out bounded by band-bucket sizes, never all
+    * pairs; verification joins the (few) candidates back to fingerprint
+    * sets. Per-conversation state is the distinct-shingle set — bounded by
+    * the conversation, same budget discipline as the segmentation fold's
+    * monster-conversation guard. */
+  def convDedup(turns: DataFrame, thresholdPpm: Long = ConvDupThresholdPpm,
+                forkMod: Long = ConvForkMod): DataFrame = {
+    require(forkMod > 0, s"convDedup: forkMod must be > 0, got $forkMod")
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val base = turns.where("text IS NOT NULL")
+      .withColumn("max_idx", max("turn_idx").over(Window.partitionBy("conv_id")))
+    val forks = base
+      .where(s"${Shingles.h32("conv_id")} % $forkMod = 0 AND turn_idx < max_idx")
+      .selectExpr("conv_id || '~f' AS conv_id", "turn_idx", "text")
+    val allTurns = base.select("conv_id", "turn_idx", "text").union(forks)
+    val fingerprints = allTurns
+      .selectExpr("conv_id", s"${Shingles.ws} AS ws")
+      .where("size(ws) >= 3")
+      .selectExpr("conv_id", s"${Shingles.shingles} AS shs")
+      .groupBy("conv_id")
+      .agg(array_distinct(flatten(collect_list("shs"))).as("shs"))
+    val banded = fingerprints.as[(String, Array[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, shs) =>
+          val keys = Dedup.bandKeys(md, shs)
+          keys.indices.iterator.map(b => (id, b, keys(b)))
+        }
+      }
+      .toDF("conv_id", "band", "key")
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        expr("x.band = y.band AND x.key = y.key AND x.conv_id != y.conv_id"))
+      .groupBy(col("x.conv_id").as("conv_id"), col("y.conv_id").as("partner"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val verified = candidates
+      .join(fingerprints.selectExpr("conv_id", "shs AS shs_a"), "conv_id")
+      .join(fingerprints.selectExpr("conv_id AS partner", "shs AS shs_b"), "partner")
+      .selectExpr("conv_id", "partner",
+        "size(array_intersect(shs_a, shs_b)) AS inter",
+        "size(shs_a) AS na", "size(shs_b) AS nb")
+      .selectExpr("conv_id", "partner",
+        "(CAST(inter AS BIGINT) * 1000000) DIV (na + nb - inter) AS jaccard_ppm")
+    val verdicts = verified.groupBy("conv_id").agg(
+      count(lit(1)).as("n_candidates"),
+      max("jaccard_ppm").as("max_jaccard_ppm"),
+      sum(when(col("jaccard_ppm") >= thresholdPpm, 1L).otherwise(0L)).as("n_dups"),
+      min(when(col("jaccard_ppm") >= thresholdPpm, col("partner"))).as("dup_of"))
+    fingerprints.select("conv_id")
+      .join(verdicts, Seq("conv_id"), "left")
+      .selectExpr("conv_id", "conv_id LIKE '%~f' AS is_fork",
+        "CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates",
+        "CAST(coalesce(max_jaccard_ppm, 0) AS BIGINT) AS max_jaccard_ppm",
+        "CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups", "dup_of",
+        "coalesce(n_dups, 0) > 0 AS is_dup")
+      .orderBy("conv_id")
+  }
 }

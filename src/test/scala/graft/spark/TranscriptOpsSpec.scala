@@ -50,4 +50,44 @@ class TranscriptOpsSpec extends AnyFunSuite with SparkFixture {
       thresholdPpm = 500000L).collect()
     assert(at.length === 1 && at(0).getLong(3) === 500000L && at(0).getBoolean(4))
   }
+
+  // --- convDedup -----------------------------------------------------------
+  // Disjoint vocabularies per conversation group, so cross-group Jaccard is
+  // exactly 0 and every assertion below is hand-computable.
+  // h32 % ConvForkMod: cB → 0 (forked); cA → 2, cC → 2, solo → 1, tiny → 1.
+  private val vocabB = (1 to 20).map(i => s"b$i").mkString(" ")
+  private val vocabA = (1 to 20).map(i => s"a$i").mkString(" ")
+  private val dedupCorpus = turns(
+    ("cB", 1, "user", vocabB),          // 18 shingles
+    ("cB", 2, "assistant", "b90 b91 b92"), // +1 shingle; the fork drops it
+    ("cA", 1, "user", vocabA),          // cA and cC are token-identical
+    ("cA", 2, "assistant", "a90 a91 a92 a93"),
+    ("cC", 1, "user", vocabA),
+    ("cC", 2, "assistant", "a90 a91 a92 a93"),
+    ("solo", 1, "user", (1 to 10).map(i => s"s$i").mkString(" ")),
+    ("tiny", 1, "user", "x y")) //       <3 tokens → no fingerprint, no row
+
+  test("convDedup: fork twins and identical conversations are dups, clean convs clean") {
+    val got = TranscriptOps.convDedup(dedupCorpus).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.getString(5)), r.getBoolean(6)))).toMap
+    assert(got.keySet === Set("cA", "cB", "cB~f", "cC", "solo"))
+    // cB's fork keeps 18 of 19 shingles: jaccard = 18·1e6 DIV 19 = 947368
+    assert(got("cB") === ((false, 1L, 947368L, 1L, Some("cB~f"), true)))
+    assert(got("cB~f") === ((true, 1L, 947368L, 1L, Some("cB"), true)))
+    // identical conversations: full-band collision, jaccard exactly 1e6
+    assert(got("cA") === ((false, 1L, 1000000L, 1L, Some("cC"), true)))
+    assert(got("cC") === ((false, 1L, 1000000L, 1L, Some("cA"), true)))
+    assert(got("solo") === ((false, 0L, 0L, 0L, None, false)))
+  }
+
+  test("convDedup: partition-invariant; single-turn forked conv leaves no empty fork") {
+    val base = TranscriptOps.convDedup(dedupCorpus).collect().toSeq
+    assert(TranscriptOps.convDedup(dedupCorpus.repartition(7)).collect().toSeq === base)
+    // a forked conv with ONE turn forks to zero turns → the fork must not
+    // surface as a phantom empty fingerprint
+    val one = turns(("cB", 1, "user", vocabB))
+    val got = TranscriptOps.convDedup(one).collect().map(_.getString(0)).toSet
+    assert(got === Set("cB"))
+  }
 }
