@@ -119,6 +119,13 @@ object TranscriptOps {
       .where(s"${Shingles.h32("conv_id")} % $forkMod = 0 AND turn_idx < max_idx")
       .selectExpr("conv_id || '~f' AS conv_id", "turn_idx", "text")
     val allTurns = base.select("conv_id", "turn_idx", "text").union(forks)
+    // the fingerprint subtree feeds four plan branches (both band sides,
+    // both verify lookups) and is deliberately NOT persisted: caching the
+    // wide shingle-array rows measured 2.4× slower than the codegen'd
+    // recompute at sf0.1 (cache fill dominates), the same trade
+    // Dedup.minhashLsh makes. A production pipeline stores fingerprints as
+    // a table instead — the convDedup analog of the persisted ANN index's
+    // postings — and reads them once per branch.
     val fingerprints = allTurns
       .selectExpr("conv_id", s"${Shingles.ws} AS ws")
       .where("size(ws) >= 3")
