@@ -92,8 +92,8 @@ object TranscriptOps {
     * pair sits at 83% and can miss all 8 bands — honest LSH recall (the
     * band layout targets ≥~85%); its members then read `is_dup = false`
     * WITH `n_candidates = 0`, which is exactly what a production index
-    * would report. A production run feeds real batches and drops the fork
-    * CTE; the verdict columns are the contract.
+    * would report. A production run feeds real batches with `forkMod = 0`
+    * (no scenario twins); the verdict columns are the contract.
     *
     * Output: one row per conversation in the unioned corpus —
     * `(conv_id, is_fork, n_candidates, max_jaccard_ppm, n_dups, dup_of,
@@ -110,15 +110,19 @@ object TranscriptOps {
     * monster-conversation guard. */
   def convDedup(turns: DataFrame, thresholdPpm: Long = ConvDupThresholdPpm,
                 forkMod: Long = ConvForkMod): DataFrame = {
-    require(forkMod > 0, s"convDedup: forkMod must be > 0, got $forkMod")
+    require(forkMod >= 0, s"convDedup: forkMod must be >= 0 (0 = no scenario forks), got $forkMod")
     val spark = turns.sparkSession
     import spark.implicits._
+    // forkMod = 0 is the PRODUCTION mode: no scenario twins, dedup exactly
+    // the conversations fed in (the registered gate query keeps the default
+    // so both verdicts realize on the synthetic corpus)
     val base = turns.where("text IS NOT NULL")
       .withColumn("max_idx", max("turn_idx").over(Window.partitionBy("conv_id")))
-    val forks = base
-      .where(s"${Shingles.h32("conv_id")} % $forkMod = 0 AND turn_idx < max_idx")
-      .selectExpr("conv_id || '~f' AS conv_id", "turn_idx", "text")
-    val allTurns = base.select("conv_id", "turn_idx", "text").union(forks)
+    val allTurns =
+      if (forkMod == 0) base.select("conv_id", "turn_idx", "text")
+      else base.select("conv_id", "turn_idx", "text").union(base
+        .where(s"${Shingles.h32("conv_id")} % $forkMod = 0 AND turn_idx < max_idx")
+        .selectExpr("conv_id || '~f' AS conv_id", "turn_idx", "text"))
     // the fingerprint subtree feeds four plan branches (both band sides,
     // both verify lookups) and is deliberately NOT persisted: caching the
     // wide shingle-array rows measured 2.4× slower than the codegen'd

@@ -90,4 +90,12 @@ class TranscriptOpsSpec extends AnyFunSuite with SparkFixture {
     val got = TranscriptOps.convDedup(one).collect().map(_.getString(0)).toSet
     assert(got === Set("cB"))
   }
+
+  test("convDedup: forkMod = 0 is production mode — no scenario twins, real dups still found") {
+    val got = TranscriptOps.convDedup(dedupCorpus, forkMod = 0L).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(6), Option(r.getString(5))))).toMap
+    assert(got.keySet === Set("cA", "cB", "cC", "solo")) // no ~f rows
+    assert(got("cA") === ((true, Some("cC"))) && got("cC") === ((true, Some("cA"))))
+    assert(got("cB") === ((false, None)) && got("solo") === ((false, None)))
+  }
 }
