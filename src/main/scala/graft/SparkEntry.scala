@@ -1089,6 +1089,10 @@ object SparkEntry {
   // Multimodal.synthesize. WAV: 44-byte canonical header + 1 byte/sample.
   private val dModality =
     "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+  // corrupt-header twin rule (Multimodal.corruptHeaders) — zeroed magic
+  // byte ⇒ the sniffer must answer (0, 0, false)
+  private val dHdrCorrupt =
+    s"doc_id % ${Multimodal.HeaderCorruptMod} = 0 AND doc_id % 3 != 1"
   private val dBmpW = "(n_chars % 64 + 1)"
   private val dBmpH = "(n_chars % 48 + 1)"
   private val dBmpBytes = s"(54 + (($dBmpW * 3 + 3) // 4 * 4) * $dBmpH)"
@@ -2447,13 +2451,15 @@ object SparkEntry {
          |  CAST(CASE WHEN doc_id % 3 = 0 THEN $dBmpBytes
          |            WHEN doc_id % 3 = 1 THEN 44 + strlen(text)
          |            ELSE $dVidBytes END AS INT) AS n_bytes,
-         |  CAST(CASE WHEN doc_id % 3 = 0 THEN $dBmpW
+         |  CAST(CASE WHEN $dHdrCorrupt THEN 0
+         |            WHEN doc_id % 3 = 0 THEN $dBmpW
          |            WHEN doc_id % 3 = 1 THEN strlen(text)
          |            ELSE $dVidW END AS INT) AS width,
-         |  CAST(CASE WHEN doc_id % 3 = 0 THEN $dBmpH
+         |  CAST(CASE WHEN $dHdrCorrupt THEN 0
+         |            WHEN doc_id % 3 = 0 THEN $dBmpH
          |            WHEN doc_id % 3 = 1 THEN 1
          |            ELSE $dVidH END AS INT) AS height,
-         |  TRUE AS header_ok
+         |  NOT ($dHdrCorrupt) AS header_ok
          |FROM documents ORDER BY doc_id""".stripMargin,
     "m_resize" ->
       s"""WITH r AS (SELECT doc_id, text, n_chars,
@@ -2496,10 +2502,11 @@ object SparkEntry {
          |  SUM(CASE WHEN doc_id % 3 = 0 THEN $dBmpBytes
          |           WHEN doc_id % 3 = 1 THEN 44 + strlen(text)
          |           ELSE $dVidBytes END)::BIGINT AS total_bytes,
-         |  MAX(CAST(CASE WHEN doc_id % 3 = 0 THEN $dBmpW
+         |  MAX(CAST(CASE WHEN $dHdrCorrupt THEN 0
+         |               WHEN doc_id % 3 = 0 THEN $dBmpW
          |               WHEN doc_id % 3 = 1 THEN strlen(text)
          |               ELSE $dVidW END AS INT)) AS max_width,
-         |  MIN(1) AS all_headers_ok
+         |  MIN(CASE WHEN $dHdrCorrupt THEN 0 ELSE 1 END) AS all_headers_ok
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -189,11 +189,40 @@ object Multimodal {
     }
   }
 
-  /** End-to-end query: synth → decode → per-modality feature rollup. */
+  /** Header-corruption rule for the registered `m_features` /
+    * `m_feature_summary` gates: payloads with `doc_id % HeaderCorruptMod
+    * = 0 AND doc_id % 3 != 1` get their first magic byte zeroed. Without
+    * it every synthesized header parses and `header_ok` is a constant
+    * TRUE the driver gate can't distinguish from a sniffer that always
+    * answers yes. Audio is spared so the per-modality `all_headers_ok`
+    * rollup realizes BOTH values (sf0.01: image/video carry corrupt
+    * members, audio stays clean). Shared with the DuckDB oracles. */
+  val HeaderCorruptMod = 53L
+
+  /** Deterministic corrupt-header twin: zero the magic's first byte on
+    * the rule slice — length and body untouched, the smallest corruption
+    * a real ingest meets (bit-rot in the first block) and the one every
+    * format sniffer must catch. Production callers feed real payloads to
+    * [[extractFeatures]] directly; this wrapper exists for the gates. */
+  def corruptHeaders(media: Dataset[MediaRow],
+                     mod: Long = HeaderCorruptMod): Dataset[MediaRow] = {
+    require(mod > 0, s"corruptHeaders: mod must be > 0, got $mod")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { m =>
+      if (m.doc_id % mod == 0 && m.doc_id % 3 != 1) {
+        val p = m.payload.clone(); p(0) = 0; MediaRow(m.doc_id, m.modality, p)
+      } else m
+    }
+  }
+
+  /** End-to-end query: synth → corrupt-twin → decode → per-modality
+    * feature rollup (`all_headers_ok` = the min over [[decode]]'s
+    * verdicts, 0 for image/video and 1 for audio under the twin rule). */
   def featureSummary(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    extractFeatures(synthesize(documents))
+    extractFeatures(corruptHeaders(synthesize(documents)))
       .groupBy("modality")
       .agg(
         count(lit(1)).as("n"),
@@ -203,10 +232,11 @@ object Multimodal {
       .orderBy("modality")
   }
 
-  /** Per-document features (deterministic, genuinely header-derived). */
+  /** Per-document features (deterministic, genuinely header-derived;
+    * corrupt-twin rows surface as `(0, 0, header_ok = false)`). */
   def features(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    extractFeatures(synthesize(documents)).toDF().orderBy("doc_id")
+    extractFeatures(corruptHeaders(synthesize(documents))).toDF().orderBy("doc_id")
   }
 }

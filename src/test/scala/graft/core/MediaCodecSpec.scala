@@ -163,4 +163,18 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(info.nSamples == 3)
     assert(out.slice(info.dataOffset, info.dataOffset + 3).toSeq == Seq[Byte](1, 5, 9))
   }
+
+  test("format sniffer answers (0, 0, false) on a zeroed magic byte — every modality") {
+    // the corrupt-header twin (Multimodal.corruptHeaders) relies on this:
+    // one flipped byte in the first block must fail the sniff, not parse
+    val payloads = Seq(
+      MediaCodec.encodeBmp(3, 2, pixels(3, 2)),
+      MediaCodec.encodeWav(Array.tabulate(5)(_.toByte)),
+      MediaCodec.encodeY4m(3, 2, Seq(pixels(3, 2))))
+    for (good <- payloads) {
+      assert(graft.ops.Multimodal.decode(good)._3, "pristine payload must parse")
+      val bad = good.clone(); bad(0) = 0
+      assert(graft.ops.Multimodal.decode(bad) === ((0, 0, false)))
+    }
+  }
 }
