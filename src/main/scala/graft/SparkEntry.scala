@@ -79,7 +79,15 @@ object SparkEntry {
     "ev_zorder" -> ((s, d) => Layout.zorderCompare(events(s, d))),
     "d_inverted_index" -> ((s, d) => DocTextOps.invertedIndex(docs(s, d))),
     // documents: dedup + text analysis
-    "d_exact_dedup" -> ((s, d) => Dedup.exact(docs(s, d))),
+    // exact-duplicate twin (Dedup.ExactTwinMod): re-keyed copies make
+    // dup_count = 2 clusters real — all-distinct texts alone can't tell a
+    // correct grouping from a too-fine one
+    "d_exact_dedup" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      Dedup.exact(base.union(base
+        .where(s"doc_id % ${Dedup.ExactTwinMod} = 0")
+        .selectExpr(s"doc_id + ${Dedup.RecallTwinOffset} AS doc_id", "text")))
+    }),
     "d_token_stats" -> ((s, d) => DocTextOps.tokenStats(docs(s, d))),
     "d_token_bpe" -> ((s, d) => DocTextOps.tokenBpe(docs(s, d))),
     "d_quality" -> ((s, d) => DocTextOps.qualityScore(docs(s, d))),
@@ -104,7 +112,11 @@ object SparkEntry {
     "d_token_budget" -> ((s, d) => Selection.tokenBudget(docs(s, d))),
     "d_dsir_weights" -> ((s, d) => Selection.dsirWeights(docs(s, d))),
     "d_source_cap" -> ((s, d) => Selection.sourceCap(docs(s, d))),
-    "d_ngram_lm" -> ((s, d) => Selection.stupidBackoff(docs(s, d))),
+    // OOV twin (Selection.OovTwinMod): a sentinel token outside every
+    // generator vocabulary, appended off the reference slice, makes the
+    // α²/N unknown-word branch driver-visible
+    "d_ngram_lm" -> ((s, d) => Selection.stupidBackoff(
+      docs(s, d).withColumn("text", expr(Selection.oovTwinSql)))),
     "d_clf_train" -> ((s, d) => Selection.perceptronTrain(docs(s, d))),
     "d_clf_score" -> ((s, d) => Selection.perceptronScore(docs(s, d))),
     // separable twin: same trainer over the transcript corpus, where the
@@ -1406,12 +1418,14 @@ object SparkEntry {
         |SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000
         |ORDER BY custkey""".stripMargin,
     "q6_semi_anti" ->
-      """WITH active AS (
+      s"""WITH hv AS (SELECT o_custkey FROM orders
+        |  WHERE o_totalprice > ${Relational.HighValueOrder}),
+        |active AS (
         |  SELECT c_nationkey, COUNT(*) AS n_active FROM customer
-        |  WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY 1),
+        |  WHERE c_custkey IN (SELECT o_custkey FROM hv) GROUP BY 1),
         |inactive AS (
         |  SELECT c_nationkey, COUNT(*) AS n_inactive FROM customer
-        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY 1)
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM hv) GROUP BY 1)
         |SELECT n_nationkey, n_name,
         |  COALESCE(n_active, 0) AS n_active, COALESCE(n_inactive, 0) AS n_inactive
         |FROM nation
@@ -1619,8 +1633,12 @@ object SparkEntry {
         |  SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 THEN 1 ELSE 0 END)::BIGINT AS n_high
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_exact_dedup" ->
-      """SELECT md5(text) AS content_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keep_doc_id
-        |FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + ${Dedup.RecallTwinOffset}, text FROM documents
+        |  WHERE doc_id % ${Dedup.ExactTwinMod} = 0)
+        |SELECT md5(text) AS content_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keep_doc_id
+        |FROM t WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "d_token_stats" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
@@ -1816,16 +1834,22 @@ object SparkEntry {
     "d_ngram_lm" -> {
       val a = Selection.BackoffAlphaLog2X64
       val n = FixedLog.duck("(SELECT n FROM nn)")
-      s"""WITH rt AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      s"""WITH dd AS (SELECT doc_id, lang,
+         |    CASE WHEN doc_id % ${Selection.OovTwinMod} = 0
+         |              AND lang != '${Selection.DefaultRefLang}'
+         |              AND text IS NOT NULL
+         |         THEN text || ' ${Selection.OovSentinel}' ELSE text END AS text
+         |  FROM documents),
+         |rt AS (SELECT unnest(string_split(text, ' ')) AS w FROM dd
          |            WHERE lang = '${Selection.DefaultRefLang}' AND text IS NOT NULL),
          |uni AS (SELECT w, count(*)::BIGINT AS c1 FROM rt GROUP BY 1),
          |nn AS (SELECT count(*)::BIGINT AS n FROM rt),
          |probe AS (SELECT doc_id, string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
          |  FROM (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
-         |        FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents
+         |        FROM (SELECT doc_id, string_split(text, ' ') ws FROM dd
          |              WHERE len(string_split(text, ' ')) >= 2))),
          |bi AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM probe p
-         |       JOIN (SELECT doc_id FROM documents WHERE lang = '${Selection.DefaultRefLang}') r
+         |       JOIN (SELECT doc_id FROM dd WHERE lang = '${Selection.DefaultRefLang}') r
          |         USING (doc_id)
          |       GROUP BY 1, 2),
          |sc AS (SELECT p.doc_id,

@@ -694,6 +694,15 @@ object Dedup {
     * banding input — above any real doc_id; shared with the DuckDB oracle. */
   val RecallTwinOffset: Long = 1L << 40
 
+  /** Exact-duplicate twin rule for the registered `d_exact_dedup` gate:
+    * the corpus's texts are all distinct, so every cluster is a singleton
+    * and a grouping key accidentally too fine (md5(text) keyed with
+    * doc_id, say) would pass the gate unnoticed. The `doc_id %
+    * ExactTwinMod = 0` slice is re-keyed above [[RecallTwinOffset]] and
+    * unioned back, so real `dup_count = 2` clusters exist with
+    * `keep_doc_id` = the original. Shared with the DuckDB oracle. */
+  val ExactTwinMod = 41L
+
   /** LSH quality gate — [[minhashLsh]]'s analog of
     * [[graft.ops.Similarity.annRecall]]: measures the banding's operating
     * point against exact ground truth, so the perm/band knobs are TUNED,

@@ -43,6 +43,20 @@ object Selection {
     * (CCNet's Wikipedia, DSIR's target set) — shared with the oracles. */
   val DefaultRefLang = "en"
 
+  /** OOV-injection twin for the registered `d_ngram_lm` gate: the
+    * synthetic languages share one vocabulary, so [[stupidBackoff]]'s
+    * α²·1/N unknown-word branch would never fire on the raw corpus and a
+    * scorer that never reaches level 3 would pass. Documents with
+    * `doc_id % OovTwinMod = 0` OUTSIDE the reference slice (the model's
+    * training text stays untouched) get [[OovSentinel]] appended — a
+    * token no generator vocabulary contains — so `n_oov` realizes both
+    * values at sf0.01. Shared with the DuckDB oracle. */
+  val OovTwinMod = 17L
+  val OovSentinel = "~oov~"
+  def oovTwinSql: String =
+    s"CASE WHEN doc_id % $OovTwinMod = 0 AND lang != '$DefaultRefLang'" +
+      s" AND text IS NOT NULL THEN text || ' $OovSentinel' ELSE text END"
+
   /** Guard for lang codes interpolated into SQL filter strings: a quote
     * would break parsing (or, crafted, widen the reference slice) — the
     * same rule SnapshotStore applies to interpolated app ids. */

@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** High-value order cutoff for [[q6SemiAnti]]'s semi/anti probe — both
+    * branches realize at every test scale (inactive customers: 8 at
+    * sf0.001, 68 at sf0.01, 762 at sf0.1 — measured, not assumed).
+    * Shared with the DuckDB oracle. */
+  val HighValueOrder = 350000.0
+
   def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
@@ -86,12 +92,17 @@ object Relational {
     withOrders.except(urgent).intersect(bigSpenders).orderBy("custkey")
   }
 
-  /** Semi + anti joins: per-nation count of customers with ≥1 order and
-    * with none. Dims broadcast. */
+  /** Semi + anti joins: per-nation count of customers with ≥1 HIGH-VALUE
+    * order (o_totalprice > [[HighValueOrder]]) and with none. Dims
+    * broadcast. The probe is the high-value subset, not all orders,
+    * because the synthetic corpus gives every customer at least one order
+    * — an all-orders anti side would be structurally empty at every scale
+    * and an anti join that always returns nothing would pass the gate. */
   def q6SemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
     val customer = tbl(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
     val nation = tbl(spark, sfDir, "nation")
-    val orderKeys = tbl(spark, sfDir, "orders").select("o_custkey")
+    val orderKeys = tbl(spark, sfDir, "orders")
+      .where(col("o_totalprice") > HighValueOrder).select("o_custkey")
     val active = customer.join(orderKeys, customer("c_custkey") === orderKeys("o_custkey"), "left_semi")
       .groupBy("c_nationkey").agg(count(lit(1)).as("n_active"))
     val inactive = customer.join(orderKeys, customer("c_custkey") === orderKeys("o_custkey"), "left_anti")
