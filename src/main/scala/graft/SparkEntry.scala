@@ -146,8 +146,13 @@ object SparkEntry {
     "d_bpe_train" -> ((s, d) => DocTextOps.bpeTrain(docs(s, d))),
     "d_bpe_encode" -> ((s, d) => DocTextOps.bpeEncode(docs(s, d))),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
-    "d_substr_dedup" -> ((s, d) => Dedup.substrDedup(docs(s, d))),
-    "d_substr_cut" -> ((s, d) => Dedup.substrCut(docs(s, d))),
+    // mid-document planted-phrase twin (Dedup.SubstrTwinMod): the corpus's
+    // natural duplicated substrings are all prefixes, so span_start > 0
+    // and the multi-island split would otherwise never be driver-visible
+    "d_substr_dedup" -> ((s, d) => Dedup.substrDedup(
+      docs(s, d).withColumn("text", expr(Dedup.substrTwinSparkSql())))),
+    "d_substr_cut" -> ((s, d) => Dedup.substrCut(
+      docs(s, d).withColumn("text", expr(Dedup.substrTwinSparkSql())))),
     "d_winnow_pairs" -> ((s, d) => Dedup.winnowPairs(docs(s, d))),
     "d_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(docs(s, d))),
     "d_dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(docs(s, d))),
@@ -435,8 +440,24 @@ object SparkEntry {
     * `spans(doc_id, span_start, span_end, n_windows)`; shared by the
     * `d_substr_dedup` and `d_substr_cut` oracles so the find and apply
     * replays cannot drift. */
-  private def substrCtes(w: Int): String =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  /** Mid-document planted-phrase twin CTE ([[graft.ops.Dedup.SubstrTwinMod]]
+    * rule, the DuckDB mirror of `Dedup.substrTwinSparkSql`) — yields
+    * `sdd(doc_id, text)`, the input both substr oracles read. */
+  private def dSubstrTwin: String = {
+    def phr(tag: String) =
+      graft.ops.Dedup.substrTwinPhrase(tag).map(t => s"'$t'").mkString(", ")
+    s"""sdd AS (SELECT doc_id,
+       |    CASE WHEN doc_id % ${Dedup.SubstrTwinMod} = 0 AND text IS NOT NULL AND len(ws) >= 4
+       |         THEN array_to_string(list_concat(list_concat(list_concat(list_concat(
+       |              ws[1 : q1], [${phr("a")}]), ws[q1 + 1 : q3]), [${phr("b")}]), ws[q3 + 1 :]), ' ')
+       |         ELSE text END AS text
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws,
+       |          len(string_split(text, ' ')) // 4 AS q1,
+       |          3 * len(string_split(text, ' ')) // 4 AS q3 FROM documents))""".stripMargin
+  }
+
+  private def substrCtes(w: Int, from: String = "documents"): String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $from
        |           WHERE len(string_split(text, ' ')) >= $w),
        |wins0 AS (SELECT doc_id, unnest([{'start': CAST(i - 1 AS BIGINT),
        |    'h': substr(md5(array_to_string(ws[i : i + ${w - 1}], ' ')), 1, 16)}
@@ -2418,7 +2439,8 @@ object SparkEntry {
     // replays Dedup.substrDedup: the shared span CTE chain (substrCtes),
     // read out as the maximal duplicated spans
     "d_substr_dedup" ->
-      s"""${substrCtes(Dedup.DefaultSubstrW)}
+      s"""WITH $dSubstrTwin,
+         |${substrCtes(Dedup.DefaultSubstrW, "sdd")}
          |SELECT doc_id, span_start, span_end, n_windows
          |FROM spans ORDER BY doc_id, span_start""".stripMargin,
     // replays Dedup.winnowPairs: gram hashes as a list comprehension, each
@@ -2453,12 +2475,13 @@ object SparkEntry {
     // replays Dedup.substrCut: the same spans, applied — every token whose
     // 0-based index falls inside a span is removed, survivors re-joined
     "d_substr_cut" ->
-      s"""${substrCtes(Dedup.DefaultSubstrW)},
+      s"""WITH $dSubstrTwin,
+         |${substrCtes(Dedup.DefaultSubstrW, "sdd")},
          |tok AS (SELECT doc_id, tk.i AS i, tk.t AS t
          |        FROM (SELECT doc_id,
          |                unnest([{'i': CAST(i - 1 AS BIGINT), 't': ws[i]}
          |                        for i in range(1, len(ws) + 1)]) AS tk
-         |              FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents
+         |              FROM (SELECT doc_id, string_split(text, ' ') ws FROM sdd
          |                    WHERE text IS NOT NULL))),
          |cut AS (SELECT tok.doc_id, tok.i, tok.t, count(s.doc_id) > 0 AS cut
          |        FROM tok LEFT JOIN spans s

@@ -703,6 +703,36 @@ object Dedup {
     * `keep_doc_id` = the original. Shared with the DuckDB oracle. */
   val ExactTwinMod = 41L
 
+  /** Planted-phrase twin for the registered `d_substr_dedup` /
+    * `d_substr_cut` gates: the corpus's natural duplicated substrings are
+    * all near-whole-doc PREFIXES (every sf0.01 span has `span_start = 0`,
+    * one island per doc), so the gaps-and-islands split and the
+    * mid-document cut paths would never be driver-visible — a fold that
+    * emitted one giant span per doc regardless of gaps would pass.
+    * Documents with `doc_id % SubstrTwinMod = 0` get TWO fixed
+    * [[DefaultSubstrW]]-token sentinel phrases (tokens outside every
+    * generator vocabulary, so islands can't accidentally extend) spliced
+    * in at the ¼ and ¾ token positions — the SAME phrases across twin
+    * docs, so exactly the phrase-aligned windows duplicate mid-document,
+    * and the two landing sites are always further than `w` apart: every
+    * twin doc realizes `span_start > 0` AND the multi-island split
+    * (except the three whose natural whole-doc span swallows the
+    * phrases — 44/374/462 at sf0.01, the merge branch). Shared with the
+    * DuckDB oracle. */
+  val SubstrTwinMod = 22L
+  def substrTwinPhrase(tag: String, w: Int = DefaultSubstrW): Seq[String] =
+    (0 until w).map(i => s"~s$tag$i~")
+  def substrTwinSparkSql(w: Int = DefaultSubstrW): String = {
+    def arr(tag: String) =
+      substrTwinPhrase(tag, w).map(t => s"'$t'").mkString(", ")
+    val ws = "split(text, ' ')"
+    val (q1, q3) = (s"(size($ws) DIV 4)", s"(3 * size($ws) DIV 4)")
+    s"CASE WHEN doc_id % $SubstrTwinMod = 0 AND text IS NOT NULL AND size($ws) >= 4" +
+      s" THEN concat_ws(' ', concat(slice($ws, 1, $q1), array(${arr("a")})," +
+      s" slice($ws, $q1 + 1, $q3 - $q1), array(${arr("b")})," +
+      s" slice($ws, $q3 + 1, size($ws)))) ELSE text END"
+  }
+
   /** LSH quality gate — [[minhashLsh]]'s analog of
     * [[graft.ops.Similarity.annRecall]]: measures the banding's operating
     * point against exact ground truth, so the perm/band knobs are TUNED,
