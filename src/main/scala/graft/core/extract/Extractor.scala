@@ -19,8 +19,23 @@ object Extractor {
   val ToolHtml = "html"
   val ToolPdf = "pdf"
 
+  /** Upstream decode-corruption sentinel. A U+FFFD replacement character in
+    * a payload means the transcript decoder already lost bytes before the
+    * engine saw the turn — the deterministic analog of a page the reference
+    * cannot render (failed page ⇒ "" + error count,
+    * `ocr_processor.py:237-239`). Extraction REFUSES such payloads instead
+    * of emitting silently-truncated text; [[safeExtract]] converts the
+    * refusal into the quarantine row (empty text, error flag) that the
+    * per-partition lineage error counters and the driver gate observe. The
+    * guard is one indexOf scan — same cost class as the extraction pass
+    * that would follow, negligible against it at any corpus size. */
+  val CorruptMarker = '�'
+
   def extract(tool: String, payload: String): Extracted = {
     if (payload == null || payload.isEmpty) Extracted.empty
+    else if (payload.indexOf(CorruptMarker) >= 0)
+      throw new IllegalArgumentException(
+        s"corrupt payload: U+FFFD decode sentinel at index ${payload.indexOf(CorruptMarker)}")
     else
       tool match {
         case ToolHtml => BoilerplateExtractor.extract(payload)

@@ -242,6 +242,23 @@ object SyntheticTranscripts {
     if (plants.isEmpty) s"result: $body" else s"result: $body ${plants.mkString(" ")}"
   }
 
+  /** Decode-corruption rule: which parser-bound turns carry an upstream
+    * U+FFFD mojibake sentinel (see [[corruptTurn]]). Pure arithmetic in the
+    * turn coordinates so specs can recompute the expected quarantine count
+    * without replaying generation. ~1/23 of html/pdf turns — enough that
+    * every fixture size (5-conv spec corpora through the sf0.01 driver
+    * gate) realizes both values of the `error` column. */
+  def isCorruptTurn(convIdx: Long, idx: Int): Boolean =
+    (convIdx * 7 + idx) % 23 == 5
+
+  /** Replace one mid-payload char with U+FFFD — the shape a lossy decoder
+    * actually produces. Only parser-bound (html/pdf) turns are eligible:
+    * passthrough turns must stay marker-free so identity extraction (and
+    * the DuckDB oracle that replays it from the `_raw_turns` dump) holds. */
+  private def corruptTurn(text: String): String =
+    if (text.isEmpty) text
+    else text.updated(text.length / 2, graft.core.extract.Extractor.CorruptMarker)
+
   /** All turns of one conversation — pure in `(corpusSeed, convIdx)`. */
   def turnsFor(corpusSeed: Long, convIdx: Long): Seq[Turn] = {
     val pl = plan(corpusSeed, convIdx)
@@ -252,8 +269,12 @@ object SyntheticTranscripts {
         case Some(phrase) => ("", phrase) // passthrough page == phrase exactly
         case None =>
           rnd.nextInt(10) match {
-            case n if n < 4 => ("html", htmlPayload(rnd, plants))
-            case n if n < 7 => ("pdf", pdfPayload(rnd, plants))
+            case n if n < 4 =>
+              val p = htmlPayload(rnd, plants)
+              ("html", if (isCorruptTurn(convIdx, idx)) corruptTurn(p) else p)
+            case n if n < 7 =>
+              val p = pdfPayload(rnd, plants)
+              ("pdf", if (isCorruptTurn(convIdx, idx)) corruptTurn(p) else p)
             case _ => ("", toolPayload(rnd, plants))
           }
       }

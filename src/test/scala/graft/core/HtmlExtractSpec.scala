@@ -122,6 +122,17 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(r.text == "" && !err)
   }
 
+  test("decode-corrupted payloads (U+FFFD) are refused and quarantined") {
+    // upstream mojibake: extraction must refuse rather than emit
+    // silently-truncated text, on EVERY tool route incl. passthrough
+    for (tool <- Seq("html", "pdf", "")) {
+      val p = s"prefix ${Extractor.CorruptMarker} suffix"
+      intercept[IllegalArgumentException](Extractor.extract(tool, p))
+      val (r, err) = Extractor.safeExtract(tool, p)
+      assert(r == graft.core.extract.Extracted.empty && err, tool)
+    }
+  }
+
   test("determinism: same input, same output, 100 runs") {
     val h = "<div><a>x</a><p>" + ("w " * 30) + "</p></div>"
     val first = Extractor.extract("html", h)

@@ -46,7 +46,7 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     var checked = 0
     (0L until NConvs).foreach { ci =>
       SyntheticTranscripts.turnsFor(Seed, ci).foreach { t =>
-        val ex = Extractor.extract(t.tool, t.text)
+        val (ex, _) = Extractor.safeExtract(t.tool, t.text)
         val g = got((t.conv_id, t.turn_idx))
         assert(g._1 == ex.text, s"text mismatch at ${t.conv_id}/${t.turn_idx}")
         assert(g._2 == ex.spans.map(_.start) && g._3 == ex.spans.map(_.end),
@@ -133,6 +133,25 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(viaCogroup == want)
   }
 
+  test("corpus hygiene: U+FFFD corruption only on parser-bound turns") {
+    // the identity (passthrough) oracle and the `_raw_turns`-replaying
+    // DuckDB oracles require passthrough payloads to stay marker-free;
+    // parser turns must carry SOME markers or the error gate is vacuous
+    var corrupt, clean = 0
+    (0L until 50L).foreach { ci =>
+      SyntheticTranscripts.turnsFor(Seed, ci).foreach { t =>
+        val has = t.text.indexOf(Extractor.CorruptMarker) >= 0
+        if (has) {
+          assert(t.tool == "html" || t.tool == "pdf",
+            s"marker on non-parser turn ${t.conv_id}/${t.turn_idx} tool='${t.tool}'")
+          corrupt += 1
+        } else clean += 1
+      }
+    }
+    assert(corrupt > 10, s"only $corrupt corrupt turns in 50 convs")
+    assert(clean > corrupt * 10, "corruption must stay a small minority")
+  }
+
   test("extraction lineage counts rows and isolates failures") {
     import spark.implicits._
     val good = SyntheticTranscripts.turns(spark, 5, Seed).as[Turn]
@@ -140,7 +159,13 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     val lin = Pipeline.extractionLineage(extracted, snapshotId = 7L).collect()
     assert(lin.map(_.rows_in).sum == good.count())
     assert(lin.forall(_.snapshot_id == 7L))
-    assert(lin.map(_.errors).sum == 0L)
+    // the corpus deterministically plants U+FFFD decode-corrupted parser
+    // turns; lineage must count exactly those quarantines — and there must
+    // be at least one, or the error branch is untested
+    val wantErrs = (0L until 5L).map(ci => SyntheticTranscripts.turnsFor(Seed, ci)
+      .count(_.text.indexOf(Extractor.CorruptMarker) >= 0)).sum
+    assert(wantErrs > 0, "fixture must exercise the quarantine branch")
+    assert(lin.map(_.errors).sum == wantErrs.toLong)
   }
 
   test("dedup clustering: chained near-dups collapse to one component") {
@@ -284,7 +309,10 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     val acc = spark.sparkContext.longAccumulator("graft.extract.errors")
     val bc = spark.sparkContext.broadcast(Map.empty[String, Seq[graft.core.seg.Rule]])
     Pipeline.segmentFused(turns, bc, errorCounter = Some(acc)).count()
-    assert(acc.value == 0L) // clean corpus: no kernel failures
+    val wantErrs = (0L until 5L).map(ci => SyntheticTranscripts.turnsFor(Seed, ci)
+      .count(_.text.indexOf(Extractor.CorruptMarker) >= 0)).sum
+    assert(wantErrs > 0, "fixture must exercise the quarantine branch")
+    assert(acc.value == wantErrs.toLong) // exactly the planted corruptions
   }
 
   test("observe() metrics report extraction row and error counts") {
@@ -295,8 +323,11 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .observe(obs, count(lit(1)).as("rows"),
         sum(when(col("error"), 1L).otherwise(0L)).as("errs"))
     val n = df.count()
+    val wantErrs = (0L until 8L).map(ci => SyntheticTranscripts.turnsFor(Seed, ci)
+      .count(_.text.indexOf(Extractor.CorruptMarker) >= 0)).sum
     assert(obs.get("rows") == n && n > 0)
-    assert(obs.get("errs") == 0L)
+    assert(wantErrs > 0, "fixture must exercise the quarantine branch")
+    assert(obs.get("errs") == wantErrs.toLong)
   }
 
   test("consolidation view concatenates turns in order with headers") {
@@ -307,7 +338,7 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     (0L until 3L).foreach { ci =>
       val cid = SyntheticTranscripts.convId(ci)
       val ts = SyntheticTranscripts.turnsFor(Seed, ci).sortBy(_.turn_idx)
-      val want = ts.map(t => s"=== turn ${t.turn_idx} ===\n${graft.core.extract.Extractor.extract(t.tool, t.text).text}")
+      val want = ts.map(t => s"=== turn ${t.turn_idx} ===\n${graft.core.extract.Extractor.safeExtract(t.tool, t.text)._1.text}")
         .mkString("\n")
       assert(got(cid)._1 == want)
       assert(got(cid)._2 == ts.length.toLong)

@@ -70,7 +70,7 @@ class RouteEquivalenceSpec extends AnyFunSuite with SparkFixture {
       val want = (0L until nConvs).flatMap { ci =>
         val cid = SyntheticTranscripts.convId(ci)
         val pages = SyntheticTranscripts.turnsFor(seed, ci).sortBy(_.turn_idx)
-          .map(t => Extractor.extract(t.tool, t.text).text)
+          .map(t => Extractor.safeExtract(t.tool, t.text)._1.text)
         Demarcator.demarcateIsolated(pages.toVector, ruleMap(cid))._1.map { r =>
           ConvSegment(cid, r.DocReceivedId.getOrElse(0L), r.FromPageNumber,
             r.ToPageNumber, r.FileNumber.getOrElse(""), r.DocumentTypeId.getOrElse(""),
@@ -124,12 +124,16 @@ class RouteEquivalenceSpec extends AnyFunSuite with SparkFixture {
     check(graft.plans.SegmentPlans.segmentJoin(turns, rules, None)
       .as[ConvSegment].collect(), "whole-operator catalyst")
     // the stats-carrying routes also surface the quarantine in lineage:
-    // exactly the two poisoned conversations tick the error counter
+    // the two poisoned conversations PLUS the corpus's planted U+FFFD
+    // extraction corruptions tick the error counter, nothing else
+    val corruptTurns = (0L until nConvs).map(ci => SyntheticTranscripts.turnsFor(seed, ci)
+      .count(_.text.indexOf(Extractor.CorruptMarker) >= 0)).sum
     val acc = new graft.pipeline.PartitionStatsAcc
     spark.sparkContext.register(acc, "poisoned_route_stats")
     Pipeline.segmentFusedCogroup(turns, rules, stats = Some(acc)).collect()
-    assert(acc.value.values.map(_._3).sum == 2L,
-      s"lineage must count the two quarantined conversations, got ${acc.value}")
+    assert(acc.value.values.map(_._3).sum == 2L + corruptTurns,
+      s"lineage must count 2 rule quarantines + $corruptTurns extraction " +
+        s"corruptions, got ${acc.value}")
   }
 }
 

@@ -13,7 +13,10 @@ import graft.schema.ConvSegment
 object SegmentOracle {
   def segments(seed: Long, convIdx: Long): Vector[ConvSegment] = {
     val turns = SyntheticTranscripts.turnsFor(seed, convIdx)
-    val pages = turns.sortBy(_.turn_idx).map(t => Extractor.extract(t.tool, t.text).text)
+    // safeExtract, not extract: the corpus deterministically carries
+    // decode-corrupted (U+FFFD) parser turns, which quarantine to an empty
+    // page — the oracle must hold routes to the same failure isolation.
+    val pages = turns.sortBy(_.turn_idx).map(t => Extractor.safeExtract(t.tool, t.text)._1.text)
     val rules = SyntheticTranscripts.rulesFor(seed, convIdx).map(Pipeline.toCoreRule)
     val cid = SyntheticTranscripts.convId(convIdx)
     Demarcator.demarcate(pages.toVector, rules).map { r =>

@@ -60,7 +60,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     (0L until nConvs).foreach { ci =>
       val cid = SyntheticTranscripts.convId(ci)
       val turns = SyntheticTranscripts.turnsFor(Seed, ci)
-      val pages = turns.sortBy(_.turn_idx).map(t => Extractor.extract(t.tool, t.text).text)
+      val pages = turns.sortBy(_.turn_idx).map(t => Extractor.safeExtract(t.tool, t.text)._1.text)
       val want = Demarcator.demarcate(pages.toVector, rulesFor(cid))
         .sortBy(_.Sequence.map(_.toInt).getOrElse(999))
       val gotRows = got.getOrElse(cid, Vector.empty)
@@ -112,7 +112,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val got = spark.table("stream_redelivery").as[graft.schema.ConvSegment].collect()
     // redelivered conv folds exactly as the sequential oracle — duplicates
     // collapsed, no boundary shift, no failure
-    val pages = turns.sortBy(_.turn_idx).map(t => Extractor.extract(t.tool, t.text).text)
+    val pages = turns.sortBy(_.turn_idx).map(t => Extractor.safeExtract(t.tool, t.text)._1.text)
     val want = Demarcator.demarcate(pages.toVector, rulesFor(cid))
     assert(got.count(_.conv_id == cid) == want.size)
     // the conflicting conv is quarantined: zero segments, query alive

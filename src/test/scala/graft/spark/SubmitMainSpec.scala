@@ -27,7 +27,7 @@ class SubmitMainSpec extends AnyFunSuite with SparkFixture {
 
     val wantSegs = (0L until 12L).map { ci =>
       val turns = SyntheticTranscripts.turnsFor(42L, ci)
-      val pages = turns.sortBy(_.turn_idx).map(t => Extractor.extract(t.tool, t.text).text)
+      val pages = turns.sortBy(_.turn_idx).map(t => Extractor.safeExtract(t.tool, t.text)._1.text)
       Demarcator.demarcate(pages.toVector,
         SyntheticTranscripts.rulesFor(42L, ci).map(Pipeline.toCoreRule)).size
     }.sum
@@ -42,7 +42,10 @@ class SubmitMainSpec extends AnyFunSuite with SparkFixture {
     assert(lineage.select("stage").distinct().collect().map(_.getString(0)).toSeq == Seq("segment"))
     assert(lineage.selectExpr("sum(rows_in)").collect()(0).getLong(0) == totalTurns.toLong)
     assert(lineage.selectExpr("sum(rows_out)").collect()(0).getLong(0) == wantSegs.toLong)
-    assert(lineage.selectExpr("sum(errors)").collect()(0).getLong(0) == 0L)
+    val wantErrs = (0L until 12L).map(ci => SyntheticTranscripts.turnsFor(42L, ci)
+      .count(_.text.indexOf(Extractor.CorruptMarker) >= 0)).sum
+    assert(wantErrs > 0, "fixture must exercise the quarantine branch")
+    assert(lineage.selectExpr("sum(errors)").collect()(0).getLong(0) == wantErrs.toLong)
   }
 
   test("two-stage flag produces identical segments") {
