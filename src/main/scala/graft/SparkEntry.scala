@@ -1706,13 +1706,10 @@ object SparkEntry {
         .map { case (n, _) => s"WHEN NOT pass_$n THEN '$n'" }
         .mkString("CASE ", " ", " ELSE '' END AS first_failed")
       val keep = rules.map { case (n, _) => s"pass_$n" }.mkString(" AND ")
+      val signals = graft.ops.DocTextOps.QualitySignals.duck.mkString(",\n|  ")
       s"""WITH s AS (SELECT doc_id,
-         |  CAST(length(text) AS BIGINT) AS n_chars,
-         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS stopword_tokens,
-         |  (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS diversity_ppm,
-         |  (CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) * 1000000) // len(string_split(text, ' ')) AS mean_word_len_ppm
-         |FROM documents),
+         |  $signals
+         |FROM documents WHERE text IS NOT NULL),
          |f AS (SELECT *,
          |  $flags
          |FROM s)

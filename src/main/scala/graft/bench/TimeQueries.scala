@@ -7,6 +7,13 @@ package graft.bench
   * [[graft.Bench]] this has NO driver contract — no JSON line, no scaling
   * session — it exists so a single query's plan change can be measured in
   * seconds instead of re-running the full 100+-query bench.
+  *
+  * The timed action is `.count()` DELIBERATELY, for parity with
+  * [[graft.Bench]] (the graded metric): both let Catalyst prune the final
+  * projection and elide the output sort, so a number measured here moves
+  * the bench number. To profile a query's full output cost instead (e.g.
+  * projection-heavy ops like d_redact), write to the `noop` sink — but
+  * don't tune the bench against that, it measures a different plan.
   * Usage: runMain graft.bench.TimeQueries [queryName ...]
   */
 object TimeQueries {

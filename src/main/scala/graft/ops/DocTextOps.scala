@@ -142,6 +142,31 @@ object DocTextOps {
     "diversity" -> "diversity_ppm >= 300000",
     "word_length" -> "mean_word_len_ppm BETWEEN 4000000 AND 4800000")
 
+  /** The five quality SIGNALS rendered for either engine from ONE template
+    * (the [[FixedLog]] convention): [[qualityRules]] and its
+    * `d_quality_rules` DuckDB oracle both interpolate these, so a stopword
+    * or formula change cannot desynchronize the driver gate. Dialect
+    * differences are confined to function names — `split`/`size`/`filter`/
+    * `array_distinct`/`DIV` vs `string_split`/`len`/`list_filter`/
+    * `list_distinct`/`//` — the arithmetic is byte-identical. */
+  private[graft] object QualitySignals {
+    val stopwords: Seq[String] = Seq("the", "a", "of")
+    private def render(split: String, len: String, fil: String,
+                       dis: String, div: String): Seq[String] = {
+      val sw = stopwords.map(s => s"'$s'").mkString(", ")
+      Seq(
+        "CAST(length(text) AS BIGINT) AS n_chars",
+        s"CAST($len($split) AS BIGINT) AS n_tokens",
+        s"CAST($len($fil($split, w -> w IN ($sw))) AS BIGINT) AS stopword_tokens",
+        s"(CAST($len($dis($split)) AS BIGINT) * 1000000) $div $len($split) AS diversity_ppm",
+        s"(CAST(length(text) - $len($split) + 1 AS BIGINT) * 1000000) $div $len($split) AS mean_word_len_ppm")
+    }
+    def spark: Seq[String] =
+      render("split(text, ' ')", "size", "filter", "array_distinct", "DIV")
+    def duck: Seq[String] =
+      render("string_split(text, ' ')", "len", "list_filter", "list_distinct", "//")
+  }
+
   /** Gopher-style QUALITY RULE LINEAGE (Rae et al. 2021 Table A1's rule
     * battery, adapted to the synthetic corpus's signal ranges): per-document
     * pass flags for EVERY rule plus the first failing rule's name — the
@@ -163,12 +188,10 @@ object DocTextOps {
       .mkString("CASE ", " ", " ELSE '' END AS first_failed")
     val keep = QualityRuleTable.map { case (n, _) => s"pass_$n" }.mkString(" AND ")
     documents
-      .selectExpr("doc_id",
-        "CAST(length(text) AS BIGINT) AS n_chars",
-        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
-        "CAST(size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS stopword_tokens",
-        "(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000) DIV size(split(text, ' ')) AS diversity_ppm",
-        "(CAST(length(text) - size(split(text, ' ')) + 1 AS BIGINT) * 1000000) DIV size(split(text, ' ')) AS mean_word_len_ppm")
+      // NULL text would yield Spark size(split(NULL))=-1 vs DuckDB NULL
+      // signals — excluded identically on both sides (as tokenBudget does)
+      .where("text IS NOT NULL")
+      .selectExpr("doc_id" +: QualitySignals.spark: _*)
       .selectExpr(Seq("doc_id", "n_chars", "n_tokens", "stopword_tokens",
         "diversity_ppm", "mean_word_len_ppm") ++ flags: _*)
       .selectExpr(Seq("doc_id", "n_chars", "n_tokens", "stopword_tokens",

@@ -35,8 +35,6 @@ WHITELIST = {
     # the twin's value differs, so the pair is non-vacuous jointly
     ("d_clf_sep_train", "corpus"): "scenario tag, constant by construction",
     ("d_clf_train", "corpus"): "scenario tag, constant by construction",
-    # ratio of two corpus-level totals repeated per row (join against a
-    # 1-row aggregate) — constancy is the schema, variation lives upstream
     # structural: passthrough extraction is identity and cannot fail; the
     # corpus keeps U+FFFD markers off passthrough turns BY INVARIANT (the
     # identity oracle depends on it — PipelineSpec "corpus hygiene" pins
@@ -71,7 +69,9 @@ def main() -> int:
         for col, dtype in zip(cols["column_name"], cols["column_type"]):
             if dtype.startswith(("STRUCT", "MAP")) or "[]" in dtype:
                 continue  # nested: spot-check by hand if ever relevant
-            q = f'SELECT approx_count_distinct("{col}") FROM {rel} WHERE "{col}" IS NOT NULL'
+            # exact, not approx_count_distinct: the tool's whole job is
+            # telling cardinality 1 from 2, and the dumps are small
+            q = f'SELECT count(DISTINCT "{col}") FROM {rel} WHERE "{col}" IS NOT NULL'
             try:
                 nd = con.sql(q).fetchone()[0]
             except Exception:
