@@ -625,9 +625,17 @@ object DocTextOps {
                         nearDupPpm: Long = 800000L): DataFrame = {
     val q = qualityFilter(documents)
       .selectExpr("doc_id", "coalesce(keep, false) AS q_keep")
+    // base feeds the pool AND the final lineage join, and through the pool
+    // it is re-instantiated by every consumer inside dedupKeepBest (the CC
+    // clustering input plus the per-doc quality scan) — 3+ plan copies of
+    // the scan + quality join. One cached copy serves them all (the
+    // ccnetPipeline precedent, 581009d); reclaimed by the ContextCleaner
+    // with the plan. Measured 5.3 s → 4.2 s warm at sf0.1 (the remaining
+    // cost is the pool's CC clustering itself, which is the contract).
     val base = documents.join(q, "doc_id")
       .selectExpr("doc_id", "lang", "text",
         s"doc_id % $benchMod = 0 AS is_bench", "q_keep")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pool = base.where("NOT is_bench AND q_keep").select("doc_id", "text")
     val kb = graft.ops.Dedup.dedupKeepBest(pool, nearDupPpm)
       .selectExpr("doc_id", "component", "keep AS keep_best")
