@@ -69,7 +69,15 @@ object Scaling {
                           // ambient frequency drift that the min-based
                           // headline cannot (each level's all-time best draw
                           // may come from different clock windows)
-                          pairBests: Vector[Map[Int, Double]] = Vector.empty) {
+                          pairBests: Vector[Map[Int, Double]] = Vector.empty,
+                          // raw-thread kernel throughput by cpu level,
+                          // measured in the SAME window right after the
+                          // bursts ([[KernelBench.ceiling]]): the hardware
+                          // ceiling the pipeline efficiency is bounded by,
+                          // so a sub-bar capture self-documents whether the
+                          // window (ceiling moved) or Spark (pipeline fell
+                          // away from the ceiling) is responsible
+                          kernelTps: Map[Int, Double] = Map.empty) {
     /** Scaling efficiency between two measured levels:
       * (tps_hi / tps_lo) / (cpus_hi / cpus_lo). */
     def efficiencyBetween(lo: Int, hi: Int): Option[Double] =
@@ -127,6 +135,16 @@ object Scaling {
       else ratios(ratios.size / 2)
     }
 
+    /** Kernel N→4N efficiency over [[kernelTps]]'s extreme levels — the
+      * window's hardware ceiling; NaN when not measured. */
+    def kernelEfficiency: Double =
+      if (kernelTps.size < 2) Double.NaN
+      else {
+        val lo = kernelTps.keys.min
+        val hi = kernelTps.keys.max
+        (kernelTps(hi) / kernelTps(lo)) / (hi.toDouble / lo)
+      }
+
     def json: String = {
       val ls = levels.map(l =>
         s"""{"cpus":${l.cpus},"seconds":${f"${l.seconds}%.3f"},"turns_per_sec":${f"${l.turnsPerSec}%.1f"},"segments":${l.nSegments}}""")
@@ -134,11 +152,19 @@ object Scaling {
       val byRound = efficiencyByRound.map(e => f"$e%.3f").mkString("[", ",", "]")
       val pm = efficiencyPairedMedian
       val pmJson = if (pm.isNaN) "null" else f"$pm%.3f"
+      val kJson =
+        if (kernelTps.size < 2) "null"
+        else {
+          val tps = kernelTps.toSeq.sortBy(_._1)
+            .map { case (c, t) => s""""$c":${f"$t%.0f"}""" }.mkString("{", ",", "}")
+          s"""{"tps":$tps,"efficiency":${f"$kernelEfficiency%.3f"}}"""
+        }
       s"""{"n_convs":$nConvs,"n_turns":$nTurns,"levels":$ls,"efficiency":${f"$efficiency%.3f"},""" +
         s""""efficiency_min_based":${f"$efficiencyMinBased%.3f"},""" +
         s""""efficiency_paired_median":$pmJson,"bursts":${rounds.length},""" +
         s""""efficiency_trajectory":$byRound,""" +
         s""""noise_probe":{"best_ms":${f"$probeBestMs%.1f"},"gated_waits":$probeGatedWaits},""" +
+        s""""kernel_ceiling":$kJson,""" +
         s""""occupancy_pinned_to_cores":$pinnedTo}"""
     }
   }
@@ -566,6 +592,19 @@ object Scaling {
   def run(nConvs: Long, cpusLevels: Seq[Int], seed: Long = 42L,
           rounds: Int = 2, reps: Int = 2, maxReps: Int = 0,
           timeBudgetMs: Long = 0L, frequencyPinned: Boolean = true): Result = {
+    val r = runLevels(nConvs, cpusLevels, seed, rounds, reps, maxReps,
+      timeBudgetMs, frequencyPinned)
+    // kernel-ceiling probe AFTER the bursts (same window, never concurrent
+    // with a timed Spark level): raw threads on the same corpus shape,
+    // ~10 s — see [[Result.kernelTps]] for why the JSON carries it
+    if (cpusLevels.distinct.size < 2) r
+    else r.copy(kernelTps =
+      KernelBench.ceiling(seed, nConvs = 6000, Seq(cpusLevels.min, cpusLevels.max)))
+  }
+
+  private def runLevels(nConvs: Long, cpusLevels: Seq[Int], seed: Long,
+                        rounds: Int, reps: Int, maxReps: Int,
+                        timeBudgetMs: Long, frequencyPinned: Boolean): Result = {
     val session = new BurstSession(nConvs, cpusLevels, seed, reps, frequencyPinned, timeBudgetMs)
     try {
       if (session.prepare()) {
@@ -756,12 +795,15 @@ object ScalingBench {
          |in a faster frequency window than the other's.
          |
          |Context: a kernel-only microbench (`graft.bench.KernelBench`, no
-         |Spark) scales 4→16 threads at ~0.80 and 16→32 at ~0.47 on this
-         |single-socket box — memory bandwidth, not the pipeline, is the
-         |ceiling above ~16 threads. The Spark pipeline's efficiency tracks
-         |the raw-kernel ceiling, i.e. Spark overhead (scan, one shuffle,
-         |row codecs) adds no anti-scaling of its own. On a real N→4N
-         |*executor* scale-up, memory bandwidth grows with node count.
+         |Spark, measured in THIS window right after the bursts) scaled
+         |${res.kernelTps.keys.minOption.getOrElse(0)}→${res.kernelTps.keys.maxOption.getOrElse(0)} threads at
+         |**${if (res.kernelEfficiency.isNaN) "n/a" else f"${res.kernelEfficiency}%.3f"}** — memory bandwidth, not the pipeline, is the
+         |ceiling at high thread counts on this single-socket box. The Spark
+         |pipeline's efficiency tracks the raw-kernel ceiling, i.e. Spark
+         |overhead (scan, one shuffle, row codecs) adds no anti-scaling of
+         |its own — compare the two numbers above to attribute a weak
+         |capture to window weather vs a pipeline regression. On a real
+         |N→4N *executor* scale-up, memory bandwidth grows with node count.
          |""".stripMargin
       // rows substituted AFTER stripMargin: their leading '|' table-cell
       // markers would otherwise be eaten as margin characters
