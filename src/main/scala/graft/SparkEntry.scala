@@ -95,6 +95,12 @@ object SparkEntry {
     "d_quality_rules" -> ((s, d) => DocTextOps.qualityRules(docs(s, d))),
     "d_sample" -> ((s, d) => DocTextOps.stratifiedSample(docs(s, d))),
     "d_langid_stopword" -> ((s, d) => DocTextOps.langIdStopword(docs(s, d))),
+    // separable twin (the d_clf_sep pattern): same operator over the
+    // stopword-planted corpus, where every score column and argmax branch
+    // is realized — the natural corpus's single shared vocab keeps
+    // lang_pred constant 'en' there (see DocTextOps.langTwinSql)
+    "d_langid_sep" -> ((s, d) => DocTextOps.langIdStopword(
+      docs(s, d).selectExpr("doc_id", "lang", s"${DocTextOps.langTwinSql} AS text"))),
     "d_langid_trigram" -> ((s, d) => DocTextOps.langIdTrigram(docs(s, d))),
     "d_fingerprint" -> ((s, d) => DocTextOps.fingerprint(docs(s, d))),
     "d_tfidf" -> ((s, d) => DocTextOps.tfidfTopTerms(docs(s, d))),
@@ -1728,6 +1734,14 @@ object SparkEntry {
     "d_langid_stopword" ->
       // word lists shared with the Spark side via DocTextOps.langStops
       s"""WITH ${dLangPredCtes("documents")}
+         |SELECT doc_id, lang_declared, score_en, score_de, score_es, score_fr,
+         |  lang_pred
+         |FROM lid ORDER BY doc_id""".stripMargin,
+    "d_langid_sep" ->
+      // twin rule shared with the Spark side via DocTextOps.langTwinSql
+      s"""WITH twin AS (SELECT doc_id, lang,
+         |  ${graft.ops.DocTextOps.langTwinSql} AS text FROM documents),
+         |${dLangPredCtes("twin")}
          |SELECT doc_id, lang_declared, score_en, score_de, score_es, score_fr,
          |  lang_pred
          |FROM lid ORDER BY doc_id""".stripMargin,

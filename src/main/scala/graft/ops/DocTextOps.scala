@@ -94,6 +94,27 @@ object DocTextOps {
     "es" -> Seq("el", "de", "la"),
     "fr" -> Seq("le", "de", "et"))
 
+  /** Stopword-planting twin rule for the registered `d_langid_sep` gate:
+    * the shared testdata documents draw ONE vocabulary for every lang
+    * label (the same by-design property the separable-classifier twin
+    * d_clf_sep works around), so on the natural corpus
+    * [[langIdStopword]]'s non-en scores are constant 0 and `lang_pred` is
+    * constant 'en' — a vacuous gate (found by tools/sweep_constants.py).
+    * Docs whose lang has a [[langStops]] list (≠ en) get that list
+    * appended `doc_id % 3 + 3` times — 9–15 hits, strictly above the
+    * corpus's maximum natural en-stopword count (8 across sf0.1's ≤100
+    * token docs), so planted docs WIN their argmax while the count still
+    * varies — and every branch (each language winning, en's natural hits,
+    * zh's unplanted text) is driver-visible. Shared with the DuckDB
+    * oracle — `repeat` and the INT cast parse identically in both
+    * engines. */
+  private[graft] def langTwinSql: String = {
+    val cases = langStops.filter(_._1 != "en").map { case (l, ws) =>
+      s"WHEN lang = '$l' THEN concat(text, repeat(' ${ws.mkString(" ")}', CAST(doc_id % 3 + 3 AS INT)))"
+    }.mkString(" ")
+    s"CASE $cases ELSE text END"
+  }
+
   /** Stopword-profile language ID: per-language hit counts, argmax with a
     * fixed tie-break order. A deliberately SQL-expressible heuristic — the
     * richer character-trigram model lives in [[graft.core.text.TrigramLangId]].

@@ -16,6 +16,27 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
         "CAST(length(text) AS BIGINT) AS n_chars")
   }
 
+  test("langIdStopword over the langTwinSql splice recovers each declared lang") {
+    import spark.implicits._
+    // one shared-vocab sentence per lang label (the natural-corpus shape:
+    // indistinguishable by stopwords) — the twin plants the difference
+    val rows = Seq((1L, "en"), (2L, "de"), (3L, "es"), (4L, "fr"), (5L, "zh"))
+      .toDF("doc_id", "lang")
+      .selectExpr("doc_id", "lang",
+        "'the table of and join fast query' AS text")
+    val twin = rows.selectExpr("doc_id", "lang",
+      s"${graft.ops.DocTextOps.langTwinSql} AS text")
+    val got = graft.ops.DocTextOps.langIdStopword(twin).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    // planted langs win their own argmax (9+ planted hits beat the 3
+    // natural en hits); en and unplanted zh keep 'the/of/and' -> 'en'
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "en"))
+    // plant count varies with doc_id so the score columns are non-constant
+    val scores = graft.ops.DocTextOps.langIdStopword(twin).collect()
+      .map(r => r.getLong(3)).toSet // score_de over all docs
+    assert(scores.size > 1)
+  }
+
   test("bpeTrain merges greedily left-to-right: 'x x x' merges ONCE per round") {
     // the real-BPE greedy rule the space-doubled replace encodes: three
     // adjacent identical tokens yield one merge, the survivor untouched
