@@ -101,7 +101,11 @@ object Bench {
       closer.setDaemon(true)
       closer.start()
       closer.join(30000L)
-      r
+      // kernel-ceiling probe (same-window hardware bound; see
+      // Scaling.Result.kernelTps) — AFTER teardown so it never overlaps a
+      // timed burst; Scaling.run's path attaches the same field
+      r.map(_.copy(kernelTps =
+        graft.bench.KernelBench.ceiling(42L, nConvs = 6000, Seq(4, 16))))
     }
 
     val qs = warm.toSeq.sortBy(_._1)
