@@ -142,6 +142,13 @@ object SparkEntry {
       val dd = docs(s, d)
       DocTextOps.histQuantiles(dd, DocTextOps.derivedBinWidth(dd))
     }),
+    // coarse-width twin: derivedBinWidth resolves to 1 on this corpus
+    // (n_chars range < 65536), so the auto-sized query's bin == value and
+    // abs_err is constant 0 — the within-bin rank-interpolation branch
+    // (the operator's whole reason to exist at wide ranges) would be
+    // driver-invisible without forcing a many-values-per-bin width
+    "d_hist_quantiles_coarse" -> ((s, d) =>
+      DocTextOps.histQuantiles(docs(s, d), binWidth = 64L)),
     "d_incr_view" -> ((s, d) => Incremental.incrementalView(docs(s, d))),
     "d_schema_evolve" -> ((s, d) => Evolution.schemaEvolveRoundTrip(docs(s, d))),
     "d_chunk" -> ((s, d) => DocTextOps.chunk(docs(s, d))),
@@ -2290,6 +2297,25 @@ object SparkEntry {
         |        pe.bin * bw.w + (pe.target - pe.cum_before - 1) * bw.w // pe.cnt AS est,
         |        CAST(ex.n_chars AS BIGINT) AS exact
         |      FROM pe JOIN ex ON ex.rn = pe.target, bw)
+        |SELECT q_ppm, n_total, bin_lo, bin_cnt, est, exact, abs(est - exact) AS abs_err
+        |FROM r ORDER BY q_ppm""".stripMargin,
+    // same CTE chain with the width FORCED to 64 (no rng/bw derivation) —
+    // realizes the interpolation branch and nonzero abs_err
+    "d_hist_quantiles_coarse" ->
+      """WITH b AS (SELECT n_chars // 64 AS bin, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+        |c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum FROM b),
+        |t AS (SELECT sum(cnt)::BIGINT AS n_total FROM b),
+        |q AS (SELECT unnest([250000, 500000, 750000, 900000, 990000])::BIGINT AS q_ppm),
+        |tg AS (SELECT q_ppm, n_total, (q_ppm * n_total + 999999) // 1000000 AS target FROM q, t),
+        |pk AS (SELECT q_ppm, n_total, target, min(bin) AS bin
+        |       FROM tg JOIN c ON c.cum >= tg.target GROUP BY 1, 2, 3),
+        |pe AS (SELECT pk.q_ppm, pk.n_total, pk.target, pk.bin, c.cnt,
+        |         c.cum - c.cnt AS cum_before FROM pk JOIN c USING (bin)),
+        |ex AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rn FROM documents),
+        |r AS (SELECT pe.q_ppm, pe.n_total, pe.bin * 64 AS bin_lo, pe.cnt AS bin_cnt,
+        |        pe.bin * 64 + (pe.target - pe.cum_before - 1) * 64 // pe.cnt AS est,
+        |        CAST(ex.n_chars AS BIGINT) AS exact
+        |      FROM pe JOIN ex ON ex.rn = pe.target)
         |SELECT q_ppm, n_total, bin_lo, bin_cnt, est, exact, abs(est - exact) AS abs_err
         |FROM r ORDER BY q_ppm""".stripMargin,
     "d_ngram_jaccard" ->
