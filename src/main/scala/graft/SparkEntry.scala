@@ -1801,8 +1801,8 @@ object SparkEntry {
       val e = graft.ops.DocTextOps.EmailRe
       val p = graft.ops.DocTextOps.PhoneRe
       val ip = graft.ops.DocTextOps.IpRe
-      val spice = " contact bob.smith+spam@mail-host.example.com or ADMIN@site.org, call 555-123-4567 ext 9, host 10.0.255.1 end"
-      s"""WITH t AS (SELECT doc_id, concat(text, '$spice') AS t FROM documents),
+      // splice shared verbatim with the Spark side (count-varying)
+      s"""WITH t AS (SELECT doc_id, ${graft.ops.DocTextOps.piiSpliceSql} AS t FROM documents),
          |r AS (SELECT doc_id, t,
          |  regexp_replace(regexp_replace(regexp_replace(t,
          |    '$e', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$p', '<PHONE>', 'g') AS red

@@ -394,22 +394,37 @@ object DocTextOps {
   val PhoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
   val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
+  /** PII splice, ONE string shared verbatim by [[piiRedact]] and the
+    * `d_redact` DuckDB oracle (the [[QualitySignals]] convention — the two
+    * engines can never drift on what was planted). Every doc gets the base
+    * fragment (two emails, one phone, one IPv4); `doc_id % 3 = 0` adds an
+    * email + IP, `doc_id % 5 = 0` a phone — so the per-category counts
+    * VARY across the dump (2–3 / 1–2 / 1–2) and a regex that merely
+    * hard-coded the corpus-wide constant would fail the gate (sweep
+    * finding: all three counts were single-valued). `concat` + `CASE`
+    * parse identically in both engines; no fragment contains a quote. */
+  private[graft] def piiSpliceSql: String = {
+    val base = " contact bob.smith+spam@mail-host.example.com or ADMIN@site.org, call 555-123-4567 ext 9, host 10.0.255.1 end"
+    val extraB = " cc team-lead@dev.example.net node 192.168.7.42"
+    val extraC = " fax 800-555-0100 now"
+    s"concat(text, '$base', CASE WHEN doc_id % 3 = 0 THEN '$extraB' ELSE '' END," +
+      s" CASE WHEN doc_id % 5 = 0 THEN '$extraC' ELSE '' END)"
+  }
+
   /** PII scrub — the privacy pass a pretraining pipeline runs before any
     * text ships: redact emails, phone numbers, and IPv4 literals, count
     * each category. Pure per-row `regexp_replace` column algebra: no
     * shuffle, whole-stage codegen'd, scales linearly with scan bandwidth.
     *
     * The synthetic corpus is PII-free, so alongside the honest counts the
-    * query also scrubs a spiced twin (text + a fixed suffix carrying two
-    * emails, a phone, an IPv4) and pins the redacted result by md5 — the
-    * cross-engine oracle then exercises every pattern, not just the
-    * no-match path. Redaction order is email → ip → phone in both engines
-    * (replacement tokens contain no digits, so later passes can't match
-    * inside earlier redactions). */
+    * query also scrubs a spiced twin ([[piiSpliceSql]]) and pins the
+    * redacted result by md5 — the cross-engine oracle then exercises every
+    * pattern, not just the no-match path. Redaction order is email → ip →
+    * phone in both engines (replacement tokens contain no digits, so later
+    * passes can't match inside earlier redactions). */
   def piiRedact(documents: DataFrame): DataFrame = {
-    val spice = " contact bob.smith+spam@mail-host.example.com or ADMIN@site.org, call 555-123-4567 ext 9, host 10.0.255.1 end"
     documents
-      .select(col("doc_id"), concat(col("text"), lit(spice)).as("t"))
+      .select(col("doc_id"), expr(piiSpliceSql).as("t"))
       .withColumn("n_emails", size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast("long"))
       .withColumn("n_phones", size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).cast("long"))
       .withColumn("n_ips", size(regexp_extract_all(col("t"), lit(IpRe), lit(0))).cast("long"))

@@ -16,7 +16,8 @@ class PiiRedactSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     val df = Seq(
       (1L, "hello world"),
-      (2L, "mail me at a.b@c.io or ring 212.555.0199 from 8.8.8.8")
+      (2L, "mail me at a.b@c.io or ring 212.555.0199 from 8.8.8.8"),
+      (15L, "plain") // 15 % 3 = 0 AND 15 % 5 = 0: both extra fragments fire
     ).toDF("doc_id", "text")
     val rows = DocTextOps.piiRedact(df).collect()
 
@@ -34,5 +35,12 @@ class PiiRedactSpec extends AnyFunSuite with SparkFixture {
     assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) === ((3L, 2L, 2L)))
     val exp2 = "mail me at <EMAIL> or ring <PHONE> from <IP>" + spiceRed
     assert(r2.getAs[String]("redacted_md5") === md5hex(exp2))
+
+    // the count-varying extras (the de-vacuized sweep finding): base spice
+    // + one extra email/IP (%3) + one extra phone (%5)
+    val r15 = rows.find(_.getLong(0) == 15L).get
+    assert((r15.getLong(1), r15.getLong(2), r15.getLong(3)) === ((3L, 2L, 2L)))
+    val exp15 = "plain" + spiceRed + " cc <EMAIL> node <IP>" + " fax <PHONE> now"
+    assert(r15.getAs[String]("redacted_md5") === md5hex(exp15))
   }
 }
