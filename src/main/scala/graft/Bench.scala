@@ -143,5 +143,22 @@ object Bench {
     try java.nio.file.Files.writeString(
       new java.io.File(RepoRoot.resolve(), "BENCH_LOCAL.json").toPath, line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json: ${e.getMessage}") }
+    // resync BASELINE.md's AUTOGEN scaling block from the capture just
+    // written, through the same generator a manual regen uses (one source
+    // of truth for the format). Round 4's verdict flagged exactly this
+    // drift: the driver's bench overwrote BENCH_LOCAL.json but BASELINE.md
+    // kept quoting an older run. Guarded: a box without python3 (or a
+    // read-only tree) degrades to the old manual-regen behavior.
+    try {
+      val root = RepoRoot.resolve()
+      val tool = new java.io.File(root, "tools/update_baseline.py")
+      if (tool.isFile) {
+        val p = new ProcessBuilder("python3", tool.getPath, "BENCH_LOCAL.json")
+          .directory(root).redirectErrorStream(true).start()
+        if (!p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)) p.destroyForcibly()
+        else if (p.exitValue() != 0)
+          System.err.println(s"[bench] update_baseline.py exit ${p.exitValue()}")
+      }
+    } catch { case e: Exception => System.err.println(s"[bench] BASELINE.md resync: ${e.getMessage}") }
   }
 }
