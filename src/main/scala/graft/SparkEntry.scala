@@ -258,6 +258,19 @@ object SparkEntry {
       graft.ops.TranscriptOps.convDedup(
         graft.gen.SyntheticTranscripts.turns(s, n).toDF())
     }),
+    // conversation -> training-sequence transforms over the raw transcript
+    // table: per-turn char spans + assistant loss mask (the linear shape a
+    // packer consumes) and the quadratic (prompt, completion) SFT export
+    "t_loss_mask" -> ((s, d) => {
+      val n = graft.gen.SyntheticTranscripts.convsForSfDir(d)
+      graft.ops.TranscriptOps.lossMaskSpans(
+        graft.gen.SyntheticTranscripts.turns(s, n).toDF())
+    }),
+    "t_sft_pairs" -> ((s, d) => {
+      val n = graft.gen.SyntheticTranscripts.convsForSfDir(d)
+      graft.ops.TranscriptOps.sftPairs(
+        graft.gen.SyntheticTranscripts.turns(s, n).toDF())
+    }),
     "t_segment" -> ((s, d) =>
       Pipeline.run(s, graft.gen.SyntheticTranscripts.convsForSfDir(d)).toDF()
         .orderBy("conv_id", "Sequence")),
@@ -1406,6 +1419,39 @@ object SparkEntry {
          |  overlap_ppm >= ${graft.ops.TranscriptOps.DefaultEchoThresholdPpm} AS is_echo
          |FROM o ORDER BY conv_id, turn_idx""".stripMargin,
     "t_conv_dedup" -> convDedupOracle,
+    // chat-template span arithmetic replayed as a window sum: a turn
+    // renders as role || ': ' || text, '\n'-joined; span math mirrors
+    // TranscriptOps.lossMaskSpans
+    "t_loss_mask" ->
+      """SELECT conv_id, turn_idx, role,
+        |  CAST(coalesce(sum(length(role) + 2 + length(text) + 1)
+        |      OVER (PARTITION BY conv_id ORDER BY turn_idx
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS span_start,
+        |  CAST(coalesce(sum(length(role) + 2 + length(text) + 1)
+        |      OVER (PARTITION BY conv_id ORDER BY turn_idx
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + length(role) + 2 + length(text) AS BIGINT) AS span_end,
+        |  role = 'assistant' AS loss_mask
+        |FROM read_parquet('__VERIFY_OUT__/_raw_turns/*.parquet')
+        |WHERE role IS NOT NULL AND text IS NOT NULL
+        |ORDER BY conv_id, turn_idx""".stripMargin,
+    // the quadratic export twin: prompt = the '\n'-joined rendering of
+    // every prior renderable turn (string_agg respects the window frame)
+    "t_sft_pairs" ->
+      """WITH r AS (SELECT conv_id, turn_idx, role, text,
+        |    role || ': ' || text AS rt
+        |  FROM read_parquet('__VERIFY_OUT__/_raw_turns/*.parquet')
+        |  WHERE role IS NOT NULL AND text IS NOT NULL)
+        |, p AS (SELECT conv_id, turn_idx, role, text,
+        |    CAST(coalesce(count(rt) OVER w, 0) AS BIGINT) AS n_ctx_turns,
+        |    coalesce(string_agg(rt, chr(10)) OVER w, '') AS prompt
+        |  FROM r
+        |  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT conv_id, turn_idx, n_ctx_turns, prompt, text AS completion
+        |FROM p WHERE role = 'assistant'
+        |ORDER BY conv_id, turn_idx""".stripMargin,
     "d_langid_trigram" -> trigramOracle,
     // evolved-store round trip (Evolution.schemaEvolveRoundTrip): batches
     // split doc_id % 3; `extra` added with batch 1 (NULL before), `legacy`

@@ -172,4 +172,74 @@ object TranscriptOps {
         "coalesce(n_dups, 0) > 0 AS is_dup")
       .orderBy("conv_id")
   }
+
+  /** Chat-template rendering shared by [[lossMaskSpans]] and [[sftPairs]]
+    * (and their DuckDB oracles): a turn renders as `role || ': ' || text`,
+    * turns join with a single `\n`. Turns with NULL role or NULL text are
+    * not renderable and drop out of both ops (nothing to train on, nothing
+    * to put in context) — the echoDetect out-of-scope convention. */
+  private val renderedTurn = "concat(role, ': ', text)"
+
+  /** LOSS-MASK SPANS — the conversation-to-training-sequence transform in
+    * its LINEAR form: render the whole conversation once (chat template
+    * above) and emit, per renderable turn, its character span
+    * `[span_start, span_end)` within that rendering plus
+    * `loss_mask = (role = 'assistant')` — train on what the model said,
+    * mask what the user and the tools said. This is how transcript
+    * corpora actually feed a trainer at scale: ONE rendered sequence per
+    * conversation plus O(1) span metadata per turn, against which the
+    * packer ([[graft.ops.DocTextOps]] `packSequences`) cuts windows.
+    *
+    * Span arithmetic is a running sum of rendered lengths (+1 per `\n`
+    * joiner), so `span_end` of turn k equals `span_start` of turn k+1
+    * minus 1 and the last `span_end` equals the rendered conversation's
+    * total length — the spec reconstructs the rendering and checks the
+    * substrings, the driver gate replays the same window sum in SQL.
+    *
+    * Shape at 100 TB: one conv_id-clustered window (the flagship table's
+    * bucket key — zero exchanges on a bucketed scan), O(1) window state
+    * (a running long), no strings materialized beyond the input rows. */
+  def lossMaskSpans(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns.where("role IS NOT NULL AND text IS NOT NULL")
+      .withColumn("rt_len", expr(s"CAST(length($renderedTurn) AS BIGINT)"))
+      .withColumn("span_start", coalesce(sum(col("rt_len") + 1L).over(w), lit(0L)))
+      .selectExpr("conv_id", "turn_idx", "role", "span_start",
+        "span_start + rt_len AS span_end",
+        "role = 'assistant' AS loss_mask")
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  /** SFT PAIR EXPORT — the same transform in its QUADRATIC export form:
+    * one `(prompt, completion)` row per assistant turn, `prompt` = the
+    * chat-template rendering of every renderable turn before it,
+    * `completion` = the assistant turn's text. This is the JSONL shape
+    * SFT exports materialize; each prompt repeats the conversation
+    * prefix, so a conversation's output is O(turns · chars) — the
+    * documented trade against [[lossMaskSpans]]'s linear spans, which a
+    * 100 TB pipeline should prefer and which this op exists to contrast
+    * (the two agree: `prompt` here equals the rendering cut at the
+    * assistant turn's `span_start`). Assistant turns that open a
+    * conversation export with `prompt = ''` (a cold open — kept, as SFT
+    * exports keep them; none occur in the synthetic corpus, so the spec
+    * pins that branch with explicit vectors).
+    *
+    * Shape at 100 TB: one conv_id-clustered window carrying the rendered
+    * prefix — per-row output is the quadratic part, the shuffle is still
+    * the single bucket-key exchange; conversations are bounded by the
+    * same monster-conversation budget discipline as the segmentation
+    * fold. */
+  def sftPairs(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns.where("role IS NOT NULL AND text IS NOT NULL")
+      .withColumn("rt", expr(renderedTurn))
+      .withColumn("ctx", collect_list("rt").over(w))
+      .where("role = 'assistant'")
+      .selectExpr("conv_id", "turn_idx",
+        "CAST(size(ctx) AS BIGINT) AS n_ctx_turns",
+        "array_join(ctx, '\n') AS prompt", "text AS completion")
+      .orderBy("conv_id", "turn_idx")
+  }
 }

@@ -98,4 +98,72 @@ class TranscriptOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got("cA") === ((true, Some("cC"))) && got("cC") === ((true, Some("cA"))))
     assert(got("cB") === ((false, None)) && got("solo") === ((false, None)))
   }
+
+  // --- lossMaskSpans / sftPairs --------------------------------------------
+  // cM: user → tool → assistant → user → assistant, with a NULL-text turn
+  // (idx 4) that must vanish from rendering, spans, and prompts alike.
+  // cN: assistant COLD OPEN (no prior renderable turn) — the prompt = ''
+  // branch absent from the synthetic corpus, pinned here.
+  private val maskCorpus = {
+    import spark.implicits._
+    Seq(
+      ("cM", 1, "user", "hi there"),
+      ("cM", 2, "tool", "ls -la"),
+      ("cM", 3, "assistant", "two files"),
+      ("cM", 4, "user", null),
+      ("cM", 5, "assistant", "anything else?"),
+      ("cN", 1, "assistant", "cold open"),
+      ("cN", 2, "user", "ok")).toDF("conv_id", "turn_idx", "role", "text")
+  }
+
+  /** The chat template, independently: role || ': ' || text, '\n'-joined. */
+  private def rendered(rows: Seq[(String, String)]): String =
+    rows.map { case (role, text) => s"$role: $text" }.mkString("\n")
+
+  test("lossMaskSpans: spans index the rendered conversation, mask = assistant") {
+    val got = TranscriptOps.lossMaskSpans(maskCorpus).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got.size === 6) // cM turn 4 (NULL text) dropped
+    val cm = rendered(Seq("user" -> "hi there", "tool" -> "ls -la",
+      "assistant" -> "two files", "assistant" -> "anything else?"))
+    // every span cuts exactly its own rendered turn out of the conversation
+    for (((conv, _), (role, s, e, _)) <- got if conv == "cM") {
+      val cut = cm.substring(s.toInt, e.toInt)
+      assert(cut.startsWith(s"$role: "), s"span [$s,$e) = '$cut'")
+    }
+    assert(got(("cM", 1)) === (("user", 0L, 14L, false))) // 'user: hi there'
+    assert(got(("cM", 3))._2 === 28L) // 14+1 + 12+1 = 28
+    assert(got(("cM", 5))._4 === true)
+    // the last span's end is the rendering's total length (no +1 tail)
+    assert(got(("cM", 5))._3 === cm.length.toLong)
+    assert(got(("cN", 1)) === (("assistant", 0L, 20L, true)))
+    assert(got(("cN", 2))._4 === false)
+  }
+
+  test("sftPairs: prompt = rendering cut at span_start - 1; cold open exports prompt ''") {
+    val pairs = TranscriptOps.sftPairs(maskCorpus).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(pairs.keySet === Set(("cM", 3), ("cM", 5), ("cN", 1)))
+    assert(pairs(("cM", 3)) ===
+      ((2L, rendered(Seq("user" -> "hi there", "tool" -> "ls -la")), "two files")))
+    // NULL-text turn 4 absent from the later prompt too
+    assert(pairs(("cM", 5)) === ((3L, rendered(Seq("user" -> "hi there",
+      "tool" -> "ls -la", "assistant" -> "two files")), "anything else?")))
+    assert(pairs(("cN", 1)) === ((0L, "", "cold open")))
+    // agreement with the linear form: prompt is the rendering's prefix of
+    // length span_start - 1 (the joiner before the assistant turn)
+    val spans = TranscriptOps.lossMaskSpans(maskCorpus).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    for ((k, (_, prompt, _)) <- pairs)
+      assert(prompt.length.toLong === math.max(0L, spans(k) - 1L), s"$k")
+  }
+
+  test("lossMaskSpans/sftPairs: partition-invariant") {
+    val m = TranscriptOps.lossMaskSpans(maskCorpus).collect().toSeq
+    assert(TranscriptOps.lossMaskSpans(maskCorpus.repartition(5)).collect().toSeq === m)
+    val p = TranscriptOps.sftPairs(maskCorpus).collect().toSeq
+    assert(TranscriptOps.sftPairs(maskCorpus.repartition(5)).collect().toSeq === p)
+  }
 }
