@@ -77,7 +77,15 @@ object Scaling {
                           // so a sub-bar capture self-documents whether the
                           // window (ceiling moved) or Spark (pipeline fell
                           // away from the ceiling) is responsible
-                          kernelTps: Map[Int, Double] = Map.empty) {
+                          kernelTps: Map[Int, Double] = Map.empty,
+                          // the same ceiling measured BEFORE any timed work
+                          // (pre/post BRACKET): a 10-minute capture can ride
+                          // a window that opens or closes mid-run — the
+                          // 2026-08-20 record's bursts ran at a ~0.87
+                          // ceiling while the post-teardown probe read 0.67
+                          // (window closed after the bursts). One endpoint
+                          // attributes; two endpoints bound the whole run.
+                          kernelTpsPre: Map[Int, Double] = Map.empty) {
     /** Scaling efficiency between two measured levels:
       * (tps_hi / tps_lo) / (cpus_hi / cpus_lo). */
     def efficiencyBetween(lo: Int, hi: Int): Option[Double] =
@@ -137,12 +145,18 @@ object Scaling {
 
     /** Kernel N→4N efficiency over [[kernelTps]]'s extreme levels — the
       * window's hardware ceiling; NaN when not measured. */
-    def kernelEfficiency: Double =
-      if (kernelTps.size < 2) Double.NaN
+    def kernelEfficiency: Double = kernelEff(kernelTps)
+
+    /** The pre-run bracket endpoint ([[kernelTpsPre]]); NaN when not
+      * measured. */
+    def kernelEfficiencyPre: Double = kernelEff(kernelTpsPre)
+
+    private def kernelEff(tps: Map[Int, Double]): Double =
+      if (tps.size < 2) Double.NaN
       else {
-        val lo = kernelTps.keys.min
-        val hi = kernelTps.keys.max
-        (kernelTps(hi) / kernelTps(lo)) / (hi.toDouble / lo)
+        val lo = tps.keys.min
+        val hi = tps.keys.max
+        (tps(hi) / tps(lo)) / (hi.toDouble / lo)
       }
 
     def json: String = {
@@ -152,19 +166,21 @@ object Scaling {
       val byRound = efficiencyByRound.map(e => f"$e%.3f").mkString("[", ",", "]")
       val pm = efficiencyPairedMedian
       val pmJson = if (pm.isNaN) "null" else f"$pm%.3f"
-      val kJson =
-        if (kernelTps.size < 2) "null"
+      def ceilingJson(m: Map[Int, Double]): String =
+        if (m.size < 2) "null"
         else {
-          val tps = kernelTps.toSeq.sortBy(_._1)
+          val tps = m.toSeq.sortBy(_._1)
             .map { case (c, t) => s""""$c":${f"$t%.0f"}""" }.mkString("{", ",", "}")
-          s"""{"tps":$tps,"efficiency":${f"$kernelEfficiency%.3f"}}"""
+          s"""{"tps":$tps,"efficiency":${f"${kernelEff(m)}%.3f"}}"""
         }
+      val kJson = ceilingJson(kernelTps)
+      val kPreJson = ceilingJson(kernelTpsPre)
       s"""{"n_convs":$nConvs,"n_turns":$nTurns,"levels":$ls,"efficiency":${f"$efficiency%.3f"},""" +
         s""""efficiency_min_based":${f"$efficiencyMinBased%.3f"},""" +
         s""""efficiency_paired_median":$pmJson,"bursts":${rounds.length},""" +
         s""""efficiency_trajectory":$byRound,""" +
         s""""noise_probe":{"best_ms":${f"$probeBestMs%.1f"},"gated_waits":$probeGatedWaits},""" +
-        s""""kernel_ceiling":$kJson,""" +
+        s""""kernel_ceiling":$kJson,"kernel_ceiling_pre":$kPreJson,""" +
         s""""occupancy_pinned_to_cores":$pinnedTo}"""
     }
   }
@@ -592,13 +608,17 @@ object Scaling {
   def run(nConvs: Long, cpusLevels: Seq[Int], seed: Long = 42L,
           rounds: Int = 2, reps: Int = 2, maxReps: Int = 0,
           timeBudgetMs: Long = 0L, frequencyPinned: Boolean = true): Result = {
+    // kernel-ceiling BRACKET: one probe before any timed work, one after
+    // the bursts (each in ITS half of the window, never concurrent with a
+    // timed Spark level): raw threads on the same corpus shape, ~10 s per
+    // endpoint — see [[Result.kernelTps]]/[[Result.kernelTpsPre]]
+    val pre =
+      if (cpusLevels.distinct.size < 2) Map.empty[Int, Double]
+      else KernelBench.ceiling(seed, nConvs = 6000, Seq(cpusLevels.min, cpusLevels.max))
     val r = runLevels(nConvs, cpusLevels, seed, rounds, reps, maxReps,
       timeBudgetMs, frequencyPinned)
-    // kernel-ceiling probe AFTER the bursts (same window, never concurrent
-    // with a timed Spark level): raw threads on the same corpus shape,
-    // ~10 s — see [[Result.kernelTps]] for why the JSON carries it
     if (cpusLevels.distinct.size < 2) r
-    else r.copy(kernelTps =
+    else r.copy(kernelTpsPre = pre, kernelTps =
       KernelBench.ceiling(seed, nConvs = 6000, Seq(cpusLevels.min, cpusLevels.max)))
   }
 
@@ -797,7 +817,7 @@ object ScalingBench {
          |Context: a kernel-only microbench (`graft.bench.KernelBench`, no
          |Spark, measured in THIS window right after the bursts) scaled
          |${res.kernelTps.keys.minOption.getOrElse(0)}→${res.kernelTps.keys.maxOption.getOrElse(0)} threads at
-         |**${if (res.kernelEfficiency.isNaN) "n/a" else f"${res.kernelEfficiency}%.3f"}** — memory bandwidth, not the pipeline, is the
+         |**${if (res.kernelEfficiency.isNaN) "n/a" else f"${res.kernelEfficiency}%.3f"}**${if (res.kernelEfficiencyPre.isNaN) "" else f" (pre-run bracket endpoint, before any timed work: ${res.kernelEfficiencyPre}%.3f)"} — memory bandwidth, not the pipeline, is the
          |ceiling at high thread counts on this single-socket box. The Spark
          |pipeline's efficiency tracks the raw-kernel ceiling, i.e. Spark
          |overhead (scan, one shuffle, row codecs) adds no anti-scaling of

@@ -56,7 +56,21 @@ class ScalingResultSpec extends AnyFunSuite {
         "\"kernel_ceiling\"", "\"occupancy_pinned_to_cores\""))
       assert(j0.contains(k), s"missing $k in $j0")
     assert(j0.contains("\"kernel_ceiling\":null"))
+    assert(j0.contains("\"kernel_ceiling_pre\":null"))
     val j1 = base.copy(kernelTps = Map(4 -> 200000.0, 16 -> 514400.0)).json
     assert(j1.contains("\"kernel_ceiling\":{\"tps\":{\"4\":200000,\"16\":514400},\"efficiency\":0.643}"), j1)
+  }
+
+  test("kernel ceiling BRACKET: pre endpoint independent of post, both in json") {
+    val base = Result(10L, 1000L, Vector(lvl(4, 10.0), lvl(16, 3.125)))
+    val r = base.copy(kernelTpsPre = Map(4 -> 200000.0, 16 -> 696000.0),
+      kernelTps = Map(4 -> 200000.0, 16 -> 514400.0))
+    assert(math.abs(r.kernelEfficiencyPre - 0.870) < 1e-3)
+    assert(math.abs(r.kernelEfficiency - 0.643) < 1e-3)
+    assert(r.json.contains(
+      "\"kernel_ceiling_pre\":{\"tps\":{\"4\":200000,\"16\":696000},\"efficiency\":0.870}"), r.json)
+    // a pre-only measurement (post probe failed/skipped) still renders
+    assert(base.copy(kernelTpsPre = Map(4 -> 1.0, 16 -> 4.0)).json
+      .contains("\"kernel_ceiling\":null"))
   }
 }
