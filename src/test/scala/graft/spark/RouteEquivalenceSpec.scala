@@ -23,7 +23,7 @@ class RouteEquivalenceSpec extends AnyFunSuite with SparkFixture {
     (0L until nConvs).flatMap(SegmentOracle.segments(seed, _))
       .sortBy(s => (s.conv_id, s.Sequence.toInt))
 
-  for (seed <- Seq(7L, 1234L, 98765L)) {
+  for (seed <- Seq(7L, 1234L, 98765L, 13L, 271828L, 314159L, 5550123L, 86400L)) {
     test(s"all four routes equal the sequential oracle (corpus seed $seed)") {
       import spark.implicits._
       val nConvs = 40L
@@ -51,7 +51,7 @@ class RouteEquivalenceSpec extends AnyFunSuite with SparkFixture {
 
   import RouteEquivalenceSpec.mutate
 
-  for (seed <- Seq(31L, 4242L)) {
+  for (seed <- Seq(31L, 4242L, 161803L, 2718L, 777L, 424243L)) {
     test(s"all four routes equal the sequential fold on an ADVERSARIAL rule corpus (seed $seed)") {
       import spark.implicits._
       val nConvs = 25L
@@ -147,7 +147,7 @@ object RouteEquivalenceSpec {
     * shapes the generator never draws. */
   def mutate(r: ConvRule): ConvRule = {
     val h = (r.conv_id + "|" + r.Sequence).hashCode & 0x7fffffff
-    (h % 6: @unchecked) match {
+    (h % 8: @unchecked) match {
       case 0 => r.copy(StartingIdentifier =
         r.StartingIdentifier + " " + Seq.fill(400)("pad").mkString(" "))
       case 1 => r.copy(EndingIdentifier = "", EndingIdentifierMinus1 = "")
@@ -157,6 +157,16 @@ object RouteEquivalenceSpec {
         EndingIdentifier = " |" + r.EndingIdentifier)
       case 4 => r.copy(StartingMinusN = "x", EndingMinusN = "", DocumentTypeID = "")
       case 5 => r.copy(Occurence = 0, NoOfPages = 3)
+      // UNICODE whitespace around identifiers: NBSP / ideographic space /
+      // paragraph separator are whitespace under CPython str.strip() (the
+      // T1 semantics the PyText layer implements) but NOT under Java's
+      // String.trim (which stops at \u0020) - the exact divergence class
+      // route equivalence must hold through
+      case 6 => r.copy(StartingIdentifier =
+        "\u00a0" + r.StartingIdentifier + "\u3000",
+        EndingIdentifier = "\u2029" + r.EndingIdentifier + "\u00a0")
+      case 7 => r.copy(Sequence = "0" + r.Sequence, // stringly-int: int("07") = 7
+        StartingIdentifier = r.StartingIdentifier + "\r\n")
     }
   }
 }
