@@ -271,6 +271,13 @@ object SparkEntry {
       graft.ops.TranscriptOps.sftPairs(
         graft.gen.SyntheticTranscripts.turns(s, n).toDF())
     }),
+    // whole-conversation shelf packing (shared core with d_pack) with
+    // per-turn token spans in PACKED coordinates + the assistant loss mask
+    "t_pack_masked" -> ((s, d) => {
+      val n = graft.gen.SyntheticTranscripts.convsForSfDir(d)
+      graft.ops.TranscriptOps.packMasked(
+        graft.gen.SyntheticTranscripts.turns(s, n).toDF())
+    }),
     "t_segment" -> ((s, d) =>
       Pipeline.run(s, graft.gen.SyntheticTranscripts.convsForSfDir(d)).toDF()
         .orderBy("conv_id", "Sequence")),
@@ -1452,6 +1459,31 @@ object SparkEntry {
         |SELECT conv_id, turn_idx, n_ctx_turns, prompt, text AS completion
         |FROM p WHERE role = 'assistant'
         |ORDER BY conv_id, turn_idx""".stripMargin,
+    // replays TranscriptOps.packMasked: rendered-turn token counts
+    // (role: contributes 1 token), within-conversation running sum, then
+    // d_pack's shelf rule over one row per conversation
+    "t_pack_masked" ->
+      s"""WITH t AS (SELECT conv_id, turn_idx, role, text,
+         |    CAST(substr(conv_id, 6) AS BIGINT) AS conv_num,
+         |    (1 + len(string_split(text, ' ')))::BIGINT AS rt_toks
+         |  FROM read_parquet('__VERIFY_OUT__/_raw_turns/*.parquet')
+         |  WHERE role IS NOT NULL AND text IS NOT NULL),
+         |w AS (SELECT *, COALESCE(sum(rt_toks)
+         |      OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |    AS within_start FROM t),
+         |ct AS (SELECT conv_num, sum(rt_toks)::BIGINT AS n_tokens FROM t GROUP BY conv_num),
+         |c AS (SELECT conv_num,
+         |    COALESCE(sum(n_tokens) OVER (ORDER BY n_tokens DESC, conv_num
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+         |  FROM ct)
+         |SELECT w.conv_id, w.turn_idx, w.role,
+         |  c.cum_before // ${graft.ops.DocTextOps.DefaultPackBudget} AS pack_id,
+         |  c.cum_before % ${graft.ops.DocTextOps.DefaultPackBudget} + w.within_start AS pack_tok_start,
+         |  c.cum_before % ${graft.ops.DocTextOps.DefaultPackBudget} + w.within_start + w.rt_toks AS pack_tok_end,
+         |  w.role = 'assistant' AS loss_mask
+         |FROM w JOIN c ON w.conv_num = c.conv_num
+         |ORDER BY w.conv_id, w.turn_idx""".stripMargin,
     "d_langid_trigram" -> trigramOracle,
     // evolved-store round trip (Evolution.schemaEvolveRoundTrip): batches
     // split doc_id % 3; `extra` added with batch 1 (NULL before), `legacy`

@@ -971,12 +971,24 @@ object DocTextOps {
     * the instance makes the result pass reuse the offsets pass's shuffle
     * output — identical partitions by construction, and the sort is paid
     * once. NULL text packs as 0 tokens. */
-  def packSequences(documents: DataFrame, budget: Long = DefaultPackBudget): DataFrame = {
-    val spark = documents.sparkSession
+  def packSequences(documents: DataFrame, budget: Long = DefaultPackBudget): DataFrame =
+    packByTokens(documents
+      .selectExpr("CAST(coalesce(size(split(text, ' ')), 0) AS BIGINT) AS n_tokens",
+        "CAST(doc_id AS BIGINT) AS doc_id"), budget)
+      .orderBy("doc_id")
+
+  /** The shelf-rule core of [[packSequences]] over PRECOMPUTED token
+    * counts — `(n_tokens BIGINT, doc_id BIGINT)` in, one
+    * `(doc_id, n_tokens, pack_id, pack_offset)` row out per input row —
+    * shared with [[graft.ops.TranscriptOps.packMasked]] (which packs
+    * whole rendered conversations) so the two packers ride one
+    * implementation of the distributed prefix sum and cannot drift. */
+  def packByTokens(rows: DataFrame, budget: Long = DefaultPackBudget): DataFrame = {
+    val spark = rows.sparkSession
     import spark.implicits._
     val p = spark.sessionState.conf.numShufflePartitions
-    val parts = documents
-      .selectExpr("CAST(coalesce(size(split(text, ' ')), 0) AS BIGINT) AS n_tokens",
+    val parts = rows
+      .selectExpr("CAST(n_tokens AS BIGINT) AS n_tokens",
         "CAST(doc_id AS BIGINT) AS doc_id")
       .repartitionByRange(p, col("n_tokens").desc, col("doc_id").asc)
       .sortWithinPartitions(col("n_tokens").desc, col("doc_id").asc)
@@ -996,7 +1008,6 @@ object DocTextOps {
     }
     spark.createDataset(packed)
       .toDF("doc_id", "n_tokens", "pack_id", "pack_offset")
-      .orderBy("doc_id")
   }
 
   /** Default token budget per packed sequence for [[packSequences]] /

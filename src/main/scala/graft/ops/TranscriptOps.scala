@@ -242,4 +242,49 @@ object TranscriptOps {
         "array_join(ctx, '\n') AS prompt", "text AS completion")
       .orderBy("conv_id", "turn_idx")
   }
+
+  /** MASKED SEQUENCE PACKING — the capstone of the
+    * transcript→training-batch chain: whole rendered conversations are
+    * packed into fixed-token-budget training sequences by the SAME shelf
+    * rule as the document packer ([[DocTextOps.packByTokens]] — one
+    * implementation, the two packers cannot drift), and every turn's
+    * token span lands in PACKED coordinates with its loss mask:
+    * `(pack_id, pack_tok_start, pack_tok_end, loss_mask)` — what a
+    * trainer's data loader actually consumes. Tokens are whitespace
+    * tokens of the chat-template rendering ([[lossMaskSpans]]'s template;
+    * `role || ':'` contributes one token, so a turn spans
+    * `1 + n_tokens(text)`). A conversation that straddles a shelf
+    * boundary keeps its contiguous span (`pack_tok_end` may exceed the
+    * budget) — [[DocTextOps.packSequences]]'s documented shelf semantics,
+    * the reader wraps.
+    *
+    * `numKeyExpr` supplies the numeric conversation key the shelf order
+    * ties on (n_tokens DESC, key ASC); the default parses the flagship
+    * generator's dense `conv_%d` ordinal — callers with other id shapes
+    * pass their own dense key.
+    *
+    * Shape at 100 TB: the turn spans ride the conv_id-clustered window
+    * (zero exchanges on a bucketed scan); the pack assignment is the
+    * packer's distributed prefix sum over ONE ROW PER CONVERSATION
+    * (corpus/avg-conv-size rows, not turns); the join back is
+    * conv-keyed. */
+  def packMasked(turns: DataFrame, budget: Long = DocTextOps.DefaultPackBudget,
+                 numKeyExpr: String = "CAST(substr(conv_id, 6) AS BIGINT)"): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = turns.where("role IS NOT NULL AND text IS NOT NULL")
+      .withColumn("rt_toks", expr("CAST(1 + size(split(text, ' ')) AS BIGINT)"))
+      .withColumn("within_start", coalesce(sum(col("rt_toks")).over(w), lit(0L)))
+      .withColumn("conv_num", expr(numKeyExpr))
+    val packs = DocTextOps.packByTokens(
+      t.groupBy("conv_num").agg(sum("rt_toks").as("n_tokens"))
+        .selectExpr("n_tokens", "conv_num AS doc_id"), budget)
+    t.join(packs.selectExpr("doc_id AS conv_num", "pack_id", "pack_offset"),
+        Seq("conv_num"))
+      .selectExpr("conv_id", "turn_idx", "role", "pack_id",
+        "pack_offset + within_start AS pack_tok_start",
+        "pack_offset + within_start + rt_toks AS pack_tok_end",
+        "role = 'assistant' AS loss_mask")
+      .orderBy("conv_id", "turn_idx")
+  }
 }

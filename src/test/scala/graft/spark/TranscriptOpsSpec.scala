@@ -160,6 +160,38 @@ class TranscriptOpsSpec extends AnyFunSuite with SparkFixture {
       assert(prompt.length.toLong === math.max(0L, spans(k) - 1L), s"$k")
   }
 
+  // --- packMasked -----------------------------------------------------------
+  // Totals (rt_toks = 1 role token + text tokens): conv_1 = 4+3 = 7,
+  // conv_2 = 5, conv_3 = 8+2 = 10 (the NULL-text tool turn contributes 0).
+  // Shelf order (n_tokens DESC, conv_num): conv_3 (before 0), conv_1 (10),
+  // conv_2 (17); budget 8 → packs 0/1/2 with offsets 0/2/1.
+  private val packCorpus = {
+    import spark.implicits._
+    Seq(
+      ("conv_1", 1, "user", "a b c"),
+      ("conv_1", 2, "assistant", "d e"),
+      ("conv_2", 1, "assistant", "x y z w"),
+      ("conv_3", 1, "user", "p q r s t u v"),
+      ("conv_3", 2, "tool", null),
+      ("conv_3", 3, "assistant", "k")).toDF("conv_id", "turn_idx", "role", "text")
+  }
+
+  test("packMasked: shelf packing in packed token coordinates, straddle kept contiguous") {
+    val got = TranscriptOps.packMasked(packCorpus, budget = 8L).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got.size === 5) // NULL-text tool turn dropped
+    assert(got(("conv_3", 1)) === ((0L, 0L, 8L, false)))
+    // straddles the 8-token shelf: span stays contiguous past the budget
+    assert(got(("conv_3", 3)) === ((0L, 8L, 10L, true)))
+    assert(got(("conv_1", 1)) === ((1L, 2L, 6L, false)))
+    assert(got(("conv_1", 2)) === ((1L, 6L, 9L, true)))
+    assert(got(("conv_2", 1)) === ((2L, 1L, 6L, true)))
+    val base = TranscriptOps.packMasked(packCorpus, budget = 8L).collect().toSeq
+    assert(TranscriptOps.packMasked(packCorpus.repartition(5), budget = 8L)
+      .collect().toSeq === base)
+  }
+
   test("lossMaskSpans/sftPairs: partition-invariant") {
     val m = TranscriptOps.lossMaskSpans(maskCorpus).collect().toSeq
     assert(TranscriptOps.lossMaskSpans(maskCorpus.repartition(5)).collect().toSeq === m)
