@@ -192,6 +192,15 @@ class TranscriptOpsSpec extends AnyFunSuite with SparkFixture {
       .collect().toSeq === base)
   }
 
+  test("packMasked plan: one conv-clustered exchange on the turn side, pack side broadcasts") {
+    val plan = TranscriptOps.packMasked(packCorpus).queryExecution.executedPlan.toString
+    // the turn side shuffles ONCE on conv_id (zero on a bucketed scan);
+    // the one-row-per-conversation packs side joins broadcast, so turns
+    // are never reshuffled for the join
+    assert("Exchange hashpartitioning\\(conv_id".r.findAllIn(plan).length === 1, plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
   test("lossMaskSpans/sftPairs: partition-invariant") {
     val m = TranscriptOps.lossMaskSpans(maskCorpus).collect().toSeq
     assert(TranscriptOps.lossMaskSpans(maskCorpus.repartition(5)).collect().toSeq === m)
