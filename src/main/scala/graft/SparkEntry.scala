@@ -278,6 +278,15 @@ object SparkEntry {
       graft.ops.TranscriptOps.packMasked(
         graft.gen.SyntheticTranscripts.turns(s, n).toDF())
     }),
+    // RLHF preference-pair construction: rollouts grouped on prompt
+    // rendering, responses ranked by type-token ratio; gated on the
+    // deterministic retried-rollout scenario (the oracle replays forks,
+    // grouping, and ranking from the _raw_turns fixture dump)
+    "t_pref_pairs" -> ((s, d) => {
+      val n = graft.gen.SyntheticTranscripts.convsForSfDir(d)
+      graft.ops.TranscriptOps.prefPairs(
+        graft.gen.SyntheticTranscripts.turns(s, n).toDF())
+    }),
     "t_segment" -> ((s, d) =>
       Pipeline.run(s, graft.gen.SyntheticTranscripts.convsForSfDir(d)).toDF()
         .orderBy("conv_id", "Sequence")),
@@ -1484,6 +1493,47 @@ object SparkEntry {
          |  w.role = 'assistant' AS loss_mask
          |FROM w JOIN c ON w.conv_num = c.conv_num
          |ORDER BY w.conv_id, w.turn_idx""".stripMargin,
+    // replays TranscriptOps.prefPairs from the raw-turns fixture dump:
+    // retried-rollout forks (same h32 rule), prompt_key = md5 of the
+    // chat-template rendering before the last assistant turn, responses
+    // ranked by type-token ratio ppm, extremum pair per rollout group
+    "t_pref_pairs" ->
+      s"""WITH rt AS (SELECT conv_id, turn_idx, role, text
+         |    FROM read_parquet('__VERIFY_OUT__/_raw_turns/*.parquet')
+         |    WHERE role IS NOT NULL AND text IS NOT NULL),
+         |la AS (SELECT conv_id, max(CASE WHEN role = 'assistant' THEN turn_idx END) AS la_idx
+         |       FROM rt GROUP BY conv_id),
+         |base AS (SELECT rt.conv_id, rt.turn_idx, rt.role, rt.text, la.la_idx
+         |         FROM rt JOIN la USING (conv_id) WHERE la.la_idx IS NOT NULL),
+         |rolled AS (
+         |  SELECT conv_id, turn_idx, role, text, la_idx FROM base
+         |  UNION ALL
+         |  SELECT conv_id || '~r', turn_idx, role,
+         |    CASE WHEN turn_idx = la_idx THEN
+         |      CASE WHEN ${dh32("(conv_id || ':rw')")} % 2 = 0
+         |           THEN text || ' ' || text
+         |           ELSE text || ' uq0 uq1 uq2 uq3' END
+         |    ELSE text END, la_idx
+         |  FROM base WHERE ${dh32("conv_id")} % ${graft.ops.TranscriptOps.PrefForkMod} = 0),
+         |sc AS (SELECT conv_id,
+         |    md5(coalesce(string_agg(CASE WHEN turn_idx < la_idx
+         |          THEN role || ': ' || text END, chr(10) ORDER BY turn_idx), '')) AS prompt_key,
+         |    CAST(len(list_distinct(string_split(max(CASE WHEN turn_idx = la_idx THEN text END), ' '))) AS BIGINT)
+         |      * 1000000 // len(string_split(max(CASE WHEN turn_idx = la_idx THEN text END), ' ')) AS score_ppm
+         |  FROM rolled GROUP BY conv_id),
+         |g AS (SELECT prompt_key, count(*)::BIGINT AS n_rollouts,
+         |      max(score_ppm) AS cs, min(score_ppm) AS rs
+         |    FROM sc GROUP BY prompt_key)
+         |SELECT g.prompt_key, g.n_rollouts,
+         |  min(CASE WHEN sc.score_ppm = g.cs THEN sc.conv_id END) AS chosen_conv,
+         |  max(CASE WHEN sc.score_ppm = g.rs THEN sc.conv_id END) AS rejected_conv,
+         |  g.cs AS chosen_score_ppm, g.rs AS rejected_score_ppm,
+         |  g.cs - g.rs AS margin_ppm,
+         |  min(CASE WHEN sc.score_ppm = g.cs THEN sc.conv_id END) LIKE '%~r' AS chosen_is_retry
+         |FROM sc JOIN g ON sc.prompt_key = g.prompt_key
+         |WHERE g.n_rollouts >= 2
+         |GROUP BY g.prompt_key, g.n_rollouts, g.cs, g.rs
+         |ORDER BY g.prompt_key""".stripMargin,
     "d_langid_trigram" -> trigramOracle,
     // evolved-store round trip (Evolution.schemaEvolveRoundTrip): batches
     // split doc_id % 3; `extra` added with batch 1 (NULL before), `legacy`

@@ -268,6 +268,96 @@ object TranscriptOps {
     * packer's distributed prefix sum over ONE ROW PER CONVERSATION
     * (corpus/avg-conv-size rows, not turns); the join back is
     * conv-keyed. */
+  /** Fork rule for [[prefPairs]]'s deterministic retried-rollout scenario
+    * (same house pattern as [[ConvForkMod]]; shared with the DuckDB
+    * oracle). `forkMod = 0` disables the scenario — production mode. */
+  val PrefForkMod = 4L
+
+  /** PREFERENCE-PAIR CONSTRUCTION — the transcript-native RLHF/DPO data
+    * stage: agent pipelines roll out the SAME prompt more than once
+    * (retries, best-of-n sampling, speculative rollouts), and preference
+    * training consumes `(prompt, chosen, rejected)` triples built by
+    * grouping rollouts on prompt identity and ranking their final
+    * responses by a quality signal. Here:
+    *
+    *  - a conversation's RESPONSE is its last renderable assistant turn;
+    *    its PROMPT is the chat-template rendering ([[lossMaskSpans]]'s
+    *    template) of every renderable turn before that response; rollouts
+    *    group on `prompt_key = md5(prompt)` (group by a 128-bit key, not
+    *    megabyte prompt strings — the at-scale shape; a production run
+    *    would salt the key with session metadata if cold-open prompts
+    *    (`md5('')`) are hot enough to skew the shuffle);
+    *  - the quality signal is the response's TYPE-TOKEN RATIO in exact
+    *    integer ppm (`distinct_tokens · 10^6 DIV tokens` — the degenerate-
+    *    repetition signal, [[graft.ops.DocTextOps]] `repetitionScore`'s
+    *    cheapest cousin; any integer score column slots in);
+    *  - per group with ≥2 rollouts: `chosen` = highest score (tie → the
+    *    LEXICALLY SMALLEST conv_id among top scorers), `rejected` = lowest
+    *    score (tie → largest conv_id), so a full-tie group still emits a
+    *    deterministic pair of two distinct conversations with
+    *    `margin_ppm = 0` — the caller's filter line.
+    *
+    * The synthetic corpus holds no natural rollout groups (every prompt
+    * rendering is distinct — checked, not assumed), so the gate runs the
+    * deterministic RETRIED-ROLLOUT scenario in-query: conversations with
+    * `h32(conv_id) % forkMod = 0` gain a rollout twin (`conv_id || '~r'`)
+    * whose response is rewritten by the conv-hash-chosen class —
+    * self-repeat (`text ⧺ text`, type-token ratio strictly halves → the
+    * ORIGINAL must win) or enrichment (4 novel tokens appended → the TWIN
+    * must win iff the original response repeats any token). Both
+    * `chosen_is_retry` branches realize at sf0.01; production feeds real
+    * rollout batches with `forkMod = 0`.
+    *
+    * Shape at 100 TB: prompt/response assembly is ONE conv_id-clustered
+    * aggregation (the flagship bucket key — zero exchanges on a bucketed
+    * scan, state bounded by the conversation); ranking shuffles once on
+    * `prompt_key` with per-group state = one (score, conv_id) extremum
+    * pair, group sizes = rollout counts (small by construction); no
+    * windows over the corpus, no all-pairs anything. */
+  def prefPairs(turns: DataFrame, forkMod: Long = PrefForkMod): DataFrame = {
+    require(forkMod >= 0, s"prefPairs: forkMod must be >= 0 (0 = no scenario retries), got $forkMod")
+    val rt = turns.where("role IS NOT NULL AND text IS NOT NULL")
+      .withColumn("la_idx",
+        max(when(col("role") === "assistant", col("turn_idx")))
+          .over(Window.partitionBy("conv_id")))
+      .where("la_idx IS NOT NULL")
+      .select("conv_id", "turn_idx", "role", "text", "la_idx")
+    val rolled =
+      if (forkMod == 0) rt
+      else rt.union(rt
+        .where(s"${Shingles.h32("conv_id")} % $forkMod = 0")
+        .selectExpr("conv_id || '~r' AS conv_id", "turn_idx", "role",
+          s"""CASE WHEN turn_idx = la_idx THEN
+             |  CASE WHEN ${Shingles.h32("concat(conv_id, ':rw')")} % 2 = 0
+             |       THEN concat(text, ' ', text)
+             |       ELSE concat(text, ' uq0 uq1 uq2 uq3') END
+             |ELSE text END AS text""".stripMargin, "la_idx"))
+    val scored = rolled
+      .groupBy("conv_id")
+      .agg(sort_array(collect_list(struct(col("turn_idx"), col("role"), col("text")))).as("ts"),
+        first("la_idx").as("la_idx"))
+      .selectExpr("conv_id",
+        s"md5(array_join(transform(filter(ts, s -> s.turn_idx < la_idx), s -> concat(s.role, ': ', s.text)), '\n')) AS prompt_key",
+        "filter(ts, s -> s.turn_idx = la_idx)[0].text AS resp")
+      .selectExpr("conv_id", "prompt_key",
+        "CAST(size(array_distinct(split(resp, ' '))) AS BIGINT) * 1000000" +
+          " DIV size(split(resp, ' ')) AS score_ppm")
+    val g = Window.partitionBy("prompt_key")
+    scored
+      .withColumn("n_rollouts", count(lit(1)).over(g))
+      .withColumn("cs", max("score_ppm").over(g))
+      .withColumn("rs", min("score_ppm").over(g))
+      .where("n_rollouts >= 2")
+      .groupBy("prompt_key", "n_rollouts", "cs", "rs")
+      .agg(min(when(col("score_ppm") === col("cs"), col("conv_id"))).as("chosen_conv"),
+        max(when(col("score_ppm") === col("rs"), col("conv_id"))).as("rejected_conv"))
+      .selectExpr("prompt_key", "CAST(n_rollouts AS BIGINT) AS n_rollouts",
+        "chosen_conv", "rejected_conv",
+        "cs AS chosen_score_ppm", "rs AS rejected_score_ppm",
+        "cs - rs AS margin_ppm", "chosen_conv LIKE '%~r' AS chosen_is_retry")
+      .orderBy("prompt_key")
+  }
+
   def packMasked(turns: DataFrame, budget: Long = DocTextOps.DefaultPackBudget,
                  numKeyExpr: String = "CAST(substr(conv_id, 6) AS BIGINT)"): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")

@@ -207,4 +207,53 @@ class TranscriptOpsSpec extends AnyFunSuite with SparkFixture {
     val p = TranscriptOps.sftPairs(maskCorpus).collect().toSeq
     assert(TranscriptOps.sftPairs(maskCorpus.repartition(5)).collect().toSeq === p)
   }
+
+  // --- prefPairs -----------------------------------------------------------
+  // h32 % PrefForkMod: pB, pC, pD → 0 (forked); pA → 1, pE/pF → 3,
+  // pY/pZ → 2 (clean). Rewrite class h32(id:rw) % 2: pD → 0 (self-repeat),
+  // pB/pC → 1 (enrichment).
+  private val prefCorpus = turns(
+    ("pD", 1, "user", "d1 d2"),
+    ("pD", 2, "assistant", "m m n"), //   2/3 = 666666; twin doubles → 333333
+    ("pD", 3, "user", "trailing"), //     after the response → not in prompt
+    ("pB", 1, "user", "b1"),
+    ("pB", 2, "tool", "t out"), //        tool turn IS part of the prompt
+    ("pB", 3, "assistant", "k k"), //     1/2 = 500000; twin enriches → 5/6 = 833333
+    ("pC", 1, "user", "c1"),
+    ("pC", 2, "assistant", "k l"), //     already all-distinct → enrich ties at 1e6
+    ("pE", 1, "user", "shared prompt"),
+    ("pE", 2, "assistant", "a b c"), //   natural group with pF: 1e6 wins
+    ("pF", 1, "user", "shared prompt"),
+    ("pF", 2, "assistant", "a a"), //     500000 loses
+    ("pA", 1, "user", "solo prompt"),
+    ("pA", 2, "assistant", "only rollout"), // group of 1 → no pair row
+    ("pY", 1, "assistant", "c c d"), //   cold open: prompt '' groups pY+pZ
+    ("pZ", 1, "assistant", "e f"),
+    ("noas", 1, "user", "no assistant turn")) // excluded entirely
+
+  test("prefPairs: retry forks and natural groups rank by type-token ratio") {
+    val got = TranscriptOps.prefPairs(prefCorpus).collect()
+      .map(r => r.getString(2) -> ((r.getLong(1), r.getString(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    assert(got.size === 5)
+    // self-repeat twin halves the ratio → the original is chosen
+    assert(got("pD") === ((2L, "pD~r", 666666L, 333333L, 333333L, false)))
+    // enrichment twin beats a repetitive original → the retry is chosen
+    assert(got("pB~r") === ((2L, "pB", 833333L, 500000L, 333333L, true)))
+    // all-distinct original ties its enrichment twin at 1e6: deterministic
+    // pair, chosen = lexically smallest conv, margin 0
+    assert(got("pC") === ((2L, "pC~r", 1000000L, 1000000L, 0L, false)))
+    // natural rollout group (no forks): identical prompt, ranked responses
+    assert(got("pE") === ((2L, "pF", 1000000L, 500000L, 500000L, false)))
+    // cold-open rollouts group on the empty prompt
+    assert(got("pZ") === ((2L, "pY", 1000000L, 666666L, 333334L, false)))
+  }
+
+  test("prefPairs: forkMod = 0 is production mode; partition-invariant") {
+    val got = TranscriptOps.prefPairs(prefCorpus, forkMod = 0L).collect()
+      .map(r => (r.getString(2), r.getString(3))).toSet
+    assert(got === Set(("pE", "pF"), ("pZ", "pY"))) // only the natural groups
+    val base = TranscriptOps.prefPairs(prefCorpus).collect().toSeq
+    assert(TranscriptOps.prefPairs(prefCorpus.repartition(7)).collect().toSeq === base)
+  }
 }
