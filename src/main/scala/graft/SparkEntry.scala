@@ -152,6 +152,11 @@ object SparkEntry {
     "d_incr_view" -> ((s, d) => Incremental.incrementalView(docs(s, d))),
     "d_schema_evolve" -> ((s, d) => Evolution.schemaEvolveRoundTrip(docs(s, d))),
     "d_chunk" -> ((s, d) => DocTextOps.chunk(docs(s, d))),
+    // fill-in-middle augmentation (hash-derived coin + cuts, PSM
+    // sentinels); the dump carries md5 of the re-rendered text
+    "d_fim" -> ((s, d) => DocTextOps.fimTransform(docs(s, d))
+      .selectExpr("doc_id", "mode", "cut_lo", "cut_hi", "n_chars",
+        "md5(fim_text) AS fim_md5")),
     "d_corpus_build" -> ((s, d) => DocTextOps.corpusBuild(docs(s, d))),
     "d_pack" -> ((s, d) => DocTextOps.packSequences(docs(s, d))),
     "d_shard" -> ((s, d) => DocTextOps.shardCorpus(docs(s, d))),
@@ -2305,6 +2310,28 @@ object SparkEntry {
       s"""$packCtes
          |SELECT doc_id, n_tokens, cum_before // ${DocTextOps.DefaultPackBudget} AS pack_id,
          |  cum_before % ${DocTextOps.DefaultPackBudget} AS pack_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // replays DocTextOps.fimTransform: same hash coin + two hash cut
+    // draws on the character grid, same PSM sentinel rendering
+    "d_fim" ->
+      s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+         |           FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT doc_id, text, n_chars,
+         |    ${dh32("(CAST(doc_id AS VARCHAR) || ':fim')")} % 1000 < ${DocTextOps.FimRatePerMille} AS sel,
+         |    least(${dh32("(CAST(doc_id AS VARCHAR) || ':a')")} % (n_chars + 1),
+         |          ${dh32("(CAST(doc_id AS VARCHAR) || ':b')")} % (n_chars + 1)) AS lo,
+         |    greatest(${dh32("(CAST(doc_id AS VARCHAR) || ':a')")} % (n_chars + 1),
+         |             ${dh32("(CAST(doc_id AS VARCHAR) || ':b')")} % (n_chars + 1)) AS hi
+         |  FROM d)
+         |SELECT doc_id,
+         |  CASE WHEN sel THEN 'psm' ELSE 'ar' END AS mode,
+         |  CASE WHEN sel THEN lo END AS cut_lo,
+         |  CASE WHEN sel THEN hi END AS cut_hi,
+         |  n_chars,
+         |  md5(CASE WHEN sel THEN '<|fim_prefix|>' || substr(text, 1, lo) ||
+         |      '<|fim_suffix|>' || substr(text, hi + 1) ||
+         |      '<|fim_middle|>' || substr(text, lo + 1, hi - lo)
+         |    ELSE text END) AS fim_md5
          |FROM c ORDER BY doc_id""".stripMargin,
     // replays DocTextOps.shardCorpus: d_pack's cumulative chain grouped to
     // packs, then the h32(pack_id)-keyed shard + within-shard rank

@@ -952,6 +952,56 @@ object DocTextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** FIM rate in per-mille: the fraction of documents that get the
+    * fill-in-middle transform (the rest pass through autoregressive).
+    * 900‰ is the published default (Bavarian et al. 2022 train at FIM
+    * rate 0.9 with no AR-loss degradation). Shared with the oracle. */
+  val FimRatePerMille = 900L
+
+  /** FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle") — the data-level
+    * infilling augmentation code-model pipelines run over the corpus: a
+    * deterministic `ratePerMille` fraction of documents is split at two
+    * uniform character positions into (prefix, middle, suffix) and
+    * re-rendered in PSM order with sentinel tokens,
+    *
+    *   `<|fim_prefix|>` prefix `<|fim_suffix|>` suffix `<|fim_middle|>` middle
+    *
+    * so the model learns to generate the middle conditioned on both sides;
+    * the remaining documents pass through unchanged (`mode = 'ar'`). All
+    * randomness is hash-derived (doc-id-salted [[Shingles.h32]] draws for
+    * the selection coin and both cut points — the corpus re-renders
+    * identically on every run and in every engine), cuts live on the
+    * CHARACTER grid `0 ≤ lo ≤ hi ≤ n_chars` (the paper's character-level
+    * splitting — token-boundary splitting weakens the learned infilling),
+    * and the output carries `(mode, cut_lo, cut_hi, n_chars, fim_text)`
+    * so a trainer can reconstruct spans without re-deriving the draws.
+    *
+    * Shape at 100 TB: map-only — no shuffle, no window, no state; the
+    * transform composes with [[chunk]]/[[packSequences]] downstream. */
+  def fimTransform(documents: DataFrame, ratePerMille: Long = FimRatePerMille): DataFrame = {
+    require(ratePerMille >= 0 && ratePerMille <= 1000,
+      s"fimTransform: ratePerMille must be in [0, 1000], got $ratePerMille")
+    def draw(salt: String) = Shingles.h32(s"concat(CAST(doc_id AS STRING), '$salt')")
+    documents.where("text IS NOT NULL")
+      .selectExpr("doc_id", "text", "CAST(length(text) AS BIGINT) AS n_chars")
+      .selectExpr("doc_id", "text", "n_chars",
+        s"${draw(":fim")} % 1000 < $ratePerMille AS sel",
+        s"least(${draw(":a")} % (n_chars + 1), ${draw(":b")} % (n_chars + 1)) AS lo",
+        s"greatest(${draw(":a")} % (n_chars + 1), ${draw(":b")} % (n_chars + 1)) AS hi")
+      .selectExpr("doc_id",
+        "CASE WHEN sel THEN 'psm' ELSE 'ar' END AS mode",
+        "CASE WHEN sel THEN lo END AS cut_lo",
+        "CASE WHEN sel THEN hi END AS cut_hi",
+        "n_chars",
+        """CASE WHEN sel THEN concat(
+          |  '<|fim_prefix|>', substring(text, 1, CAST(lo AS INT)),
+          |  '<|fim_suffix|>', substring(text, CAST(hi + 1 AS INT)),
+          |  '<|fim_middle|>', substring(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT)))
+          |ELSE text END AS fim_text""".stripMargin)
+      .orderBy("doc_id")
+  }
+
   /** Sequence PACKING — assign documents to fixed-token-budget training
     * sequences by a deterministic shelf rule: docs sorted by
     * (n_tokens DESC, doc_id), running token total, pack = the `budget`

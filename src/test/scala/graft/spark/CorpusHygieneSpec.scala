@@ -84,6 +84,40 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
       DocTextOps.mixCorpus(d, Map("s" -> 2000000L))) // share > 1e6 ppm
   }
 
+  test("fimTransform: PSM rendering reconstructs the document; cuts on the char grid") {
+    val d = docs((0 to 60).map(i => (i.toLong, s"doc $i body tok$i end")): _*)
+    val rows = DocTextOps.fimTransform(d).collect()
+    assert(rows.length === 61)
+    val byId = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val modes = rows.map(_.getString(1)).toSet
+    assert(modes === Set("psm", "ar")) // both modes realize at rate 900‰
+    rows.foreach { r =>
+      val (id, mode, n, ft) = (r.getLong(0), r.getString(1), r.getLong(4), r.getString(5))
+      val text = byId(id)
+      assert(n === text.length.toLong)
+      if (mode == "ar") {
+        assert(r.isNullAt(2) && r.isNullAt(3) && ft === text)
+      } else {
+        val (lo, hi) = (r.getLong(2), r.getLong(3))
+        assert(0L <= lo && lo <= hi && hi <= n)
+        // parse the sentinel rendering back into (prefix, suffix, middle)
+        val pat = "(?s)<\\|fim_prefix\\|>(.*)<\\|fim_suffix\\|>(.*)<\\|fim_middle\\|>(.*)".r
+        ft match {
+          case pat(p, s, m) =>
+            assert(p === text.substring(0, lo.toInt))
+            assert(m === text.substring(lo.toInt, hi.toInt))
+            assert(s === text.substring(hi.toInt))
+          case _ => fail(s"doc $id: unparseable PSM rendering: $ft")
+        }
+      }
+    }
+    // deterministic + partition-invariant; rate 0 = pure passthrough
+    assert(DocTextOps.fimTransform(d.repartition(7)).collect().toSeq === rows.toSeq)
+    val ar = DocTextOps.fimTransform(d, ratePerMille = 0L).collect()
+    assert(ar.forall(r => r.getString(1) == "ar"))
+    intercept[IllegalArgumentException](DocTextOps.fimTransform(d, ratePerMille = 1001L))
+  }
+
   test("decontaminate flags docs sharing a 4-gram with the benchmark slice") {
     // doc 0 is the benchmark (0 % 97 = 0); doc 1 repeats one of its
     // 4-grams verbatim, doc 2 shares only shorter overlaps
