@@ -283,6 +283,13 @@ object SparkEntry {
       graft.ops.TranscriptOps.packMasked(
         graft.gen.SyntheticTranscripts.turns(s, n).toDF())
     }),
+    // length-bucketed batching report: power-of-two buckets vs the
+    // pad-to-global-max baseline, floor-mean padding waste per bucket
+    "t_len_buckets" -> ((s, d) => {
+      val n = graft.gen.SyntheticTranscripts.convsForSfDir(d)
+      graft.ops.TranscriptOps.lenBuckets(
+        graft.gen.SyntheticTranscripts.turns(s, n).toDF())
+    }),
     // RLHF preference-pair construction: rollouts grouped on prompt
     // rendering, responses ranked by type-token ratio; gated on the
     // deterministic retried-rollout scenario (the oracle replays forks,
@@ -1498,6 +1505,25 @@ object SparkEntry {
          |  w.role = 'assistant' AS loss_mask
          |FROM w JOIN c ON w.conv_num = c.conv_num
          |ORDER BY w.conv_id, w.turn_idx""".stripMargin,
+    // replays TranscriptOps.lenBuckets: rendered-turn token sums per
+    // conversation, power-of-two bucket tops via bin() digit count, the
+    // same floor-mean waste formula, plus the global pad-to-max row
+    "t_len_buckets" ->
+      """WITH t AS (SELECT conv_id, (1 + len(string_split(text, ' ')))::BIGINT AS rt_toks
+        |    FROM read_parquet('__VERIFY_OUT__/_raw_turns/*.parquet')
+        |    WHERE role IS NOT NULL AND text IS NOT NULL),
+        |c AS (SELECT conv_id, sum(rt_toks)::BIGINT AS n FROM t GROUP BY conv_id),
+        |b AS (SELECT n, CASE WHEN (n & (n - 1)) = 0 THEN n
+        |        ELSE (1::BIGINT << length(bin(n))) END AS bucket_hi FROM c),
+        |per AS (SELECT 'bucket' AS scope, bucket_hi, count(*)::BIGINT AS n_seqs,
+        |          sum(n)::BIGINT AS sum_tokens FROM b GROUP BY bucket_hi),
+        |gmax AS (SELECT 'global' AS scope, max(n)::BIGINT AS bucket_hi,
+        |          count(*)::BIGINT AS n_seqs, sum(n)::BIGINT AS sum_tokens FROM c),
+        |u AS (SELECT * FROM per UNION ALL SELECT * FROM gmax)
+        |SELECT scope, bucket_hi, n_seqs, sum_tokens,
+        |  bucket_hi * n_seqs AS padded_tokens,
+        |  (bucket_hi - sum_tokens // n_seqs) * 1000000 // bucket_hi AS waste_ppm
+        |FROM u ORDER BY scope, bucket_hi""".stripMargin,
     // replays TranscriptOps.prefPairs from the raw-turns fixture dump:
     // retried-rollout forks (same h32 rule), prompt_key = md5 of the
     // chat-template rendering before the last assistant turn, responses

@@ -358,6 +358,50 @@ object TranscriptOps {
       .orderBy("prompt_key")
   }
 
+  /** LENGTH-BUCKETED BATCHING REPORT — the padding-waste accounting that
+    * decides a trainer's batching strategy: rendered conversations (token
+    * counts = [[packMasked]]'s rendered-turn arithmetic) are assigned to
+    * power-of-two length buckets (`bucket_hi` = smallest power of two ≥
+    * the sequence's token count — the bucketed-batching scheme dynamic-
+    * shape trainers use), and each bucket reports how much compute
+    * pad-to-bucket-top wastes; a final `scope = 'global'` row reports the
+    * no-bucketing baseline (every sequence padded to the corpus max), so
+    * the table IS the bucketing-vs-naive comparison.
+    *
+    * `waste_ppm` is computed scale-safely as
+    * `(bucket_hi − sum_tokens DIV n_seqs) · 10^6 DIV bucket_hi` — the
+    * floor-mean occupancy — because the textbook
+    * `(padded − sum) · 10^6 DIV padded` overflows Long once a bucket
+    * holds ~10^12 padded tokens (both engines replay the same formula,
+    * so the gate stays hash-exact).
+    *
+    * Shape at 100 TB: per-conversation token totals ride the conv_id-
+    * clustered aggregation (the flagship bucket key); the bucket rollup
+    * aggregates to ≤64 rows with map-side partials; the global row is a
+    * 1-row aggregate. Nothing else moves. */
+  def lenBuckets(turns: DataFrame): DataFrame = {
+    val conv = turns.where("role IS NOT NULL AND text IS NOT NULL")
+      .selectExpr("conv_id", "CAST(1 + size(split(text, ' ')) AS BIGINT) AS rt_toks")
+      .groupBy("conv_id").agg(sum("rt_toks").as("n"))
+    val per = conv
+      .selectExpr("n",
+        "CASE WHEN (n & (n - 1)) = 0 THEN n" +
+          " ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n))) END AS bucket_hi")
+      .groupBy("bucket_hi")
+      .agg(count(lit(1)).as("n_seqs"), sum("n").as("sum_tokens"))
+      .selectExpr("'bucket' AS scope", "bucket_hi",
+        "CAST(n_seqs AS BIGINT) AS n_seqs", "sum_tokens")
+    val global = conv.agg(max("n").as("bucket_hi"),
+        count(lit(1)).as("n_seqs"), sum("n").as("sum_tokens"))
+      .selectExpr("'global' AS scope", "bucket_hi",
+        "CAST(n_seqs AS BIGINT) AS n_seqs", "sum_tokens")
+    per.unionByName(global)
+      .selectExpr("scope", "bucket_hi", "n_seqs", "sum_tokens",
+        "bucket_hi * n_seqs AS padded_tokens",
+        "(bucket_hi - sum_tokens DIV n_seqs) * 1000000 DIV bucket_hi AS waste_ppm")
+      .orderBy("scope", "bucket_hi")
+  }
+
   def packMasked(turns: DataFrame, budget: Long = DocTextOps.DefaultPackBudget,
                  numKeyExpr: String = "CAST(substr(conv_id, 6) AS BIGINT)"): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")

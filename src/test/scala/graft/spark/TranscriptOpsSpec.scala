@@ -249,6 +249,27 @@ class TranscriptOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got("pZ") === ((2L, "pY", 1000000L, 666666L, 333334L, false)))
   }
 
+  test("lenBuckets: pow2 bucket tops, floor-mean waste, global pad-to-max row") {
+    // rendered token counts (1 + whitespace tokens): "a b" → 3, "a b c" → 4,
+    // "a b c d e f g" → 8 (exact power of two stays in its own bucket)
+    val d = turns(
+      ("c1", 1, "user", "a b"), //            conv 3 tokens → bucket 4
+      ("c2", 1, "user", "a b c"), //          conv 4 tokens → bucket 4 (exact pow2)
+      ("c3", 1, "user", "a b c d e f g")) //  conv 8 tokens → bucket 8 (exact pow2)
+    val got = TranscriptOps.lenBuckets(d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size === 3)
+    // bucket 4: seqs {3,4} → sum 7, mean floor 3, waste (4-3)*1e6/4
+    assert(got(("bucket", 4L)) === ((2L, 7L, 8L, 250000L)))
+    // bucket 8: exactly full → zero waste
+    assert(got(("bucket", 8L)) === ((1L, 8L, 8L, 0L)))
+    // global: pad everything to 8 → mean floor 15/3 = 5, waste 3/8
+    assert(got(("global", 8L)) === ((3L, 15L, 24L, 375000L)))
+    assert(TranscriptOps.lenBuckets(d.repartition(5)).collect().toSeq ===
+      TranscriptOps.lenBuckets(d).collect().toSeq)
+  }
+
   test("prefPairs: forkMod = 0 is production mode; partition-invariant") {
     val got = TranscriptOps.prefPairs(prefCorpus, forkMod = 0L).collect()
       .map(r => (r.getString(2), r.getString(3))).toSet
