@@ -161,6 +161,10 @@ object SparkEntry {
     "d_pack" -> ((s, d) => DocTextOps.packSequences(docs(s, d))),
     "d_shard" -> ((s, d) => DocTextOps.shardCorpus(docs(s, d))),
     "d_mix" -> ((s, d) => DocTextOps.mixCorpus(docs(s, d))),
+    // data-constrained epoch planning: per-source budget slices, epoch
+    // counts, and the repeat-value cap (budget scales with the corpus so
+    // the over/under-cap branches realize at every sf)
+    "d_epochs" -> ((s, d) => DocTextOps.epochAllocation(docs(s, d))),
     "d_bpe_train" -> ((s, d) => DocTextOps.bpeTrain(docs(s, d))),
     "d_bpe_encode" -> ((s, d) => DocTextOps.bpeEncode(docs(s, d))),
     "d_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
@@ -2399,6 +2403,31 @@ object SparkEntry {
          |  ((length(txt) - length(replace(txt, '@@', ''))) // 2)::BIGINT AS n_merges,
          |  md5(txt) AS encoded_md5
          |FROM t$k WHERE txt IS NOT NULL ORDER BY doc_id""".stripMargin
+    },
+    // replays DocTextOps.epochAllocation: same share table, same
+    // divmod-factored budget/alloc/epoch arithmetic
+    "d_epochs" -> {
+      val cases = graft.ops.DocTextOps.DefaultMixTargets.toSeq.sorted
+        .map { case (src, t) => s"WHEN '$src' THEN $t" }.mkString(" ")
+      val bpm = graft.ops.DocTextOps.DefaultEpochBudgetPermille
+      val cap = graft.ops.DocTextOps.DefaultRepeatCapEpochs
+      s"""WITH bysrc AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |      sum(COALESCE(len(string_split(text, ' ')), 0))::BIGINT AS source_tokens
+         |    FROM documents GROUP BY 1),
+         |tot AS (SELECT sum(source_tokens)::BIGINT AS corpus_tokens FROM bysrc),
+         |x AS (SELECT source, n_docs, source_tokens,
+         |    (CASE source $cases ELSE 0 END)::BIGINT AS share_ppm,
+         |    corpus_tokens // 1000 * $bpm + corpus_tokens % 1000 * $bpm // 1000 AS budget_tokens
+         |  FROM bysrc, tot),
+         |a AS (SELECT *, share_ppm * (budget_tokens // 1000000)
+         |      + share_ppm * (budget_tokens % 1000000) // 1000000 AS alloc_tokens FROM x),
+         |e AS (SELECT *, alloc_tokens // greatest(source_tokens, 1) * 1000
+         |      + alloc_tokens % greatest(source_tokens, 1) * 1000
+         |          // greatest(source_tokens, 1) AS epochs_pm FROM a)
+         |SELECT source, n_docs, source_tokens, share_ppm, alloc_tokens, epochs_pm,
+         |  least(alloc_tokens, $cap * source_tokens) AS effective_tokens,
+         |  epochs_pm > $cap * 1000 AS over_cap
+         |FROM e ORDER BY source""".stripMargin
     },
     "d_mix" -> {
       // one copy of the target table, shared with the Spark-side default

@@ -1312,6 +1312,76 @@ object DocTextOps {
     "src0" -> 300000L, "src1" -> 40000L, "src2" -> 25000L,
     "src3" -> 10000L, "src4" -> 2500L)
 
+  /** Training token budget for [[epochAllocation]], in PER-MILLE of the
+    * corpus's own token count (2000 = train on 2× the corpus — the
+    * data-constrained regime where repetition planning matters at all). */
+  val DefaultEpochBudgetPermille = 2000L
+
+  /** Repeat-value cap in epochs: tokens repeated beyond ~4 epochs carry
+    * rapidly diminishing value (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models" — returns decay to near zero well
+    * before their R* ≈ 15; 4 is the planning knob, not the paper fit). */
+  val DefaultRepeatCapEpochs = 4L
+
+  /** EPOCH ALLOCATION under a token budget — the data-constrained
+    * planning step (Muennighoff et al. 2023) a pretraining build runs
+    * BEFORE sampling: given target mixture shares and a total training
+    * token budget, how many epochs does each source repeat for, and how
+    * much of the budget lands beyond the repeat-value cap? Per source:
+    *
+    *   alloc_tokens  = share_ppm · budget DIV 1e6   (its budget slice)
+    *   epochs_pm     = alloc_tokens · 1000 DIV source_tokens
+    *   effective     = min(alloc, cap · source_tokens)  (value-bearing part)
+    *   over_cap      = epochs_pm > cap · 1000
+    *
+    * The budget is expressed in per-mille of the corpus's own token count
+    * so the over/under-cap branches realize identically at every scale
+    * factor (an absolute budget would flip branches between sf0.001 and
+    * sf0.1). Every product is divmod-factored so nothing crosses 2^63 at
+    * any corpus size (the [[mixCorpus]] discipline). Unlisted sources
+    * carry share 0 — visible as zero-epoch rows, by design: the report
+    * must show what the mixture EXCLUDES, not only what it repeats.
+    *
+    * Shape at 100 TB: one per-source aggregation (map-side partials, a
+    * handful of rows), one 1-row corpus total broadcast — the corpus is
+    * never reshuffled; this is a planning table, not a data pass. */
+  def epochAllocation(documents: DataFrame,
+                      targetPpm: Map[String, Long] = DefaultMixTargets,
+                      budgetPermille: Long = DefaultEpochBudgetPermille,
+                      repeatCapEpochs: Long = DefaultRepeatCapEpochs): DataFrame = {
+    require(targetPpm.values.forall(t => t >= 0 && t <= 1000000L),
+      "epochAllocation: target shares must be in [0, 1e6] ppm")
+    require(budgetPermille >= 0 && repeatCapEpochs >= 1,
+      s"epochAllocation: need budgetPermille >= 0 and repeatCapEpochs >= 1, " +
+        s"got $budgetPermille / $repeatCapEpochs")
+    val bySource = documents
+      .selectExpr("source",
+        "CAST(coalesce(size(split(text, ' ')), 0) AS BIGINT) AS n_tokens")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("source_tokens"))
+    val total = bySource.agg(sum("source_tokens").as("corpus_tokens"))
+    val shareExpr = targetPpm.foldLeft("CAST(0 AS BIGINT)") {
+      case (acc, (src, t)) => s"IF(source = '${sqlLit(src)}', CAST($t AS BIGINT), $acc)"
+    }
+    bySource.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr(shareExpr))
+      .withColumn("budget_tokens", expr(
+        s"corpus_tokens DIV 1000 * $budgetPermille" +
+          s" + corpus_tokens % 1000 * $budgetPermille DIV 1000"))
+      .withColumn("alloc_tokens", expr(
+        "share_ppm * (budget_tokens DIV 1000000)" +
+          " + share_ppm * (budget_tokens % 1000000) DIV 1000000"))
+      .withColumn("epochs_pm", expr(
+        """alloc_tokens DIV greatest(source_tokens, 1) * 1000
+          |  + alloc_tokens % greatest(source_tokens, 1) * 1000
+          |      DIV greatest(source_tokens, 1)""".stripMargin))
+      .selectExpr("source", "n_docs", "source_tokens", "share_ppm",
+        "alloc_tokens", "epochs_pm",
+        s"least(alloc_tokens, $repeatCapEpochs * source_tokens) AS effective_tokens",
+        s"epochs_pm > $repeatCapEpochs * 1000 AS over_cap")
+      .orderBy("source")
+  }
+
   def mixCorpus(documents: DataFrame,
                 targetPpm: Map[String, Long] = DefaultMixTargets): DataFrame = {
     require(targetPpm.values.forall(t => t >= 0 && t <= 1000000L),

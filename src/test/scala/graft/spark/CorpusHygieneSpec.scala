@@ -84,6 +84,25 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkFixture {
       DocTextOps.mixCorpus(d, Map("s" -> 2000000L))) // share > 1e6 ppm
   }
 
+  test("epochAllocation: budget slices, epoch counts, repeat cap on a hand corpus") {
+    import spark.implicits._
+    // sA: 10 tokens over 2 docs; sB: 10 tokens. budget = 10× corpus = 200.
+    val d = Seq((1L, "a b c d e", "sA"), (2L, "f g h i j", "sA"),
+      (3L, "k l m n o p q r s t", "sB")).toDF("doc_id", "text", "source")
+    val got = DocTextOps.epochAllocation(d, Map("sA" -> 500000L),
+        budgetPermille = 10000L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    // sA: alloc = 50% of 200 = 100 → 10 epochs of its 10 tokens, capped at 40
+    assert(got("sA") === ((2L, 10L, 500000L, 100L, 10000L, 40L, true)))
+    // sB: unlisted → share 0, zero-epoch row still present
+    assert(got("sB") === ((1L, 10L, 0L, 0L, 0L, 0L, false)))
+    intercept[IllegalArgumentException](
+      DocTextOps.epochAllocation(d, Map("sA" -> 2000000L)))
+    intercept[IllegalArgumentException](
+      DocTextOps.epochAllocation(d, repeatCapEpochs = 0L))
+  }
+
   test("fimTransform: PSM rendering reconstructs the document; cuts on the char grid") {
     val d = docs((0 to 60).map(i => (i.toLong, s"doc $i body tok$i end")): _*)
     val rows = DocTextOps.fimTransform(d).collect()
