@@ -267,6 +267,14 @@ object SparkEntry {
       graft.ops.TranscriptOps.convDedup(
         graft.gen.SyntheticTranscripts.turns(s, n).toDF())
     }),
+    // store-backed incremental conversation dedup: standing fingerprints
+    // + bands persisted as SnapshotStore tables, delta batch probes the
+    // STORED index one-sidedly, admitted convs appended back
+    "t_conv_dedup_incr" -> ((s, d) => {
+      val n = graft.gen.SyntheticTranscripts.convsForSfDir(d)
+      graft.ops.TranscriptOps.convDedupIncr(
+        graft.gen.SyntheticTranscripts.turns(s, n).toDF())
+    }),
     // conversation -> training-sequence transforms over the raw transcript
     // table: per-turn char spans + assistant loss mask (the linear shape a
     // packer consumes) and the quadratic (prompt, completion) SFT export
@@ -764,6 +772,54 @@ object SparkEntry {
        |  coalesce(n_dups, 0)::BIGINT AS n_dups, dup_of,
        |  coalesce(n_dups, 0) > 0 AS is_dup
        |FROM sh s LEFT JOIN agg USING (doc_id) ORDER BY conv_id""".stripMargin
+  }
+
+  /** Replays [[graft.ops.TranscriptOps.convDedupIncr]]: the standing/
+    * delta split and drop-last-turn retry twins as CTEs, the SAME shingle
+    * + band fragments as [[convDedupOracle]], a ONE-SIDED candidate probe
+    * (delta x, standing y — membership is a pure function of the id), and
+    * incrementalMinhash-style admission verdicts over the delta batch. */
+  private def convDedupIncrOracle: String = {
+    val fm = graft.ops.TranscriptOps.ConvForkMod
+    val thr = graft.ops.TranscriptOps.ConvDupThresholdPpm
+    val isDelta = (id: String) => s"($id LIKE '%~f' OR ${dh32(id)} % $fm = 1)"
+    s"""WITH base AS (SELECT conv_id, turn_idx, text,
+       |    max(turn_idx) OVER (PARTITION BY conv_id) AS max_idx
+       |  FROM read_parquet('__VERIFY_OUT__/_raw_turns/*.parquet')
+       |  WHERE text IS NOT NULL),
+       |allt AS (SELECT conv_id, text FROM base WHERE ${dh32("conv_id")} % $fm != 1
+       |  UNION ALL
+       |  SELECT conv_id || '~f', text FROM base
+       |  WHERE ${dh32("conv_id")} % $fm = 0 AND turn_idx < max_idx
+       |  UNION ALL
+       |  SELECT conv_id, text FROM base WHERE ${dh32("conv_id")} % $fm = 1),
+       |sh AS (SELECT conv_id AS doc_id, list_distinct(flatten(list(shs))) AS shs FROM (
+       |    SELECT conv_id, [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                     for i in range(1, len(ws) - 1)] AS shs
+       |    FROM (SELECT conv_id, string_split(text, ' ') AS ws FROM allt)
+       |    WHERE len(ws) >= 3) GROUP BY 1),
+       |$dBandedCtes,
+       |cand AS (SELECT x.doc_id AS doc_id, y.doc_id AS partner
+       |         FROM banded x JOIN banded y
+       |           ON x.band = y.band AND x.key = y.key AND x.doc_id != y.doc_id
+       |          AND ${isDelta("x.doc_id")} AND NOT ${isDelta("y.doc_id")}
+       |         GROUP BY 1, 2),
+       |${dJaccard(None)},
+       |ver AS (SELECT c.doc_id, c.partner, coalesce(j.jaccard_ppm, 0) AS jaccard_ppm
+       |        FROM cand c LEFT JOIN jac j
+       |          ON j.da = least(c.doc_id, c.partner) AND j.db = greatest(c.doc_id, c.partner)),
+       |agg AS (SELECT doc_id, count(*)::BIGINT AS n_candidates,
+       |          max(jaccard_ppm)::BIGINT AS max_jaccard_ppm,
+       |          sum(CASE WHEN jaccard_ppm >= $thr THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+       |          min(CASE WHEN jaccard_ppm >= $thr THEN partner END) AS dup_of
+       |        FROM ver GROUP BY 1)
+       |SELECT s.doc_id AS conv_id, s.doc_id LIKE '%~f' AS is_fork,
+       |  coalesce(n_candidates, 0)::BIGINT AS n_candidates,
+       |  coalesce(max_jaccard_ppm, 0)::BIGINT AS max_jaccard_ppm,
+       |  coalesce(n_dups, 0)::BIGINT AS n_dups, dup_of,
+       |  coalesce(n_dups, 0) = 0 AS admitted
+       |FROM sh s LEFT JOIN agg USING (doc_id)
+       |WHERE ${isDelta("s.doc_id")} ORDER BY conv_id""".stripMargin
   }
 
   /** 60-bit hash: first 15 md5 hex chars (sign-safe in every engine). */
@@ -1451,6 +1507,7 @@ object SparkEntry {
          |  overlap_ppm >= ${graft.ops.TranscriptOps.DefaultEchoThresholdPpm} AS is_echo
          |FROM o ORDER BY conv_id, turn_idx""".stripMargin,
     "t_conv_dedup" -> convDedupOracle,
+    "t_conv_dedup_incr" -> convDedupIncrOracle,
     // chat-template span arithmetic replayed as a window sum: a turn
     // renders as role || ': ' || text, '\n'-joined; span math mirrors
     // TranscriptOps.lossMaskSpans

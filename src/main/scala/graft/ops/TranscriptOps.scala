@@ -130,21 +130,8 @@ object TranscriptOps {
     // Dedup.minhashLsh makes. A production pipeline stores fingerprints as
     // a table instead — the convDedup analog of the persisted ANN index's
     // postings — and reads them once per branch.
-    val fingerprints = allTurns
-      .selectExpr("conv_id", s"${Shingles.ws} AS ws")
-      .where("size(ws) >= 3")
-      .selectExpr("conv_id", s"${Shingles.shingles} AS shs")
-      .groupBy("conv_id")
-      .agg(array_distinct(flatten(collect_list("shs"))).as("shs"))
-    val banded = fingerprints.as[(String, Array[String])]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (id, shs) =>
-          val keys = Dedup.bandKeys(md, shs)
-          keys.indices.iterator.map(b => (id, b, keys(b)))
-        }
-      }
-      .toDF("conv_id", "band", "key")
+    val fingerprints = convFingerprints(allTurns)
+    val banded = convBands(fingerprints)
     val candidates = banded.as("x")
       .join(banded.as("y"),
         expr("x.band = y.band AND x.key = y.key AND x.conv_id != y.conv_id"))
@@ -171,6 +158,126 @@ object TranscriptOps {
         "CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups", "dup_of",
         "coalesce(n_dups, 0) > 0 AS is_dup")
       .orderBy("conv_id")
+  }
+
+  /** Conversation fingerprints — union of per-turn distinct 3-shingles
+    * over `(conv_id, text)` rows (the [[convDedup]] fingerprint kernel,
+    * shared with [[convDedupIncr]] so the in-flight and store-backed
+    * paths cannot drift). Turns under 3 tokens contribute nothing;
+    * conversations with no contributing turn have no fingerprint. */
+  private def convFingerprints(convTurns: DataFrame): DataFrame =
+    convTurns
+      .selectExpr("conv_id", s"${Shingles.ws} AS ws")
+      .where("size(ws) >= 3")
+      .selectExpr("conv_id", s"${Shingles.shingles} AS shs")
+      .groupBy("conv_id")
+      .agg(array_distinct(flatten(collect_list("shs"))).as("shs"))
+
+  /** Fingerprints → MinHash band keys via [[Dedup.bandKeys]] (one
+    * arithmetic with the doc-level paths and the DuckDB replays). */
+  private def convBands(fingerprints: DataFrame): DataFrame = {
+    val spark = fingerprints.sparkSession
+    import spark.implicits._
+    fingerprints.as[(String, Array[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, shs) =>
+          val keys = Dedup.bandKeys(md, shs)
+          keys.indices.iterator.map(b => (id, b, keys(b)))
+        }
+      }
+      .toDF("conv_id", "band", "key")
+  }
+
+  /** INCREMENTAL conversation dedup against a PERSISTED fingerprint
+    * index — the production shape [[convDedup]]'s scaladoc promises: a
+    * standing corpus's fingerprints and band keys live as SnapshotStore
+    * tables (the conversation analog of the persisted ANN index), and
+    * each incoming DELTA batch probes the STORED bands one-sidedly,
+    * verifies candidates by exact shingle Jaccard against the STORED
+    * fingerprints, and appends only its admitted (non-duplicate)
+    * conversations back to the index — so the next batch dedups against
+    * standing ∪ admitted without ever recomputing the standing side.
+    *
+    * The gate scenario splits the corpus deterministically: standing =
+    * conversations with `h32(conv_id) % ConvForkMod != 1`; the delta
+    * batch = drop-last-turn RETRY twins (`conv_id || '~f'`) of the
+    * `h32 % ConvForkMod = 0` standing conversations (must verify as
+    * dups, 83–99% Jaccard) unioned with the `h32 % ConvForkMod = 1`
+    * conversations, which the index has never seen (must admit). Both
+    * `admitted` branches realize at sf0.01; the one 83%-Jaccard fork
+    * that misses all 8 bands surfaces as admitted with
+    * `n_candidates = 0` — honest LSH recall, identical to [[convDedup]].
+    * The store here is scratch (self-contained gate); a production
+    * pipeline passes a durable root and runs build/probe/append on its
+    * own schedule.
+    *
+    * Shape at 100 TB: the standing side is READ, never recomputed — the
+    * probe is O(delta · bands) against the stored band table (AQE
+    * broadcasts a small delta), verification joins only the candidate
+    * pairs back to the two fingerprint tables, and the append writes
+    * O(admitted) rows. The [[graft.ops.Dedup.incrementalMinhash]]
+    * admission semantics, store-backed. */
+  def convDedupIncr(turns: DataFrame,
+                    thresholdPpm: Long = ConvDupThresholdPpm): DataFrame = {
+    val spark = turns.sparkSession
+    val fm = ConvForkMod
+    val base = turns.where("text IS NOT NULL")
+      .withColumn("max_idx", max("turn_idx").over(Window.partitionBy("conv_id")))
+    val standFps = convFingerprints(
+      base.where(s"${Shingles.h32("conv_id")} % $fm != 1").select("conv_id", "text"))
+    val deltaFps = convFingerprints(
+      base.where(s"${Shingles.h32("conv_id")} % $fm = 0 AND turn_idx < max_idx")
+        .selectExpr("conv_id || '~f' AS conv_id", "text")
+        .union(base.where(s"${Shingles.h32("conv_id")} % $fm = 1")
+          .select("conv_id", "text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-conv-index")
+    try {
+      val bandStore = new graft.io.SnapshotStore(dir.resolve("bands").toString)
+      val fpStore = new graft.io.SnapshotStore(dir.resolve("fps").toString)
+      // 1. BUILD: standing fingerprints + bands become the stored index
+      bandStore.append(convBands(standFps))
+      fpStore.append(standFps)
+      // 2. PROBE: the delta batch against ONLY the stored tables
+      val storedBands = bandStore.read(spark, bandStore.latest.get)
+      val storedFps = fpStore.read(spark, fpStore.latest.get)
+      val cand = convBands(deltaFps).as("x")
+        .join(storedBands.as("y"),
+          expr("x.band = y.band AND x.key = y.key AND x.conv_id != y.conv_id"))
+        .groupBy(col("x.conv_id").as("conv_id"), col("y.conv_id").as("partner"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+      val ver = cand
+        .join(deltaFps.selectExpr("conv_id", "shs AS shs_a"), "conv_id")
+        .join(storedFps.selectExpr("conv_id AS partner", "shs AS shs_b"), "partner")
+        .selectExpr("conv_id", "partner",
+          "size(array_intersect(shs_a, shs_b)) AS inter",
+          "size(shs_a) AS na", "size(shs_b) AS nb")
+        .selectExpr("conv_id", "partner",
+          "(CAST(inter AS BIGINT) * 1000000) DIV (na + nb - inter) AS jaccard_ppm")
+      val verdicts = ver.groupBy("conv_id").agg(
+        count(lit(1)).as("n_candidates"),
+        max("jaccard_ppm").as("max_jaccard_ppm"),
+        sum(when(col("jaccard_ppm") >= thresholdPpm, 1L).otherwise(0L)).as("n_dups"),
+        min(when(col("jaccard_ppm") >= thresholdPpm, col("partner"))).as("dup_of"))
+      val out = deltaFps.select("conv_id")
+        .join(verdicts, Seq("conv_id"), "left")
+        .selectExpr("conv_id", "conv_id LIKE '%~f' AS is_fork",
+          "CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates",
+          "CAST(coalesce(max_jaccard_ppm, 0) AS BIGINT) AS max_jaccard_ppm",
+          "CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups", "dup_of",
+          "coalesce(n_dups, 0) = 0 AS admitted")
+        .localCheckpoint(true)
+      // 3. APPEND: admitted conversations join the index; loud invariant
+      val admittedFps = deltaFps
+        .join(out.where("admitted").select("conv_id"), "conv_id")
+      fpStore.append(admittedFps)
+      bandStore.append(convBands(admittedFps))
+      val total = fpStore.readRange(spark, 0L, fpStore.latest.get).count()
+      val expected = standFps.count() + out.where("admitted").count()
+      require(total == expected,
+        s"convDedupIncr: stored index holds $total fingerprints after append, expected $expected")
+      out.orderBy("conv_id")
+    } finally graft.io.SnapshotStore.deleteRecursively(dir)
   }
 
   /** Chat-template rendering shared by [[lossMaskSpans]] and [[sftPairs]]

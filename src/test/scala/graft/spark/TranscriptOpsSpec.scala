@@ -91,6 +91,20 @@ class TranscriptOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set("cB"))
   }
 
+  test("convDedupIncr: delta probes the stored index — forks rejected, new convs admitted") {
+    // standing = h32 % 4 != 1 → {cB, cA, cC}; delta = cB's drop-last-turn
+    // retry twin (must verify vs stored cB) + solo (h32 % 4 = 1, never
+    // indexed → admitted); tiny (< 3 tokens) has no fingerprint → absent
+    val got = TranscriptOps.convDedupIncr(dedupCorpus).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.getString(5)), r.getBoolean(6)))).toMap
+    assert(got.keySet === Set("cB~f", "solo"))
+    assert(got("cB~f") === ((true, 1L, 947368L, 1L, Some("cB"), false)))
+    assert(got("solo") === ((false, 0L, 0L, 0L, None, true)))
+    assert(TranscriptOps.convDedupIncr(dedupCorpus.repartition(7))
+      .collect().toSeq === TranscriptOps.convDedupIncr(dedupCorpus).collect().toSeq)
+  }
+
   test("convDedup: forkMod = 0 is production mode — no scenario twins, real dups still found") {
     val got = TranscriptOps.convDedup(dedupCorpus, forkMod = 0L).collect()
       .map(r => r.getString(0) -> ((r.getBoolean(6), Option(r.getString(5))))).toMap
