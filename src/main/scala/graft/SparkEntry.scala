@@ -672,7 +672,14 @@ object SparkEntry {
     * `d_lsh_recall` oracles so the band layout cannot drift between
     * replays. Expects the `sh(doc_id, shs)` CTE in scope; yields `hs`,
     * `sigt` and `banded(doc_id, band, key)`. */
-  private def dBandedCtes: String = {
+  private def dBandedCtes: String = dBandedCtesFrom(s"${dh32("s")} % $P")
+
+  /** [[dBandedCtes]] with the per-shingle reduction pluggable: `hExpr`
+    * maps element `s` of `sh.shs` to its banded hash row. The default
+    * hashes shingle STRINGS; the stored-hashed-index replay
+    * ([[convDedupIncrOracle]]) passes `s % P` because its `sh` already
+    * carries `h32` values — the same first step, pre-applied. */
+  private def dBandedCtesFrom(hExpr: String): String = {
     val sigs = (0 until Dedup.NumPerms).map { k =>
       s"list_min([(${Dedup.permA(k)} * h + ${Dedup.permB(k)}) % $P for h in hh]) AS sig$k"
     }
@@ -681,7 +688,7 @@ object SparkEntry {
       val combined = ks.foldLeft("CAST(0 AS BIGINT)")((acc, k) => s"(($acc) * 31 + sig$k) % $P")
       s"SELECT doc_id, $b AS band, $combined AS key FROM sigt"
     }
-    s"""hs AS (SELECT doc_id, [${dh32("s")} % $P for s in shs] AS hh FROM sh),
+    s"""hs AS (SELECT doc_id, [$hExpr for s in shs] AS hh FROM sh),
        |sigt AS (SELECT doc_id, ${sigs.mkString(", ")} FROM hs),
        |banded AS (${bands.mkString(" UNION ALL ")})""".stripMargin
   }
@@ -793,12 +800,14 @@ object SparkEntry {
        |  WHERE ${dh32("conv_id")} % $fm = 0 AND turn_idx < max_idx
        |  UNION ALL
        |  SELECT conv_id, text FROM base WHERE ${dh32("conv_id")} % $fm = 1),
-       |sh AS (SELECT conv_id AS doc_id, list_distinct(flatten(list(shs))) AS shs FROM (
+       |sh AS (SELECT conv_id AS doc_id,
+       |    list_sort(list_distinct([${dh32("g")} for g in
+       |      list_distinct(flatten(list(shs)))])) AS shs FROM (
        |    SELECT conv_id, [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
        |                     for i in range(1, len(ws) - 1)] AS shs
        |    FROM (SELECT conv_id, string_split(text, ' ') AS ws FROM allt)
        |    WHERE len(ws) >= 3) GROUP BY 1),
-       |$dBandedCtes,
+       |${dBandedCtesFrom(s"s % $P")},
        |cand AS (SELECT x.doc_id AS doc_id, y.doc_id AS partner
        |         FROM banded x JOIN banded y
        |           ON x.band = y.band AND x.key = y.key AND x.doc_id != y.doc_id

@@ -103,12 +103,28 @@ object Dedup {
     * Long); minima fold `(a_k·h + b_k) % P`; band keys roll base-31 — all
     * exact integer ops in any engine. */
   private[ops] def bandKeys(md: java.security.MessageDigest, shs: Array[String]): Array[Long] = {
-    val sigs = Array.fill(NumPerms)(Long.MaxValue)
+    val hs = new Array[Long](shs.length)
     var i = 0
     while (i < shs.length) {
       val d = md.digest(shs(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % P
+      hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    bandKeysFromHashes(hs)
+  }
+
+  /** [[bandKeys]] from PRE-HASHED shingles (unsigned-32-bit `h32` values,
+    * the first step of the string path above) — the entry a stored
+    * hashed-fingerprint index uses ([[TranscriptOps.convDedupIncr]]):
+    * band keys derived from stored hashes are bit-identical to keys
+    * derived from the original shingle strings, because the string path's
+    * first move is exactly this reduction. */
+  private[ops] def bandKeysFromHashes(hs: Array[Long]): Array[Long] = {
+    val sigs = Array.fill(NumPerms)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i) % P
       var k = 0
       while (k < NumPerms) {
         val v = (PermAs(k) * h + PermBs(k)) % P
