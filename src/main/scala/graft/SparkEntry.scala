@@ -115,6 +115,9 @@ object SparkEntry {
     "d_contam_overlap" -> ((s, d) => DocTextOps.contamOverlap(docs(s, d))),
     "d_lm_score" -> ((s, d) => Selection.lmScore(docs(s, d))),
     "d_ppl_buckets" -> ((s, d) => Selection.pplBuckets(docs(s, d))),
+    // two-phase annealing schedule: main budget uniform over the scorable
+    // corpus, anneal budget on the head perplexity tercile only
+    "d_anneal" -> ((s, d) => Selection.annealPlan(docs(s, d))),
     "d_token_budget" -> ((s, d) => Selection.tokenBudget(docs(s, d))),
     "d_dsir_weights" -> ((s, d) => Selection.dsirWeights(docs(s, d))),
     "d_source_cap" -> ((s, d) => Selection.sourceCap(docs(s, d))),
@@ -2296,6 +2299,47 @@ object SparkEntry {
          |${dTercileCtes("lang")}
          |SELECT doc_id, lang, avg_log2_x64, ppl_bucket
          |FROM buck ORDER BY doc_id""".stripMargin,
+    // replays Selection.annealPlan: the same LM-score + tercile CTEs,
+    // then the per-(lang, bucket) rollup with divmod budget arithmetic
+    "d_anneal" -> {
+      val bpm = graft.ops.DocTextOps.DefaultEpochBudgetPermille
+      val afm = graft.ops.Selection.DefaultAnnealFracPermille
+      s"""WITH ${dLmCtes("documents")},
+         |sl AS (SELECT s.doc_id, d.lang, s.avg_log2_x64
+         |       FROM scored s JOIN documents d USING (doc_id)),
+         |${dTercileCtes("lang")},
+         |tok AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+         |        FROM documents),
+         |g AS (SELECT b.lang, b.ppl_bucket, count(*)::BIGINT AS n_docs,
+         |        sum(t.n_tokens)::BIGINT AS group_tokens
+         |      FROM buck b JOIN tok t USING (doc_id) GROUP BY 1, 2),
+         |tot AS (SELECT sum(group_tokens)::BIGINT AS corpus_toks,
+         |        sum(CASE WHEN ppl_bucket = 'head' THEN group_tokens ELSE 0 END)::BIGINT AS head_toks
+         |      FROM g),
+         |x AS (SELECT g.*, corpus_toks, head_toks,
+         |    corpus_toks // 1000 * $bpm + corpus_toks % 1000 * $bpm // 1000 AS budget_tokens
+         |  FROM g, tot),
+         |y AS (SELECT *, budget_tokens // 1000 * $afm + budget_tokens % 1000 * $afm // 1000 AS anneal_budget FROM x),
+         |z AS (SELECT *,
+         |    (budget_tokens - anneal_budget) // greatest(corpus_toks, 1) * 1000000
+         |      + (budget_tokens - anneal_budget) % greatest(corpus_toks, 1) * 1000000
+         |          // greatest(corpus_toks, 1) AS me6,
+         |    anneal_budget // greatest(head_toks, 1) * 1000000
+         |      + anneal_budget % greatest(head_toks, 1) * 1000000
+         |          // greatest(head_toks, 1) AS ae6 FROM y),
+         |a AS (SELECT *,
+         |    group_tokens // 1000000 * me6 + group_tokens % 1000000 * me6 // 1000000 AS main_alloc,
+         |    CASE WHEN ppl_bucket = 'head'
+         |      THEN group_tokens // 1000000 * ae6 + group_tokens % 1000000 * ae6 // 1000000
+         |      ELSE 0 END AS anneal_alloc FROM z)
+         |SELECT lang, ppl_bucket, n_docs, group_tokens,
+         |  main_alloc AS main_alloc_tokens, anneal_alloc AS anneal_alloc_tokens,
+         |  main_alloc + anneal_alloc AS total_alloc_tokens,
+         |  (main_alloc + anneal_alloc) // greatest(group_tokens, 1) * 1000
+         |    + (main_alloc + anneal_alloc) % greatest(group_tokens, 1) * 1000
+         |        // greatest(group_tokens, 1) AS epochs_pm
+         |FROM a ORDER BY lang, ppl_bucket""".stripMargin
+    },
     // replays Selection.tokenBudget: the bin-windowed greedy prefix equals
     // the naive global running sum under (score DESC, doc_id) — tokens are
     // positive, so "inclusive cumsum fits" IS the greedy prefix

@@ -236,6 +236,83 @@ object Selection {
       .orderBy("doc_id")
   }
 
+  /** Anneal-phase share of the training budget, per-mille (100 = the last
+    * 10% of training steps run on the high-quality pool — the
+    * Llama-3-style decay-phase recipe's order of magnitude). */
+  val DefaultAnnealFracPermille = 100L
+
+  /** TWO-PHASE ANNEALING SCHEDULE — the "decay phase on high-quality
+    * data" plan modern pretraining runs execute (Llama 3's annealing,
+    * MiniCPM's two-stage schedule): the MAIN phase spreads most of the
+    * token budget uniformly over the whole scorable corpus, the ANNEAL
+    * phase spends the final `annealFracPermille` of the budget ONLY on
+    * the head perplexity tercile ([[pplBuckets]]'s buckets — same
+    * builder, the two cannot drift). The output is the per-(lang, bucket)
+    * PLAN table a run scheduler consumes: group sizes, main/anneal token
+    * allocations, and the resulting per-group epoch counts — head groups
+    * train visibly hotter (they absorb the anneal budget on top of their
+    * uniform share), which IS the recipe's point and keeps every column
+    * non-constant at sf0.01.
+    *
+    * Arithmetic: budget = `budgetPermille` of the scorable corpus's own
+    * tokens ([[DocTextOps.epochAllocation]]'s scale-invariance trick);
+    * every product is divmod-factored, exact for corpora up to ~9.2e12
+    * tokens per the [[DocTextOps.mixCorpus]] bound (larger corpora need
+    * the decimal variant). Unscorable documents (<2 tokens — no bigrams,
+    * no perplexity) are outside the plan, the [[ccnetPipeline]] default.
+    *
+    * Shape at 100 TB: lmScore's aggregation + the tercile bin table, then
+    * a ≤ langs×3-row rollup and TWO 1-row broadcast totals — the corpus
+    * is never reshuffled beyond lmScore's own shape. */
+  def annealPlan(documents: DataFrame, refLang: String = DefaultRefLang,
+                 budgetPermille: Long = DocTextOps.DefaultEpochBudgetPermille,
+                 annealFracPermille: Long = DefaultAnnealFracPermille): DataFrame = {
+    require(annealFracPermille >= 0 && annealFracPermille <= 1000,
+      s"annealPlan: annealFracPermille must be in [0, 1000], got $annealFracPermille")
+    require(budgetPermille >= 0,
+      s"annealPlan: budgetPermille must be >= 0, got $budgetPermille")
+    val scored = lmScore(documents, refLang)
+      .join(documents.select("doc_id", "lang"), Seq("doc_id"))
+    val grouped = scored
+      .join(broadcast(tercileLabels(scored, "lang")), Seq("lang", "avg_log2_x64"))
+      .join(documents.selectExpr("doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens"), Seq("doc_id"))
+      .groupBy("lang", "ppl_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("group_tokens"))
+    val totals = grouped.agg(
+      sum("group_tokens").as("corpus_toks"),
+      sum(when(col("ppl_bucket") === "head", col("group_tokens"))
+        .otherwise(0L)).as("head_toks"))
+    grouped.crossJoin(broadcast(totals))
+      .withColumn("budget_tokens", expr(
+        s"corpus_toks DIV 1000 * $budgetPermille + corpus_toks % 1000 * $budgetPermille DIV 1000"))
+      .withColumn("anneal_budget", expr(
+        s"budget_tokens DIV 1000 * $annealFracPermille + budget_tokens % 1000 * $annealFracPermille DIV 1000"))
+      // per-pool token rates in millionths of an epoch (divmod: the
+      // remainder product is <= corpus_toks * 1e6, the documented bound)
+      .withColumn("me6", expr(
+        """(budget_tokens - anneal_budget) DIV greatest(corpus_toks, 1) * 1000000
+          | + (budget_tokens - anneal_budget) % greatest(corpus_toks, 1) * 1000000
+          |     DIV greatest(corpus_toks, 1)""".stripMargin))
+      .withColumn("ae6", expr(
+        """anneal_budget DIV greatest(head_toks, 1) * 1000000
+          | + anneal_budget % greatest(head_toks, 1) * 1000000
+          |     DIV greatest(head_toks, 1)""".stripMargin))
+      .withColumn("main_alloc_tokens", expr(
+        "group_tokens DIV 1000000 * me6 + group_tokens % 1000000 * me6 DIV 1000000"))
+      .withColumn("anneal_alloc_tokens", expr(
+        """CASE WHEN ppl_bucket = 'head'
+          |  THEN group_tokens DIV 1000000 * ae6 + group_tokens % 1000000 * ae6 DIV 1000000
+          |  ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .selectExpr("lang", "ppl_bucket", "n_docs", "group_tokens",
+        "main_alloc_tokens", "anneal_alloc_tokens",
+        "main_alloc_tokens + anneal_alloc_tokens AS total_alloc_tokens",
+        """(main_alloc_tokens + anneal_alloc_tokens) DIV greatest(group_tokens, 1) * 1000
+          | + (main_alloc_tokens + anneal_alloc_tokens) % greatest(group_tokens, 1) * 1000
+          |     DIV greatest(group_tokens, 1) AS epochs_pm""".stripMargin)
+      .orderBy("lang", "ppl_bucket")
+  }
+
   /** The composed CCNet recipe (Wenzek et al. 2020) as ONE oracled
     * dataflow — dedup, language-ID, reference-LM scoring, per-language
     * perplexity terciles, keep head+middle — with one lineage row per

@@ -98,6 +98,44 @@ class SelectionSpec extends AnyFunSuite with SparkFixture {
 
   // ---- tokenBudget --------------------------------------------------------
 
+  test("annealPlan: budgets split main/anneal, head groups train hotter") {
+    val rnd = new scala.util.Random(11)
+    val words = Array("a", "b", "c", "d", "e", "f", "g")
+    val rows = (0L until 60L).map { i =>
+      val lang = Seq("en", "de", "fr")((i % 3).toInt)
+      val n = 3 + rnd.nextInt(10)
+      (i, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "), lang, s"s${i % 4}")
+    }
+    val d = docs(rows: _*)
+    val got = Selection.annealPlan(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got.keySet.map(_._1) === Set("en", "de", "fr"))
+    val corpus = got.values.map(_._2).sum
+    val budget = corpus / 1000 * 2000 + corpus % 1000 * 2000 / 1000
+    val annealBudget = budget / 1000 * 100 + budget % 1000 * 100 / 1000
+    // anneal allocation lands ONLY on head groups and nearly exhausts its
+    // budget (floor rounding drops < 1 token per group)
+    got.foreach { case ((_, bucket), (_, _, _, anneal, _, _)) =>
+      if (bucket == "head") assert(anneal > 0L) else assert(anneal === 0L)
+    }
+    val annealSum = got.values.map(_._4).sum
+    assert(annealSum <= annealBudget && annealSum >= annealBudget - got.size)
+    // main allocation nearly exhausts the main budget
+    val mainSum = got.values.map(_._3).sum
+    assert(mainSum <= budget - annealBudget && mainSum >= budget - annealBudget - got.size)
+    // head groups of each language train strictly hotter than their
+    // middle/tail siblings (they absorb the anneal budget on top)
+    got.groupBy(_._1._1).foreach { case (_, g) =>
+      val byBucket = g.map { case ((_, b), v) => b -> v._6 }
+      for (other <- Seq("middle", "tail") if byBucket.contains(other))
+        assert(byBucket("head") > byBucket(other))
+    }
+    assert(Selection.annealPlan(d.repartition(7)).collect().toSeq ===
+      Selection.annealPlan(d).collect().toSeq)
+    intercept[IllegalArgumentException](Selection.annealPlan(d, annealFracPermille = 1001L))
+  }
+
   test("tokenBudget: hand-computed greedy prefix, straddling bin split per-doc") {
     val d = docs(
       (1L, "a b c d", "en", "s"), //  4 tokens, score 1000000, cum  4 keep
