@@ -786,23 +786,27 @@ object SparkEntry {
 
   /** Replays [[graft.ops.TranscriptOps.convDedupIncr]]: the standing/
     * delta split and drop-last-turn retry twins as CTEs, the SAME shingle
-    * + band fragments as [[convDedupOracle]], a ONE-SIDED candidate probe
-    * (delta x, standing y — membership is a pure function of the id), and
-    * incrementalMinhash-style admission verdicts over the delta batch. */
+    * + band fragments as [[convDedupOracle]] (hash-reduced — the stored
+    * index keeps h32 values), a one-sided candidate probe whose partner
+    * side is the standing set plus SMALLER-ID batchmates (the
+    * incrementalMinhash intra-batch rule), delta membership decided by
+    * the delta-universe CTE (set membership, not id patterns), and
+    * admission verdicts over the FULL delta universe — fingerprint-less
+    * conversations included. */
   private def convDedupIncrOracle: String = {
     val fm = graft.ops.TranscriptOps.ConvForkMod
     val thr = graft.ops.TranscriptOps.ConvDupThresholdPpm
-    val isDelta = (id: String) => s"($id LIKE '%~f' OR ${dh32(id)} % $fm = 1)"
     s"""WITH base AS (SELECT conv_id, turn_idx, text,
        |    max(turn_idx) OVER (PARTITION BY conv_id) AS max_idx
        |  FROM read_parquet('__VERIFY_OUT__/_raw_turns/*.parquet')
        |  WHERE text IS NOT NULL),
-       |allt AS (SELECT conv_id, text FROM base WHERE ${dh32("conv_id")} % $fm != 1
-       |  UNION ALL
-       |  SELECT conv_id || '~f', text FROM base
+       |deltat AS (SELECT conv_id || '~f' AS conv_id, text FROM base
        |  WHERE ${dh32("conv_id")} % $fm = 0 AND turn_idx < max_idx
        |  UNION ALL
        |  SELECT conv_id, text FROM base WHERE ${dh32("conv_id")} % $fm = 1),
+       |dl AS (SELECT DISTINCT conv_id AS doc_id FROM deltat),
+       |allt AS (SELECT conv_id, text FROM base WHERE ${dh32("conv_id")} % $fm != 1
+       |  UNION ALL SELECT conv_id, text FROM deltat),
        |sh AS (SELECT conv_id AS doc_id,
        |    list_sort(list_distinct([${dh32("g")} for g in
        |      list_distinct(flatten(list(shs)))])) AS shs FROM (
@@ -812,9 +816,12 @@ object SparkEntry {
        |    WHERE len(ws) >= 3) GROUP BY 1),
        |${dBandedCtesFrom(s"s % $P")},
        |cand AS (SELECT x.doc_id AS doc_id, y.doc_id AS partner
-       |         FROM banded x JOIN banded y
-       |           ON x.band = y.band AND x.key = y.key AND x.doc_id != y.doc_id
-       |          AND ${isDelta("x.doc_id")} AND NOT ${isDelta("y.doc_id")}
+       |         FROM banded x
+       |         JOIN dl dx ON x.doc_id = dx.doc_id
+       |         JOIN banded y ON x.band = y.band AND x.key = y.key
+       |          AND x.doc_id != y.doc_id
+       |         LEFT JOIN dl dy ON y.doc_id = dy.doc_id
+       |         WHERE dy.doc_id IS NULL OR y.doc_id < x.doc_id
        |         GROUP BY 1, 2),
        |${dJaccard(None)},
        |ver AS (SELECT c.doc_id, c.partner, coalesce(j.jaccard_ppm, 0) AS jaccard_ppm
@@ -825,13 +832,13 @@ object SparkEntry {
        |          sum(CASE WHEN jaccard_ppm >= $thr THEN 1 ELSE 0 END)::BIGINT AS n_dups,
        |          min(CASE WHEN jaccard_ppm >= $thr THEN partner END) AS dup_of
        |        FROM ver GROUP BY 1)
-       |SELECT s.doc_id AS conv_id, s.doc_id LIKE '%~f' AS is_fork,
+       |SELECT dl.doc_id AS conv_id, dl.doc_id LIKE '%~f' AS is_fork,
        |  coalesce(n_candidates, 0)::BIGINT AS n_candidates,
        |  coalesce(max_jaccard_ppm, 0)::BIGINT AS max_jaccard_ppm,
        |  coalesce(n_dups, 0)::BIGINT AS n_dups, dup_of,
        |  coalesce(n_dups, 0) = 0 AS admitted
-       |FROM sh s LEFT JOIN agg USING (doc_id)
-       |WHERE ${isDelta("s.doc_id")} ORDER BY conv_id""".stripMargin
+       |FROM dl LEFT JOIN agg ON dl.doc_id = agg.doc_id
+       |ORDER BY conv_id""".stripMargin
   }
 
   /** 60-bit hash: first 15 md5 hex chars (sign-safe in every engine). */
@@ -2536,7 +2543,7 @@ object SparkEntry {
          |          // greatest(source_tokens, 1) AS epochs_pm FROM a)
          |SELECT source, n_docs, source_tokens, share_ppm, alloc_tokens, epochs_pm,
          |  least(alloc_tokens, $cap * source_tokens) AS effective_tokens,
-         |  epochs_pm > $cap * 1000 AS over_cap
+         |  alloc_tokens > $cap * source_tokens AS over_cap
          |FROM e ORDER BY source""".stripMargin
     },
     "d_mix" -> {

@@ -1332,7 +1332,7 @@ object DocTextOps {
     *   alloc_tokens  = share_ppm · budget DIV 1e6   (its budget slice)
     *   epochs_pm     = alloc_tokens · 1000 DIV source_tokens
     *   effective     = min(alloc, cap · source_tokens)  (value-bearing part)
-    *   over_cap      = epochs_pm > cap · 1000
+    *   over_cap      = alloc_tokens > cap · source_tokens
     *
     * The budget is expressed in per-mille of the corpus's own token count
     * so the over/under-cap branches realize identically at every scale
@@ -1378,7 +1378,10 @@ object DocTextOps {
       .selectExpr("source", "n_docs", "source_tokens", "share_ppm",
         "alloc_tokens", "epochs_pm",
         s"least(alloc_tokens, $repeatCapEpochs * source_tokens) AS effective_tokens",
-        s"epochs_pm > $repeatCapEpochs * 1000 AS over_cap")
+        // tested on the EXACT token comparison, not the floored epochs_pm
+        // (a source clipped by <0.1% would otherwise read over_cap=false
+        // while effective_tokens shows the clip)
+        s"alloc_tokens > $repeatCapEpochs * source_tokens AS over_cap")
       .orderBy("source")
   }
 

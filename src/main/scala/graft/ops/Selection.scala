@@ -228,13 +228,19 @@ object Selection {
           "WHEN 3 * c_above < 2 * n THEN 'middle' ELSE 'tail' END AS ppl_bucket")
   }
 
-  def pplBuckets(documents: DataFrame, refLang: String = DefaultRefLang): DataFrame = {
+  /** Per-document LM score + per-language tercile label — the shared
+    * core of [[pplBuckets]] and [[annealPlan]] (one dataflow, the two
+    * cannot drift). One `(doc_id, lang, avg_log2_x64, ppl_bucket)` row
+    * per scorable document, unordered. */
+  private def bucketedScores(documents: DataFrame, refLang: String): DataFrame = {
     val scored = lmScore(documents, refLang)
       .join(documents.select("doc_id", "lang"), Seq("doc_id"))
     scored.join(broadcast(tercileLabels(scored, "lang")), Seq("lang", "avg_log2_x64"))
       .select("doc_id", "lang", "avg_log2_x64", "ppl_bucket")
-      .orderBy("doc_id")
   }
+
+  def pplBuckets(documents: DataFrame, refLang: String = DefaultRefLang): DataFrame =
+    bucketedScores(documents, refLang).orderBy("doc_id")
 
   /** Anneal-phase share of the training budget, per-mille (100 = the last
     * 10% of training steps run on the high-quality pool — the
@@ -271,10 +277,7 @@ object Selection {
       s"annealPlan: annealFracPermille must be in [0, 1000], got $annealFracPermille")
     require(budgetPermille >= 0,
       s"annealPlan: budgetPermille must be >= 0, got $budgetPermille")
-    val scored = lmScore(documents, refLang)
-      .join(documents.select("doc_id", "lang"), Seq("doc_id"))
-    val grouped = scored
-      .join(broadcast(tercileLabels(scored, "lang")), Seq("lang", "avg_log2_x64"))
+    val grouped = bucketedScores(documents, refLang)
       .join(documents.selectExpr("doc_id",
         "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens"), Seq("doc_id"))
       .groupBy("lang", "ppl_bucket")

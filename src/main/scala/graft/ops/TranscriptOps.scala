@@ -237,11 +237,16 @@ object TranscriptOps {
     * own schedule.
     *
     * Shape at 100 TB: the standing side is READ, never recomputed — the
-    * probe is O(delta · bands) against the stored band table (AQE
-    * broadcasts a small delta), verification joins only the candidate
-    * pairs back to the two fingerprint tables, and the append writes
-    * O(admitted) rows. The [[graft.ops.Dedup.incrementalMinhash]]
-    * admission semantics, store-backed. */
+    * probe is O(delta · bands) against the stored band table plus the
+    * (small) delta band table itself: duplicates arriving in the SAME
+    * batch dedup against their smaller-id batchmates
+    * (incrementalMinhash's `y < x` rule), so an intra-batch pair can
+    * never double-enter the index. Verification joins only the candidate
+    * pairs back to the fingerprint tables; the append writes O(admitted)
+    * rows. Delta conversations too short to fingerprint (every renderable
+    * turn under 3 tokens) surface as `admitted = true` with zero
+    * candidates — the [[graft.ops.Dedup.incrementalMinhash]] admission
+    * contract, store-backed. */
   def convDedupIncr(turns: DataFrame,
                     thresholdPpm: Long = ConvDupThresholdPpm): DataFrame = {
     val spark = turns.sparkSession
@@ -252,13 +257,13 @@ object TranscriptOps {
     val standFps = convHashedFps(
       renderable.where(s"${Shingles.h32("conv_id")} % $fm != 1")
         .select("conv_id", "text"))
-    val deltaFps = convHashedFps(
+    val deltaTurns =
       renderable.where(s"${Shingles.h32("conv_id")} % $fm = 0")
         .withColumn("max_idx", max("turn_idx").over(Window.partitionBy("conv_id")))
         .where("turn_idx < max_idx")
         .selectExpr("conv_id || '~f' AS conv_id", "text")
         .union(renderable.where(s"${Shingles.h32("conv_id")} % $fm = 1")
-          .select("conv_id", "text")))
+          .select("conv_id", "text"))
     val dir = java.nio.file.Files.createTempDirectory("graft-conv-index")
     try {
       val bandStore = new graft.io.SnapshotStore(dir.resolve("bands").toString)
@@ -273,16 +278,33 @@ object TranscriptOps {
       bandStore.append(convBandsFromHashes(storedFps))
       val storedBands = bandStore.read(spark, bandStore.latest.get)
       // 2. PROBE: the delta fingerprints materialize once (checkpoint) and
-      //    feed banding, verification and the admitted append
-      val delta = deltaFps.localCheckpoint(true)
-      val cand = convBandsFromHashes(delta).as("x")
-        .join(storedBands.as("y"),
-          expr("x.band = y.band AND x.key = y.key AND x.conv_id != y.conv_id"))
+      //    feed banding, verification and the admitted append; the delta
+      //    UNIVERSE (every delta conv id, including fingerprint-less short
+      //    conversations) is the output's left side — incrementalMinhash's
+      //    contract: a conv the index cannot fingerprint is ADMITTED, not
+      //    silently dropped
+      val deltaIds = deltaTurns.select("conv_id").distinct().localCheckpoint(true)
+      val delta = convHashedFps(deltaTurns).localCheckpoint(true)
+      val deltaBands = convBandsFromHashes(delta)
+      // candidate partners: the stored standing bands, PLUS earlier
+      // (smaller-id) conversations of the SAME delta batch — without the
+      // intra-batch side, two duplicates arriving together would both be
+      // admitted and both enter the index (incrementalMinhash's
+      // `y.doc_id < x.doc_id` rule, conversation-flavored)
+      val probeSide = storedBands
+        .selectExpr("conv_id", "band", "key", "false AS y_is_delta")
+        .unionByName(deltaBands
+          .selectExpr("conv_id", "band", "key", "true AS y_is_delta"))
+      val cand = deltaBands.as("x")
+        .join(probeSide.as("y"),
+          expr("x.band = y.band AND x.key = y.key AND x.conv_id != y.conv_id" +
+            " AND (NOT y.y_is_delta OR y.conv_id < x.conv_id)"))
         .groupBy(col("x.conv_id").as("conv_id"), col("y.conv_id").as("partner"))
         .agg(count(lit(1)).as("n_shared_bands"))
+      val partnerFps = storedFps.select("conv_id", "shs").unionByName(delta)
       val ver = cand
         .join(delta.selectExpr("conv_id", "shs AS shs_a"), "conv_id")
-        .join(storedFps.selectExpr("conv_id AS partner", "shs AS shs_b"), "partner")
+        .join(partnerFps.selectExpr("conv_id AS partner", "shs AS shs_b"), "partner")
         .selectExpr("conv_id", "partner",
           "size(array_intersect(shs_a, shs_b)) AS inter",
           "size(shs_a) AS na", "size(shs_b) AS nb")
@@ -293,7 +315,7 @@ object TranscriptOps {
         max("jaccard_ppm").as("max_jaccard_ppm"),
         sum(when(col("jaccard_ppm") >= thresholdPpm, 1L).otherwise(0L)).as("n_dups"),
         min(when(col("jaccard_ppm") >= thresholdPpm, col("partner"))).as("dup_of"))
-      val out = delta.select("conv_id")
+      val out = deltaIds
         .join(verdicts, Seq("conv_id"), "left")
         .selectExpr("conv_id", "conv_id LIKE '%~f' AS is_fork",
           "CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates",
@@ -301,16 +323,17 @@ object TranscriptOps {
           "CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups", "dup_of",
           "coalesce(n_dups, 0) = 0 AS admitted")
         .localCheckpoint(true)
-      // 3. APPEND: admitted conversations join the index; the invariant
-      //    reads MANIFEST row counts (zero extra jobs) against the cheap
-      //    count over the checkpointed verdicts
+      // 3. APPEND: admitted conversations WITH fingerprints join the
+      //    index; the invariant reads the MANIFEST row count (zero extra
+      //    jobs) against cheap counts over the checkpointed frames
+      //    (fingerprint-less admissions are admitted but not indexable)
       val adSnap = fpStore.append(
         delta.join(out.where("admitted").select("conv_id"), "conv_id"))
       bandStore.append(convBandsFromHashes(fpStore.read(spark, adSnap)))
       val appended = fpStore.rowCount(adSnap)
-      val admitted = out.where("admitted").count()
-      require(appended.contains(admitted),
-        s"convDedupIncr: appended $appended fingerprints, expected $admitted admitted")
+      val expected = out.where("admitted").count() - (deltaIds.count() - delta.count())
+      require(appended.contains(expected),
+        s"convDedupIncr: appended $appended fingerprints, expected $expected admitted-with-fingerprint")
       out.orderBy("conv_id")
     } finally graft.io.SnapshotStore.deleteRecursively(dir)
   }
@@ -522,22 +545,26 @@ object TranscriptOps {
     * aggregates to ≤64 rows with map-side partials; the global row is a
     * 1-row aggregate. Nothing else moves. */
   def lenBuckets(turns: DataFrame): DataFrame = {
-    val conv = turns.where("role IS NOT NULL AND text IS NOT NULL")
+    // ONE corpus pass: the conv-clustered agg rolls straight into the
+    // <=64-row bucket table (eagerly materialized — it is tiny), and the
+    // global pad-to-max row FOLDS from that table (max_n carries the
+    // per-bucket max so the corpus is not scanned a second time)
+    val per = turns.where("role IS NOT NULL AND text IS NOT NULL")
       .selectExpr("conv_id", "CAST(1 + size(split(text, ' ')) AS BIGINT) AS rt_toks")
       .groupBy("conv_id").agg(sum("rt_toks").as("n"))
-    val per = conv
       .selectExpr("n",
         "CASE WHEN (n & (n - 1)) = 0 THEN n" +
           " ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n))) END AS bucket_hi")
       .groupBy("bucket_hi")
-      .agg(count(lit(1)).as("n_seqs"), sum("n").as("sum_tokens"))
-      .selectExpr("'bucket' AS scope", "bucket_hi",
-        "CAST(n_seqs AS BIGINT) AS n_seqs", "sum_tokens")
-    val global = conv.agg(max("n").as("bucket_hi"),
-        count(lit(1)).as("n_seqs"), sum("n").as("sum_tokens"))
+      .agg(count(lit(1)).as("n_seqs"), sum("n").as("sum_tokens"), max("n").as("max_n"))
+      .localCheckpoint(true)
+    val buckets = per.selectExpr("'bucket' AS scope", "bucket_hi",
+      "CAST(n_seqs AS BIGINT) AS n_seqs", "sum_tokens")
+    val global = per.agg(max("max_n").as("bucket_hi"),
+        sum("n_seqs").as("n_seqs"), sum("sum_tokens").as("sum_tokens"))
       .selectExpr("'global' AS scope", "bucket_hi",
         "CAST(n_seqs AS BIGINT) AS n_seqs", "sum_tokens")
-    per.unionByName(global)
+    buckets.unionByName(global)
       .selectExpr("scope", "bucket_hi", "n_seqs", "sum_tokens",
         "bucket_hi * n_seqs AS padded_tokens",
         "(bucket_hi - sum_tokens DIV n_seqs) * 1000000 DIV bucket_hi AS waste_ppm")

@@ -93,16 +93,26 @@ class TranscriptOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("convDedupIncr: delta probes the stored index — forks rejected, new convs admitted") {
     // standing = h32 % 4 != 1 → {cB, cA, cC}; delta = cB's drop-last-turn
-    // retry twin (must verify vs stored cB) + solo (h32 % 4 = 1, never
-    // indexed → admitted); tiny (< 3 tokens) has no fingerprint → absent
-    val got = TranscriptOps.convDedupIncr(dedupCorpus).collect()
+    // retry twin (must verify vs stored cB) + solo/tiny (h32 % 4 = 1,
+    // never indexed) + the identical pair nat2/pA (both h32 % 4 = 1 —
+    // INTRA-batch duplicates: smaller id admitted, larger rejected).
+    // tiny (< 3 tokens) has no fingerprint: admitted with 0 candidates.
+    val dupVocab = (1 to 15).map(i => s"n$i").mkString(" ")
+    val corpus = dedupCorpus.union(turns(
+      ("nat2", 1, "user", dupVocab), ("pA", 1, "user", dupVocab)))
+    val got = TranscriptOps.convDedupIncr(corpus).collect()
       .map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(2), r.getLong(3),
         r.getLong(4), Option(r.getString(5)), r.getBoolean(6)))).toMap
-    assert(got.keySet === Set("cB~f", "solo"))
+    assert(got.keySet === Set("cB~f", "solo", "tiny", "nat2", "pA"))
     assert(got("cB~f") === ((true, 1L, 947368L, 1L, Some("cB"), false)))
     assert(got("solo") === ((false, 0L, 0L, 0L, None, true)))
-    assert(TranscriptOps.convDedupIncr(dedupCorpus.repartition(7))
-      .collect().toSeq === TranscriptOps.convDedupIncr(dedupCorpus).collect().toSeq)
+    assert(got("tiny") === ((false, 0L, 0L, 0L, None, true)))
+    // intra-batch identical pair: nat2 < pA, so nat2 sees no smaller
+    // partner (admitted) and pA dedups against its batchmate
+    assert(got("nat2") === ((false, 0L, 0L, 0L, None, true)))
+    assert(got("pA") === ((false, 1L, 1000000L, 1L, Some("nat2"), false)))
+    assert(TranscriptOps.convDedupIncr(corpus.repartition(7))
+      .collect().toSeq === TranscriptOps.convDedupIncr(corpus).collect().toSeq)
   }
 
   test("convDedup: forkMod = 0 is production mode — no scenario twins, real dups still found") {
