@@ -1359,11 +1359,15 @@ object DocTextOps {
         "CAST(coalesce(size(split(text, ' ')), 0) AS BIGINT) AS n_tokens")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("source_tokens"))
-    val total = bySource.agg(sum("source_tokens").as("corpus_tokens"))
     val shareExpr = targetPpm.foldLeft("CAST(0 AS BIGINT)") {
       case (acc, (src, t)) => s"IF(source = '${sqlLit(src)}', CAST($t AS BIGINT), $acc)"
     }
-    bySource.crossJoin(broadcast(total))
+    // corpus total via a single-partition window over the ≤sources-row
+    // rollup (the histQuantiles pattern) — a crossJoin(broadcast(agg))
+    // would re-run the per-source aggregation, i.e. a SECOND corpus scan
+    bySource
+      .withColumn("corpus_tokens", sum("source_tokens")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
       .withColumn("share_ppm", expr(shareExpr))
       .withColumn("budget_tokens", expr(
         s"corpus_tokens DIV 1000 * $budgetPermille" +

@@ -282,11 +282,15 @@ object Selection {
         "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens"), Seq("doc_id"))
       .groupBy("lang", "ppl_bucket")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("group_tokens"))
-    val totals = grouped.agg(
-      sum("group_tokens").as("corpus_toks"),
-      sum(when(col("ppl_bucket") === "head", col("group_tokens"))
-        .otherwise(0L)).as("head_toks"))
-    grouped.crossJoin(broadcast(totals))
+    // totals via a single-partition window over the ≤ langs×3-row rollup
+    // (the histQuantiles pattern) — a crossJoin(broadcast(agg)) would
+    // re-run the whole scoring pipeline for the 1-row total
+    val w0 = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    grouped
+      .withColumn("corpus_toks", sum("group_tokens").over(w0))
+      .withColumn("head_toks",
+        sum(when(col("ppl_bucket") === "head", col("group_tokens"))
+          .otherwise(0L)).over(w0))
       .withColumn("budget_tokens", expr(
         s"corpus_toks DIV 1000 * $budgetPermille + corpus_toks % 1000 * $budgetPermille DIV 1000"))
       .withColumn("anneal_budget", expr(

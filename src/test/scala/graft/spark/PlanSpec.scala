@@ -319,6 +319,53 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("HashAggregate"), p)
   }
 
+  test("d_fim is map-only: hash draws and substrings ride the scan") {
+    val docs = Relational.tbl(spark, Sf, "documents")
+    val plan = graft.ops.DocTextOps.fimTransform(docs)
+    // only the deterministic output-order range exchange — the transform
+    // itself must stay a pure map pass at any corpus size
+    assert(shuffleCount(plan) === 1, formatted(plan))
+    val p = formatted(plan)
+    assert(!p.contains("Join"), "FIM must not plan a join")
+    assert(!p.contains("HashAggregate"), "FIM must not plan an aggregate")
+  }
+
+  test("t_pref_pairs: extremum groupBy reuses the prompt_key window's shuffle") {
+    import spark.implicits._
+    val turns = (1 to 40).flatMap(c => Seq(
+      (s"c$c", 1, "user", s"q$c"), (s"c$c", 2, "assistant", "a a b")))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val p = formatted(graft.ops.TranscriptOps.prefPairs(turns))
+    // ranking shuffles ONCE on prompt_key: the group-extremum aggregate
+    // must ride the window's partitioning, not re-exchange (the window's
+    // exchange is the only hashpartitioning(prompt_key in the plan)
+    assert("hashpartitioning\\(prompt_key".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t_len_buckets: returned plan reads only the checkpointed rollup") {
+    import spark.implicits._
+    val turns = (1 to 30).map(c => (s"c$c", 1, "user", "a b c"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val p = formatted(graft.ops.TranscriptOps.lenBuckets(turns))
+    // the corpus pass happened ONCE at checkpoint time: both output
+    // branches (bucket rows + the folded global row) read the tiny
+    // checkpointed table, never the input again
+    assert(!p.contains("LocalTableScan"), p)
+    assert(p.contains("ExistingRDD"), p)
+  }
+
+  test("d_epochs: one per-source aggregate, corpus total broadcasts") {
+    val docs = Relational.tbl(spark, Sf, "documents")
+    val plan = graft.ops.DocTextOps.epochAllocation(docs)
+    val p = formatted(plan)
+    // the corpus is scanned ONCE: the total folds from the per-source
+    // rollup via a tiny single-partition window, never a second pass
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1, p)
+    // source rollup + the tiny window's single partition + output order
+    assert(shuffleCount(plan) <= 3, p)
+  }
+
   test("q13 quantiles: no window over the low-cardinality group key") {
     val df = Relational.q13Quantiles(spark, Sf)
     val p = formatted(df)
