@@ -270,6 +270,14 @@ object SparkEntry {
       graft.ops.TranscriptOps.convDedup(
         graft.gen.SyntheticTranscripts.turns(s, n).toDF())
     }),
+    // the composed transcript pipeline: conv near-dedup keep rule -> echo
+    // quality gate -> shelf packing of the selected pool, one lineage row
+    // per conversation (the transcript-native d_pipeline)
+    "t_pipeline" -> ((s, d) => {
+      val n = graft.gen.SyntheticTranscripts.convsForSfDir(d)
+      graft.ops.TranscriptOps.transcriptPipeline(
+        graft.gen.SyntheticTranscripts.turns(s, n).toDF())
+    }),
     // store-backed incremental conversation dedup: standing fingerprints
     // + bands persisted as SnapshotStore tables, delta batch probes the
     // STORED index one-sidedly, admitted convs appended back
@@ -746,18 +754,30 @@ object SparkEntry {
     * verification via least/greatest pair lookup (LEFT join: a banded
     * collision with zero shared shingles verifies at 0 — probed, never a
     * dup), and per-conversation verdicts. */
-  private def convDedupOracle: String = {
+  /** The retried-session scenario union as CTEs (`base`, `allt`) —
+    * replays [[graft.ops.TranscriptOps]]'s shared `forkedTurns` (role and
+    * turn_idx carried for downstream echo/pack replays). Shared by the
+    * `t_conv_dedup` and `t_pipeline` oracles. */
+  private def convForkCtes: String = {
     val fm = graft.ops.TranscriptOps.ConvForkMod
-    val thr = graft.ops.TranscriptOps.ConvDupThresholdPpm
-    s"""WITH base AS (SELECT conv_id, turn_idx, text,
+    s"""base AS (SELECT conv_id, turn_idx, role, text,
        |    max(turn_idx) OVER (PARTITION BY conv_id) AS max_idx
        |  FROM read_parquet('__VERIFY_OUT__/_raw_turns/*.parquet')
        |  WHERE text IS NOT NULL),
-       |allt AS (SELECT conv_id, text FROM base
+       |allt AS (SELECT conv_id, turn_idx, role, text FROM base
        |  UNION ALL
-       |  SELECT conv_id || '~f', text FROM base
-       |  WHERE ${dh32("conv_id")} % $fm = 0 AND turn_idx < max_idx),
-       |sh AS (SELECT conv_id AS doc_id, list_distinct(flatten(list(shs))) AS shs FROM (
+       |  SELECT conv_id || '~f', turn_idx, role, text FROM base
+       |  WHERE ${dh32("conv_id")} % $fm = 0 AND turn_idx < max_idx)""".stripMargin
+  }
+
+  /** Conversation-dedup core over an `allt(conv_id, text, …)` CTE in
+    * scope: fingerprints, bands, symmetric candidate probe, exact-Jaccard
+    * verification, per-conversation verdict aggregate — yields `sh` and
+    * `agg`. ONE fragment shared by the `t_conv_dedup` and `t_pipeline`
+    * oracles so the composed replay cannot drift. */
+  private def convDedupCoreCtes: String = {
+    val thr = graft.ops.TranscriptOps.ConvDupThresholdPpm
+    s"""sh AS (SELECT conv_id AS doc_id, list_distinct(flatten(list(shs))) AS shs FROM (
        |    SELECT conv_id, [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
        |                     for i in range(1, len(ws) - 1)] AS shs
        |    FROM (SELECT conv_id, string_split(text, ' ') AS ws FROM allt)
@@ -775,13 +795,74 @@ object SparkEntry {
        |          max(jaccard_ppm)::BIGINT AS max_jaccard_ppm,
        |          sum(CASE WHEN jaccard_ppm >= $thr THEN 1 ELSE 0 END)::BIGINT AS n_dups,
        |          min(CASE WHEN jaccard_ppm >= $thr THEN partner END) AS dup_of
-       |        FROM ver GROUP BY 1)
+       |        FROM ver GROUP BY 1)""".stripMargin
+  }
+
+  private def convDedupOracle: String =
+    s"""WITH $convForkCtes,
+       |$convDedupCoreCtes
        |SELECT s.doc_id AS conv_id, s.doc_id LIKE '%~f' AS is_fork,
        |  coalesce(n_candidates, 0)::BIGINT AS n_candidates,
        |  coalesce(max_jaccard_ppm, 0)::BIGINT AS max_jaccard_ppm,
        |  coalesce(n_dups, 0)::BIGINT AS n_dups, dup_of,
        |  coalesce(n_dups, 0) > 0 AS is_dup
        |FROM sh s LEFT JOIN agg USING (doc_id) ORDER BY conv_id""".stripMargin
+
+  /** Replays [[graft.ops.TranscriptOps.transcriptPipeline]]: the shared
+    * fork + dedup-core fragments, the canonical-is-min keep rule over the
+    * conversation universe, the t_echo overlap replay rolled up per
+    * conversation, and the d_pack shelf over the selected pool. */
+  private def transcriptPipelineOracle: String = {
+    val echoThr = graft.ops.TranscriptOps.DefaultEchoThresholdPpm
+    val convThr = graft.ops.TranscriptOps.EchoConvThresholdPpm
+    val budget = graft.ops.DocTextOps.DefaultPackBudget
+    s"""WITH $convForkCtes,
+       |$convDedupCoreCtes,
+       |u AS (SELECT DISTINCT conv_id FROM allt),
+       |dk AS (SELECT u.conv_id,
+       |    coalesce(a.n_dups, 0) > 0 AS is_dup, a.dup_of,
+       |    coalesce(a.n_dups, 0) = 0 OR u.conv_id < a.dup_of AS dedup_keep
+       |  FROM u LEFT JOIN agg a ON u.conv_id = a.doc_id),
+       |et AS (SELECT conv_id, turn_idx, role, text,
+       |    last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
+       |      OVER (PARTITION BY conv_id ORDER BY turn_idx
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_user
+       |  FROM allt),
+       |eo AS (SELECT conv_id,
+       |    CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+       |        x -> list_contains(list_distinct(string_split(prev_user, ' ')), x))) AS BIGINT)
+       |      * 1000000 // len(list_distinct(string_split(text, ' '))) AS overlap_ppm
+       |  FROM et WHERE role = 'assistant' AND prev_user IS NOT NULL AND text IS NOT NULL),
+       |ce AS (SELECT conv_id, count(*)::BIGINT AS n_echo_scored,
+       |    sum(CASE WHEN overlap_ppm >= $echoThr THEN 1 ELSE 0 END) * 1000000
+       |      // count(*) AS echo_ppm
+       |  FROM eo GROUP BY 1),
+       |lin AS (SELECT dk.conv_id, dk.conv_id LIKE '%~f' AS is_fork, dk.is_dup,
+       |    dk.dup_of, dk.dedup_keep,
+       |    coalesce(ce.n_echo_scored, 0)::BIGINT AS n_echo_scored, ce.echo_ppm,
+       |    ce.echo_ppm IS NULL OR ce.echo_ppm < $convThr AS echo_keep,
+       |    dk.dedup_keep AND (ce.echo_ppm IS NULL OR ce.echo_ppm < $convThr) AS selected
+       |  FROM dk LEFT JOIN ce ON dk.conv_id = ce.conv_id),
+       |tok AS (SELECT conv_id, sum(1 + len(string_split(text, ' ')))::BIGINT AS n_tokens
+       |  FROM allt WHERE role IS NOT NULL GROUP BY 1),
+       |sel AS (SELECT l.conv_id, t.n_tokens,
+       |    CAST(regexp_extract(l.conv_id, '([0-9]+)', 1) AS BIGINT)
+       |      + CASE WHEN l.conv_id LIKE '%~f' THEN 1000000000 ELSE 0 END AS conv_num
+       |  FROM lin l JOIN tok t ON l.conv_id = t.conv_id WHERE l.selected),
+       |pk AS (SELECT conv_num,
+       |    COALESCE(sum(n_tokens) OVER (ORDER BY n_tokens DESC, conv_num
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+       |  FROM sel)
+       |SELECT l.conv_id, l.is_fork, l.is_dup, l.dup_of, l.dedup_keep,
+       |  l.n_echo_scored, l.echo_ppm, l.echo_keep, l.selected,
+       |  CASE WHEN l.selected THEN tok.n_tokens END AS n_tokens,
+       |  pk.cum_before // $budget AS pack_id,
+       |  pk.cum_before % $budget AS pack_offset
+       |FROM lin l
+       |LEFT JOIN tok ON l.conv_id = tok.conv_id
+       |LEFT JOIN sel ON l.conv_id = sel.conv_id
+       |LEFT JOIN pk ON sel.conv_num = pk.conv_num
+       |ORDER BY l.conv_id""".stripMargin
   }
 
   /** Replays [[graft.ops.TranscriptOps.convDedupIncr]]: the standing/
@@ -1527,6 +1608,7 @@ object SparkEntry {
          |FROM o ORDER BY conv_id, turn_idx""".stripMargin,
     "t_conv_dedup" -> convDedupOracle,
     "t_conv_dedup_incr" -> convDedupIncrOracle,
+    "t_pipeline" -> transcriptPipelineOracle,
     // chat-template span arithmetic replayed as a window sum: a turn
     // renders as role || ': ' || text, '\n'-joined; span math mirrors
     // TranscriptOps.lossMaskSpans

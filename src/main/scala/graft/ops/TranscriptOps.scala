@@ -116,13 +116,7 @@ object TranscriptOps {
     // forkMod = 0 is the PRODUCTION mode: no scenario twins, dedup exactly
     // the conversations fed in (the registered gate query keeps the default
     // so both verdicts realize on the synthetic corpus)
-    val base = turns.where("text IS NOT NULL")
-      .withColumn("max_idx", max("turn_idx").over(Window.partitionBy("conv_id")))
-    val allTurns =
-      if (forkMod == 0) base.select("conv_id", "turn_idx", "text")
-      else base.select("conv_id", "turn_idx", "text").union(base
-        .where(s"${Shingles.h32("conv_id")} % $forkMod = 0 AND turn_idx < max_idx")
-        .selectExpr("conv_id || '~f' AS conv_id", "turn_idx", "text"))
+    val allTurns = forkedTurns(turns, forkMod).select("conv_id", "turn_idx", "text")
     // the fingerprint subtree feeds four plan branches (both band sides,
     // both verify lookups) and is deliberately NOT persisted: caching the
     // wide shingle-array rows measured 2.4× slower than the codegen'd
@@ -158,6 +152,21 @@ object TranscriptOps {
         "CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups", "dup_of",
         "coalesce(n_dups, 0) > 0 AS is_dup")
       .orderBy("conv_id")
+  }
+
+  /** The retried-session scenario union shared by [[convDedup]] and
+    * [[transcriptPipeline]] (one fork construction, the composed replay
+    * cannot drift): renderable turns plus, for conversations matching
+    * `h32(conv_id) % forkMod = 0`, a drop-last-turn twin `conv_id || '~f'`.
+    * `forkMod = 0` disables the scenario (production mode). */
+  private def forkedTurns(turns: DataFrame, forkMod: Long): DataFrame = {
+    val base = turns.where("text IS NOT NULL")
+      .select("conv_id", "turn_idx", "role", "text")
+    if (forkMod == 0) base
+    else base.union(base
+      .withColumn("max_idx", max("turn_idx").over(Window.partitionBy("conv_id")))
+      .where(s"${Shingles.h32("conv_id")} % $forkMod = 0 AND turn_idx < max_idx")
+      .selectExpr("conv_id || '~f' AS conv_id", "turn_idx", "role", "text"))
   }
 
   /** Conversation fingerprints — union of per-turn distinct 3-shingles
@@ -336,6 +345,98 @@ object TranscriptOps {
         s"convDedupIncr: appended $appended fingerprints, expected $expected admitted-with-fingerprint")
       out.orderBy("conv_id")
     } finally graft.io.SnapshotStore.deleteRecursively(dir)
+  }
+
+  /** Conversation-level echo-rate threshold for [[transcriptPipeline]]'s
+    * quality gate (ppm of scored assistant turns that are echoes; strict
+    * `<` keep). 50% splits the synthetic corpus 90 keep / 110 drop at
+    * sf0.01, so both branches stay driver-gate-visible. */
+  val EchoConvThresholdPpm = 500000L
+
+  /** THE COMPOSED TRANSCRIPT PIPELINE — raw agent transcripts to packed
+    * training sequences as ONE oracled dataflow, the transcript-native
+    * capstone next to [[graft.ops.Selection]]'s `d_pipeline`/`d_ccnet`:
+    *
+    *  1. conversation NEAR-DEDUP ([[convDedup]] over the shared
+    *     [[forkedTurns]] scenario union) with the canonical-is-min keep
+    *     rule: a duplicate survives iff it precedes its smallest verified
+    *     partner (`NOT is_dup OR conv_id < dup_of`), so exactly one
+    *     member of each dup pair trains; conversations too short to
+    *     fingerprint carry no dedup signal and are kept;
+    *  2. ECHO QUALITY GATE ([[echoDetect]] rolled up per conversation):
+    *     drop conversations whose assistant turns echo the user in
+    *     `>= echoConvThresholdPpm` of scored cases — the parrot-session
+    *     filter; conversations with NO scored assistant turn (no
+    *     user-assistant adjacency) carry no signal and are kept;
+    *  3. sequence PACKING of the selected conversations
+    *     ([[graft.ops.DocTextOps.packByTokens]] — the same shelf rule as
+    *     [[packMasked]]/`d_pack`, rendered-turn token counts), so every
+    *     selected conversation lands at `(pack_id, pack_offset)` and the
+    *     output IS the trainer's manifest.
+    *
+    * One verdict row per conversation in the (forked) universe — kept or
+    * dropped, every drop names its stage — the drop-lineage discipline
+    * the composed document pipelines established. `numKeyExpr` maps a
+    * conv id to the numeric pack key (fork twins offset by 10^9 so a
+    * surviving fork can never collide with its original's key).
+    *
+    * Shape at 100 TB: each stage keeps its own operator's shape (banded
+    * candidate probe, conv-clustered window + rollup, one-row-per-conv
+    * prefix-sum packing); the lineage assembly is left joins on conv_id
+    * riding the same clustering. */
+  def transcriptPipeline(turns: DataFrame,
+                         dupThresholdPpm: Long = ConvDupThresholdPpm,
+                         forkMod: Long = ConvForkMod,
+                         echoThresholdPpm: Long = DefaultEchoThresholdPpm,
+                         echoConvThresholdPpm: Long = EchoConvThresholdPpm,
+                         budget: Long = DocTextOps.DefaultPackBudget,
+                         numKeyExpr: String =
+                           "CAST(regexp_extract(conv_id, '([0-9]+)', 1) AS BIGINT)" +
+                             " + IF(conv_id LIKE '%~f', CAST(1000000000 AS BIGINT), CAST(0 AS BIGINT))"): DataFrame = {
+    val forked = forkedTurns(turns, forkMod)
+    val universe = forked.select("conv_id").distinct()
+    // 1. dedup verdicts + canonical-is-min keep (forkMod = 0 here: the
+    //    scenario union is already materialized in `forked`)
+    val dd = convDedup(forked, dupThresholdPpm, forkMod = 0L)
+      .selectExpr("conv_id", "is_dup", "dup_of",
+        "NOT is_dup OR conv_id < dup_of AS dedup_keep")
+    // 2. conversation-level echo rate over the same union
+    val convEcho = echoDetect(forked, echoThresholdPpm)
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_echo_scored"),
+        sum(when(col("is_echo"), 1L).otherwise(0L)).as("n_echoed"))
+      .selectExpr("conv_id", "n_echo_scored",
+        "n_echoed * 1000000 DIV n_echo_scored AS echo_ppm")
+    val lineage = universe
+      .join(dd, Seq("conv_id"), "left")
+      .join(convEcho, Seq("conv_id"), "left")
+      .selectExpr("conv_id", "conv_id LIKE '%~f' AS is_fork",
+        "coalesce(is_dup, false) AS is_dup", "dup_of",
+        "coalesce(dedup_keep, true) AS dedup_keep",
+        "CAST(coalesce(n_echo_scored, 0) AS BIGINT) AS n_echo_scored",
+        "echo_ppm",
+        s"echo_ppm IS NULL OR echo_ppm < $echoConvThresholdPpm AS echo_keep")
+      .selectExpr("conv_id", "is_fork", "is_dup", "dup_of", "dedup_keep",
+        "n_echo_scored", "echo_ppm", "echo_keep",
+        "dedup_keep AND echo_keep AS selected")
+    // 3. shelf-pack the selected conversations (rendered-turn tokens)
+    val toks = forked.where("role IS NOT NULL")
+      .selectExpr("conv_id", "CAST(1 + size(split(text, ' ')) AS BIGINT) AS rt_toks")
+      .groupBy("conv_id").agg(sum("rt_toks").as("n_tokens"))
+    val packs = DocTextOps.packByTokens(
+      lineage.where("selected").select("conv_id")
+        .join(toks, Seq("conv_id"))
+        .selectExpr("n_tokens", s"$numKeyExpr AS doc_id"), budget)
+    lineage
+      .join(toks, Seq("conv_id"), "left")
+      .withColumn("conv_num", expr(numKeyExpr))
+      .join(packs.selectExpr("doc_id AS conv_num", "pack_id", "pack_offset"),
+        Seq("conv_num"), "left")
+      .selectExpr("conv_id", "is_fork", "is_dup", "dup_of", "dedup_keep",
+        "n_echo_scored", "echo_ppm", "echo_keep", "selected",
+        "CASE WHEN selected THEN n_tokens END AS n_tokens",
+        "pack_id", "pack_offset")
+      .orderBy("conv_id")
   }
 
   /** Chat-template rendering shared by [[lossMaskSpans]] and [[sftPairs]]

@@ -232,6 +232,51 @@ class TranscriptOpsSpec extends AnyFunSuite with SparkFixture {
     assert(TranscriptOps.sftPairs(maskCorpus.repartition(5)).collect().toSeq === p)
   }
 
+  // --- transcriptPipeline --------------------------------------------------
+  // h32 % ConvForkMod: c7 → 0 (forked); c1 → 1, c2/c9 → 2, c3 → 3 (clean).
+  private val pipeCorpus = turns(
+    ("c7", 1, "user", (1 to 20).map(i => s"b$i").mkString(" ")), // fork keeps
+    ("c7", 2, "assistant", "b90 b91 b92"), // only turn 1: Jaccard 18/19 → dup; c7 wins
+    ("c2", 1, "user", "e1 e2 e3 e4"),
+    ("c2", 2, "assistant", "e1 e2 e3 e4"), // full echo → dropped by gate
+    ("c3", 1, "user", "f1 f2 f3"),
+    ("c3", 2, "assistant", "g1 g2 g3 g4"), // clean → selected
+    ("c1", 1, "user", "h1 h2"),
+    ("c1", 2, "assistant", "h1 h2"), //    one echo of two scored turns:
+    ("c1", 3, "user", "h3 h4"),
+    ("c1", 4, "assistant", "h5 h6"), //    ppm = exactly 500000 → dropped (strict <)
+    ("c9", 1, "user", "z1 z2")) //         no fingerprint, no assistant → kept
+
+  test("transcriptPipeline: dedup keep rule, echo gate boundary, shelf packing") {
+    val got = TranscriptOps.transcriptPipeline(pipeCorpus).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2),
+        Option(r.getString(3)), r.getBoolean(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)), r.getBoolean(7),
+        r.getBoolean(8), if (r.isNullAt(9)) None else Some(r.getLong(9)),
+        if (r.isNullAt(10)) None else Some(r.getLong(10)),
+        if (r.isNullAt(11)) None else Some(r.getLong(11))))).toMap
+    assert(got.keySet === Set("c1", "c2", "c3", "c7", "c7~f", "c9"))
+    // exactly-at-threshold echo rate drops (strict <)
+    assert(got("c1") === ((false, false, None, true, 2L, Some(500000L),
+      false, false, None, None, None)))
+    assert(got("c2") === ((false, false, None, true, 1L, Some(1000000L),
+      false, false, None, None, None)))
+    // selected pool packs by (n_tokens DESC, conv_num): c7(25), c3(9), c9(3)
+    assert(got("c7") === ((false, true, Some("c7~f"), true, 1L, Some(0L),
+      true, true, Some(25L), Some(0L), Some(0L))))
+    assert(got("c3") === ((false, false, None, true, 1L, Some(0L),
+      true, true, Some(9L), Some(0L), Some(25L))))
+    // the retry twin loses the canonical-is-min rule; its fork has no
+    // assistant turn → no echo signal, but dedup already dropped it
+    assert(got("c7~f") === ((true, true, Some("c7"), false, 0L, None,
+      true, false, None, None, None)))
+    // too short to fingerprint + no assistant: no signals, kept and packed
+    assert(got("c9") === ((false, false, None, true, 0L, None,
+      true, true, Some(3L), Some(0L), Some(34L))))
+    assert(TranscriptOps.transcriptPipeline(pipeCorpus.repartition(5))
+      .collect().toSeq === TranscriptOps.transcriptPipeline(pipeCorpus).collect().toSeq)
+  }
+
   // --- prefPairs -----------------------------------------------------------
   // h32 % PrefForkMod: pB, pC, pD → 0 (forked); pA → 1, pE/pF → 3,
   // pY/pZ → 2 (clean). Rewrite class h32(id:rw) % 2: pD → 0 (self-repeat),
