@@ -407,6 +407,13 @@ object TranscriptOps {
         sum(when(col("is_echo"), 1L).otherwise(0L)).as("n_echoed"))
       .selectExpr("conv_id", "n_echo_scored",
         "n_echoed * 1000000 DIV n_echo_scored AS echo_ppm")
+    // lineage feeds two consumers (the pack assignment and the final
+    // projection) and is deliberately NOT persisted: its verdict columns
+    // join from UNIQUE-keyed aggregates, so consumers that do not read
+    // them (the pack path needs only `selected`) get the joins ELIMINATED
+    // by Catalyst — forcing materialization with a persist was measured
+    // SLOWER (8.8 s vs 7.5 s warm at sf0.1) than letting each consumer
+    // prune its own slice, the convDedup fingerprint trade again
     val lineage = universe
       .join(dd, Seq("conv_id"), "left")
       .join(convEcho, Seq("conv_id"), "left")

@@ -277,6 +277,57 @@ class TranscriptOpsSpec extends AnyFunSuite with SparkFixture {
       .collect().toSeq === TranscriptOps.transcriptPipeline(pipeCorpus).collect().toSeq)
   }
 
+  test("transcriptPipeline equals the composition of its public stages") {
+    // the generator corpus (150 convs): dedup columns must match convDedup,
+    // echo columns must match the echoDetect rollup, pack coordinates must
+    // match packByTokens over the selected pool — the ccnetPipeline
+    // composition-equality discipline, transcript-flavored
+    import spark.implicits._
+    val t = graft.gen.SyntheticTranscripts.turns(spark, 150L).toDF()
+    val got = TranscriptOps.transcriptPipeline(t).collect()
+    val dd = TranscriptOps.convDedup(t).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(6), Option(r.getString(5))))).toMap
+    val echo = TranscriptOps.echoDetect(t).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues { rows =>
+        val n = rows.length.toLong
+        (n, rows.count(_.getBoolean(4)).toLong * 1000000L / n)
+      }.toMap
+    got.foreach { r =>
+      val id = r.getString(0)
+      if (!id.endsWith("~f")) {
+        // dedup columns agree with the standalone operator (same forks)
+        dd.get(id).foreach { case (isDup, dupOf) =>
+          assert(r.getBoolean(2) === isDup, id)
+          assert(Option(r.getString(3)) === dupOf, id)
+        }
+        // echo columns agree with the standalone rollup
+        echo.get(id) match {
+          case Some((n, ppm)) =>
+            assert(r.getLong(5) === n, id)
+            assert(r.getLong(6) === ppm, id)
+          case None => assert(r.getLong(5) === 0L && r.isNullAt(6), id)
+        }
+      }
+    }
+    // pack coordinates: offsets of the selected pool are disjoint shelf
+    // slots — re-derive via packByTokens on the selected (n_tokens, key)
+    val sel = got.filter(_.getBoolean(8))
+    assert(sel.nonEmpty && got.exists(!_.getBoolean(8)))
+    def key(id: String): Long = {
+      val base = "[0-9]+".r.findFirstIn(id).get.toLong
+      if (id.endsWith("~f")) base + 1000000000L else base
+    }
+    val packs = graft.ops.DocTextOps.packByTokens(
+      sel.map(r => (r.getLong(9), key(r.getString(0))))
+        .toSeq.toDF("n_tokens", "doc_id"))
+      .select("doc_id", "pack_id", "pack_offset").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    sel.foreach { r =>
+      assert(packs(key(r.getString(0))) === ((r.getLong(10), r.getLong(11))), r.getString(0))
+    }
+  }
+
   // --- prefPairs -----------------------------------------------------------
   // h32 % PrefForkMod: pB, pC, pD → 0 (forked); pA → 1, pE/pF → 3,
   // pY/pZ → 2 (clean). Rewrite class h32(id:rw) % 2: pD → 0 (self-repeat),
