@@ -770,6 +770,27 @@ object SparkEntry {
        |  WHERE ${dh32("conv_id")} % $fm = 0 AND turn_idx < max_idx)""".stripMargin
   }
 
+  /** Echo-overlap replay CTEs over a turn source `src` (must provide
+    * conv_id, turn_idx, role, text): the running-last-user window and the
+    * distinct-token overlap scoring — yields `et` and
+    * `eo(conv_id, turn_idx, n_distinct_tokens, overlap_ppm)`. ONE builder
+    * shared by the `t_echo` and `t_pipeline` oracles so the standalone
+    * and composed echo replays cannot drift. */
+  private def dEchoCtes(src: String): String =
+    s"""et AS (SELECT conv_id, turn_idx, role, text,
+       |    last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
+       |      OVER (PARTITION BY conv_id ORDER BY turn_idx
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_user
+       |  FROM $src),
+       |eo AS (SELECT conv_id, turn_idx,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       |    CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+       |        x -> list_contains(list_distinct(string_split(prev_user, ' ')), x))) AS BIGINT)
+       |      * 1000000 // len(list_distinct(string_split(text, ' '))) AS overlap_ppm
+       |  FROM et
+       |  WHERE role = 'assistant' AND prev_user IS NOT NULL AND text IS NOT NULL)"""
+      .stripMargin
+
   /** Conversation-dedup core over an `allt(conv_id, text, …)` CTE in
     * scope: fingerprints, bands, symmetric candidate probe, exact-Jaccard
     * verification, per-conversation verdict aggregate — yields `sh` and
@@ -823,16 +844,7 @@ object SparkEntry {
        |    coalesce(a.n_dups, 0) > 0 AS is_dup, a.dup_of,
        |    coalesce(a.n_dups, 0) = 0 OR u.conv_id < a.dup_of AS dedup_keep
        |  FROM u LEFT JOIN agg a ON u.conv_id = a.doc_id),
-       |et AS (SELECT conv_id, turn_idx, role, text,
-       |    last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
-       |      OVER (PARTITION BY conv_id ORDER BY turn_idx
-       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_user
-       |  FROM allt),
-       |eo AS (SELECT conv_id,
-       |    CAST(len(list_filter(list_distinct(string_split(text, ' ')),
-       |        x -> list_contains(list_distinct(string_split(prev_user, ' ')), x))) AS BIGINT)
-       |      * 1000000 // len(list_distinct(string_split(text, ' '))) AS overlap_ppm
-       |  FROM et WHERE role = 'assistant' AND prev_user IS NOT NULL AND text IS NOT NULL),
+       |${dEchoCtes("allt")},
        |ce AS (SELECT conv_id, count(*)::BIGINT AS n_echo_scored,
        |    sum(CASE WHEN overlap_ppm >= $echoThr THEN 1 ELSE 0 END) * 1000000
        |      // count(*) AS echo_ppm
@@ -1591,21 +1603,10 @@ object SparkEntry {
     // replays TranscriptOps.echoDetect over the raw-turns fixture dump:
     // running last user text per conversation, distinct-token overlap ppm
     "t_echo" ->
-      s"""WITH t AS (SELECT conv_id, turn_idx, role, text,
-         |    last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
-         |      OVER (PARTITION BY conv_id ORDER BY turn_idx
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_user
-         |  FROM read_parquet('__VERIFY_OUT__/_raw_turns/*.parquet')),
-         |o AS (SELECT conv_id, turn_idx,
-         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
-         |    CAST(len(list_filter(list_distinct(string_split(text, ' ')),
-         |        x -> list_contains(list_distinct(string_split(prev_user, ' ')), x))) AS BIGINT)
-         |      * 1000000 // len(list_distinct(string_split(text, ' '))) AS overlap_ppm
-         |  FROM t
-         |  WHERE role = 'assistant' AND prev_user IS NOT NULL AND text IS NOT NULL)
+      s"""WITH ${dEchoCtes("read_parquet('__VERIFY_OUT__/_raw_turns/*.parquet')")}
          |SELECT conv_id, turn_idx, n_distinct_tokens, overlap_ppm,
          |  overlap_ppm >= ${graft.ops.TranscriptOps.DefaultEchoThresholdPpm} AS is_echo
-         |FROM o ORDER BY conv_id, turn_idx""".stripMargin,
+         |FROM eo ORDER BY conv_id, turn_idx""".stripMargin,
     "t_conv_dedup" -> convDedupOracle,
     "t_conv_dedup_incr" -> convDedupIncrOracle,
     "t_pipeline" -> transcriptPipelineOracle,

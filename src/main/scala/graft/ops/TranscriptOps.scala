@@ -116,7 +116,7 @@ object TranscriptOps {
     // forkMod = 0 is the PRODUCTION mode: no scenario twins, dedup exactly
     // the conversations fed in (the registered gate query keeps the default
     // so both verdicts realize on the synthetic corpus)
-    val allTurns = forkedTurns(turns, forkMod).select("conv_id", "turn_idx", "text")
+    val allTurns = forkedTurns(turns, forkMod, Seq("conv_id", "turn_idx", "text"))
     // the fingerprint subtree feeds four plan branches (both band sides,
     // both verify lookups) and is deliberately NOT persisted: caching the
     // wide shingle-array rows measured 2.4× slower than the codegen'd
@@ -158,15 +158,20 @@ object TranscriptOps {
     * [[transcriptPipeline]] (one fork construction, the composed replay
     * cannot drift): renderable turns plus, for conversations matching
     * `h32(conv_id) % forkMod = 0`, a drop-last-turn twin `conv_id || '~f'`.
-    * `forkMod = 0` disables the scenario (production mode). */
-  private def forkedTurns(turns: DataFrame, forkMod: Long): DataFrame = {
-    val base = turns.where("text IS NOT NULL")
-      .select("conv_id", "turn_idx", "role", "text")
+    * `forkMod = 0` disables the scenario (production mode). `cols` keeps
+    * each caller's column contract: dedup needs no `role`, so a
+    * 3-column (conv_id, turn_idx, text) frame stays valid input there. */
+  private def forkedTurns(turns: DataFrame, forkMod: Long,
+                          cols: Seq[String] = Seq("conv_id", "turn_idx", "role", "text")): DataFrame = {
+    val base = turns.where("text IS NOT NULL").select(cols.map(col): _*)
     if (forkMod == 0) base
     else base.union(base
       .withColumn("max_idx", max("turn_idx").over(Window.partitionBy("conv_id")))
       .where(s"${Shingles.h32("conv_id")} % $forkMod = 0 AND turn_idx < max_idx")
-      .selectExpr("conv_id || '~f' AS conv_id", "turn_idx", "role", "text"))
+      .selectExpr(cols.map {
+        case "conv_id" => "conv_id || '~f' AS conv_id"
+        case c => c
+      }: _*))
   }
 
   /** Conversation fingerprints — union of per-turn distinct 3-shingles
@@ -391,7 +396,7 @@ object TranscriptOps {
                          echoConvThresholdPpm: Long = EchoConvThresholdPpm,
                          budget: Long = DocTextOps.DefaultPackBudget,
                          numKeyExpr: String =
-                           "CAST(regexp_extract(conv_id, '([0-9]+)', 1) AS BIGINT)" +
+                           "TRY_CAST(regexp_extract(conv_id, '([0-9]+)', 1) AS BIGINT)" +
                              " + IF(conv_id LIKE '%~f', CAST(1000000000 AS BIGINT), CAST(0 AS BIGINT))"): DataFrame = {
     val forked = forkedTurns(turns, forkMod)
     val universe = forked.select("conv_id").distinct()
@@ -430,10 +435,23 @@ object TranscriptOps {
     val toks = forked.where("role IS NOT NULL")
       .selectExpr("conv_id", "CAST(1 + size(split(text, ' ')) AS BIGINT) AS rt_toks")
       .groupBy("conv_id").agg(sum("rt_toks").as("n_tokens"))
-    val packs = DocTextOps.packByTokens(
-      lineage.where("selected").select("conv_id")
-        .join(toks, Seq("conv_id"))
-        .selectExpr("n_tokens", s"$numKeyExpr AS doc_id"), budget)
+    val keyed = lineage.where("selected").select("conv_id")
+      .join(toks, Seq("conv_id"))
+      .selectExpr("conv_id", "n_tokens", s"$numKeyExpr AS doc_id")
+    // the pack key must be total and injective over the selected pool — a
+    // NULL (id without digits under the default) would silently drop a
+    // conversation's pack coordinates, a collision would fan out the final
+    // join with nondeterministic shelf offsets; fail loudly naming ids
+    val badKey = keyed.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min("conv_id").as("a"), max("conv_id").as("b"))
+      .where("doc_id IS NULL OR n > 1").limit(1).collect()
+    require(badKey.isEmpty, {
+      val r = badKey.head
+      s"transcriptPipeline: numKeyExpr is not an injective total key — " +
+        (if (r.isNullAt(0)) s"conv '${r.getString(2)}' maps to NULL"
+         else s"convs '${r.getString(2)}' and '${r.getString(3)}' collide on key ${r.getLong(0)}")
+    })
+    val packs = DocTextOps.packByTokens(keyed.select("n_tokens", "doc_id"), budget)
     lineage
       .join(toks, Seq("conv_id"), "left")
       .withColumn("conv_num", expr(numKeyExpr))
@@ -656,7 +674,12 @@ object TranscriptOps {
     // ONE corpus pass: the conv-clustered agg rolls straight into the
     // <=64-row bucket table (eagerly materialized — it is tiny), and the
     // global pad-to-max row FOLDS from that table (max_n carries the
-    // per-bucket max so the corpus is not scanned a second time)
+    // per-bucket max so the corpus is not scanned a second time). The
+    // eager localCheckpoint means CALLING this runs the corpus pass
+    // immediately (plan inspection included) and pins a <=64-row RDD
+    // until the reference is collected — both accepted: the alternative
+    // (a lazy union whose branches each re-instantiate the aggregation)
+    // scans the corpus twice at any scale
     val per = turns.where("role IS NOT NULL AND text IS NOT NULL")
       .selectExpr("conv_id", "CAST(1 + size(split(text, ' ')) AS BIGINT) AS rt_toks")
       .groupBy("conv_id").agg(sum("rt_toks").as("n"))

@@ -277,6 +277,21 @@ class TranscriptOpsSpec extends AnyFunSuite with SparkFixture {
       .collect().toSeq === TranscriptOps.transcriptPipeline(pipeCorpus).collect().toSeq)
   }
 
+  test("transcriptPipeline: non-injective or null pack keys fail loudly") {
+    // 'a12' and 'b12' collide under the default digit key; a digit-less id
+    // maps to NULL — both must name the offender, never corrupt the packs
+    val collide = turns(
+      ("a12", 1, "user", "x1 x2 x3"), ("a12", 2, "assistant", "y1 y2"),
+      ("b12", 1, "user", "z1 z2 z3"), ("b12", 2, "assistant", "w1 w2"))
+    val e1 = intercept[IllegalArgumentException](
+      TranscriptOps.transcriptPipeline(collide, forkMod = 0L).collect())
+    assert(e1.getMessage.contains("collide on key 12"), e1.getMessage)
+    val nod = turns(("nodigits", 1, "user", "x1 x2 x3"))
+    val e2 = intercept[IllegalArgumentException](
+      TranscriptOps.transcriptPipeline(nod, forkMod = 0L).collect())
+    assert(e2.getMessage.contains("maps to NULL"), e2.getMessage)
+  }
+
   test("transcriptPipeline equals the composition of its public stages") {
     // the generator corpus (150 convs): dedup columns must match convDedup,
     // echo columns must match the echoDetect rollup, pack coordinates must
